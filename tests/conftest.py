@@ -1,0 +1,33 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding/pjit code
+paths are exercised without TPU hardware (SURVEY.md §4 'distributed tests
+without a cluster').
+
+Note: the runtime environment pre-imports jax via sitecustomize and pins the
+'axon' TPU platform through env vars, so plain env-var overrides are too late.
+jax.config.update is authoritative; XLA_FLAGS is still read lazily at first
+CPU-backend initialization.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+@pytest.fixture(scope="session")
+def goldens():
+    """Load all committed golden npz files keyed by basename."""
+    out = {}
+    for fn in os.listdir(GOLDEN_DIR):
+        if fn.endswith(".npz"):
+            out[fn[:-4]] = np.load(os.path.join(GOLDEN_DIR, fn), allow_pickle=True)
+    return out
