@@ -1,0 +1,260 @@
+"""MDM denoiser family in flax.linen: the frozen text-to-motion prior (MDM),
+the semantic discriminator (MotionEncoder), the trainable style denoiser
+(StyleDiffusion) and the humanml residual-code variant (DiffuseTransfer).
+
+Parity: model/mdm_forstyledataset.py —
+  MDM :183 (InputProcess :425, PositionalEncoding :387, TimestepEmbedder :408,
+  embed_text :258, 8-layer trans_enc :229-238, OutputProcess :452),
+  MotionEncoder :11 (muQuery/sigmaQuery :43-44, forward :90-124),
+  StyleDiffusion :494 (borrows the frozen mdm's input/output/timestep/text
+  modules :609-624, trains only its own seqTransEncoder :537-546),
+  DiffuseTrasnfer :628 (style_code - content_code residual :747-750).
+
+TPU-first design decisions:
+  - batch-first (B, S, D) everywhere; the frame sequence and the condition
+    token are one fused transformer call;
+  - CLIP text encoding is HOISTED OUT of the denoiser forward: callers pass
+    the (B, clip_dim) embedding in `cond['enc_text']` and encode once per
+    run (the reference re-encodes the same caption on every sampler step,
+    mdm_forstyledataset.py:612 — hoisting is semantics-preserving);
+  - condition dropout (CFG training) and uncond (CFG sampling) are performed
+    by zeroing enc_text *before* embed_text — identical math to mask_cond
+    (:288-296) since embed_text (with bias) is applied after the zeroing.
+
+One top-level module (StyleDiffusion) owns every submodule so the parameter
+tree has stable paths for freezing ('mdm', 'motion_enc_*' frozen;
+'style_encoder' trainable) and for the torch checkpoint importer.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motionstyle.models.transformer import TransformerEncoder
+
+
+def sinusoidal_position_encoding(max_len: int, d_model: int) -> np.ndarray:
+    """The classic sin/cos table; parity: mdm_forstyledataset.py:387-399."""
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2, dtype=np.float32) * (-np.log(10000.0) / d_model))
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+@dataclass(frozen=True)
+class MDMConfig:
+    njoints: int = 181
+    nfeats: int = 1
+    latent_dim: int = 512
+    ff_size: int = 1024
+    num_layers: int = 8
+    num_heads: int = 4
+    dropout: float = 0.1
+    clip_dim: int = 512
+    max_len: int = 5000
+    cond_mask_prob: float = 0.1
+
+    @property
+    def input_feats(self) -> int:
+        return self.njoints * self.nfeats
+
+
+class TimestepEmbedder(nn.Module):
+    """pe[t] -> Linear -> SiLU -> Linear; parity: TimestepEmbedder :408-422."""
+
+    latent_dim: int
+    pe: np.ndarray
+
+    @nn.compact
+    def __call__(self, timesteps: jax.Array) -> jax.Array:
+        h = jnp.asarray(self.pe)[timesteps]
+        h = nn.Dense(self.latent_dim, name="time_embed_0")(h)
+        h = nn.silu(h)
+        return nn.Dense(self.latent_dim, name="time_embed_2")(h)
+
+
+class MDM(nn.Module):
+    """The text-conditioned motion diffusion denoiser (predicts x0)."""
+
+    cfg: MDMConfig
+
+    def setup(self):
+        c = self.cfg
+        self.pe = sinusoidal_position_encoding(c.max_len, c.latent_dim)
+        self.input_process = nn.Dense(c.latent_dim, name="input_process")
+        self.embed_timestep = TimestepEmbedder(c.latent_dim, self.pe, name="embed_timestep")
+        self.embed_text = nn.Dense(c.latent_dim, name="embed_text")
+        self.seqTransEncoder = TransformerEncoder(
+            c.num_layers, c.latent_dim, c.num_heads, c.ff_size, c.dropout,
+            name="seqTransEncoder",
+        )
+        self.output_process = nn.Dense(c.input_feats, name="output_process")
+
+    def _frames_to_tokens(self, x: jax.Array) -> jax.Array:
+        """(B, C, F, T) motion -> (B, T, C*F) token sequence."""
+        B, C, F, T = x.shape
+        return x.transpose(0, 3, 1, 2).reshape(B, T, C * F)
+
+    def _tokens_to_frames(self, h: jax.Array) -> jax.Array:
+        B, T, _ = h.shape
+        return h.reshape(B, T, self.cfg.njoints, self.cfg.nfeats).transpose(0, 2, 3, 1)
+
+    def _apply_pe(self, xseq: jax.Array, deterministic: bool) -> jax.Array:
+        xseq = xseq + jnp.asarray(self.pe)[None, : xseq.shape[1]]
+        if not deterministic:
+            xseq = nn.Dropout(self.cfg.dropout)(xseq, deterministic=False)
+        return xseq
+
+    def __call__(self, x: jax.Array, timesteps: jax.Array,
+                 enc_text: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        """x (B, C, F, T), timesteps (B,), enc_text (B, clip_dim) pre-masked.
+
+        Parity: MDM.forward :315-364 (trans_enc arch). No key-padding mask on
+        the denoiser (the reference passes none, :346).
+        """
+        emb = self.embed_timestep(timesteps)  # (B, d)
+        if enc_text is not None:
+            emb = emb + self.embed_text(enc_text)
+        h = self.input_process(self._frames_to_tokens(x))
+        xseq = jnp.concatenate([emb[:, None, :], h], axis=1)
+        xseq = self._apply_pe(xseq, deterministic)
+        out = self.seqTransEncoder(xseq, deterministic=deterministic)[:, 1:]
+        return self._tokens_to_frames(self.output_process(out))
+
+    def re_encode(self, output: jax.Array, deterministic: bool = True) -> jax.Array:
+        """Re-run the denoiser on its own output at t=0; parity :366-375."""
+        zero_t = jnp.zeros((output.shape[0],), dtype=jnp.int32)
+        return self(output, zero_t, None, deterministic=deterministic)
+
+
+class StyleDiffusion(nn.Module):
+    """Top-level style-transfer model: frozen MDM prior + frozen semantic
+    discriminator (MotionEncoder) + trainable style encoder.
+
+    Parameter tree (for freezing / checkpoint surgery):
+      params['mdm']               frozen prior (incl. shared in/out/t/text)
+      params['motion_enc_encoder'], params['mu_query'], params['sigma_query']
+                                  frozen semantic discriminator
+      params['style_encoder']     THE trainable weights
+    """
+
+    cfg: MDMConfig
+
+    def setup(self):
+        c = self.cfg
+        self.mdm = MDM(c, name="mdm")
+        self.mu_query = self.param("mu_query", nn.initializers.normal(1.0), (1, c.latent_dim))
+        self.sigma_query = self.param("sigma_query", nn.initializers.normal(1.0), (1, c.latent_dim))
+        self.motion_enc_encoder = TransformerEncoder(
+            c.num_layers, c.latent_dim, c.num_heads, c.ff_size, c.dropout,
+            name="motion_enc_encoder",
+        )
+        self.style_encoder = TransformerEncoder(
+            c.num_layers, c.latent_dim, c.num_heads, c.ff_size, c.dropout,
+            name="style_encoder",
+        )
+
+    # --- frozen prior path (neutral content generation) ---
+    def denoise_prior(self, x, timesteps, enc_text=None, deterministic=True):
+        return self.mdm(x, timesteps, enc_text, deterministic=deterministic)
+
+    # --- trainable style denoiser path ---
+    def __call__(self, x, timesteps, enc_text=None, deterministic=True):
+        """StyleDiffusion.forward :602-625: mdm's embed/in/out modules around
+        the style encoder."""
+        emb = self.mdm.embed_timestep(timesteps)
+        if enc_text is not None:
+            emb = emb + self.mdm.embed_text(enc_text)
+        h = self.mdm.input_process(self.mdm._frames_to_tokens(x))
+        xseq = jnp.concatenate([emb[:, None, :], h], axis=1)
+        xseq = self.mdm._apply_pe(xseq, deterministic)
+        out = self.style_encoder(xseq, deterministic=deterministic)[:, 1:]
+        return self.mdm._tokens_to_frames(self.mdm.output_process(out))
+
+    # --- semantic discriminator path ---
+    def encode_motion(self, x, frame_mask=None, deterministic=True):
+        """MotionEncoder.forward :90-124 -> mu (B, d).
+
+        x (B, C, F, T); frame_mask (B, T) with True = valid frame.
+        """
+        B = x.shape[0]
+        T = x.shape[-1]
+        h = self.mdm.input_process(self.mdm._frames_to_tokens(x))
+        mu_tok = jnp.broadcast_to(self.mu_query[None], (B, 1, self.cfg.latent_dim))
+        sig_tok = jnp.broadcast_to(self.sigma_query[None], (B, 1, self.cfg.latent_dim))
+        xseq = jnp.concatenate([mu_tok, sig_tok, h], axis=1)
+        xseq = self.mdm._apply_pe(xseq, deterministic)
+        if frame_mask is None:
+            frame_mask = jnp.ones((B, T), dtype=bool)
+        kpm = jnp.concatenate([jnp.ones((B, 2), dtype=bool), frame_mask.astype(bool)], axis=1)
+        out = self.motion_enc_encoder(xseq, key_padding_mask=kpm, deterministic=deterministic)
+        return out[:, 0]  # mu
+
+
+class DiffuseTransfer(nn.Module):
+    """humanml variant: condition = CLIP text + (style_code - content_code).
+
+    Parity: DiffuseTrasnfer (sic) :628-760. Shares the MDM/MotionEncoder
+    structure; the residual code shifts the text embedding before embed_text.
+    """
+
+    cfg: MDMConfig
+
+    def setup(self):
+        c = self.cfg
+        self.mdm = MDM(c, name="mdm")
+        self.mu_query = self.param("mu_query", nn.initializers.normal(1.0), (1, c.latent_dim))
+        self.sigma_query = self.param("sigma_query", nn.initializers.normal(1.0), (1, c.latent_dim))
+        self.motion_enc_encoder = TransformerEncoder(
+            c.num_layers, c.latent_dim, c.num_heads, c.ff_size, c.dropout,
+            name="motion_enc_encoder",
+        )
+        self.transfer_encoder = TransformerEncoder(
+            c.num_layers, c.latent_dim, c.num_heads, c.ff_size, c.dropout,
+            name="transfer_encoder",
+        )
+
+    def __call__(self, x, timesteps, enc_text, style_code, content_code,
+                 deterministic=True):
+        emb = self.mdm.embed_timestep(timesteps)
+        input_mu = enc_text + (style_code - content_code)
+        emb = emb + self.mdm.embed_text(input_mu)
+        h = self.mdm.input_process(self.mdm._frames_to_tokens(x))
+        xseq = jnp.concatenate([emb[:, None, :], h], axis=1)
+        xseq = self.mdm._apply_pe(xseq, deterministic)
+        out = self.transfer_encoder(xseq, deterministic=deterministic)[:, 1:]
+        return self.mdm._tokens_to_frames(self.mdm.output_process(out))
+
+    def encode_motion(self, x, frame_mask=None, deterministic=True):
+        B, T = x.shape[0], x.shape[-1]
+        h = self.mdm.input_process(self.mdm._frames_to_tokens(x))
+        mu_tok = jnp.broadcast_to(self.mu_query[None], (B, 1, self.cfg.latent_dim))
+        sig_tok = jnp.broadcast_to(self.sigma_query[None], (B, 1, self.cfg.latent_dim))
+        xseq = jnp.concatenate([mu_tok, sig_tok, h], axis=1)
+        xseq = self.mdm._apply_pe(xseq, deterministic)
+        if frame_mask is None:
+            frame_mask = jnp.ones((B, T), dtype=bool)
+        kpm = jnp.concatenate([jnp.ones((B, 2), dtype=bool), frame_mask.astype(bool)], axis=1)
+        out = self.motion_enc_encoder(xseq, key_padding_mask=kpm, deterministic=deterministic)
+        return out[:, 0]
+
+
+def mask_cond(rng: jax.Array, enc_text: jax.Array, cond_mask_prob: float) -> jax.Array:
+    """Training-time CFG condition dropout; parity: mask_cond :288-296."""
+    if cond_mask_prob <= 0.0:
+        return enc_text
+    keep = jax.random.bernoulli(rng, 1.0 - cond_mask_prob, (enc_text.shape[0], 1))
+    return enc_text * keep.astype(enc_text.dtype)
+
+
+def trainable_param_filter(path: tuple) -> bool:
+    """True for StyleDiffusion's trainable leaves (parameters_wo_enc :588)."""
+    return len(path) > 0 and str(path[0]) == "style_encoder"

@@ -1,0 +1,93 @@
+"""Torch-parity transformer encoder/decoder blocks in flax.linen.
+
+The reference denoisers are plain ``nn.TransformerEncoder`` stacks
+(mdm_forstyledataset.py:229-238): post-LayerNorm, packed-qkv multi-head
+attention, gelu MLP, dropout 0.1. Weight-level parity with torch matters
+because checkpoints are imported from the reference's .pt layout
+(models/torch_import.py), so parameter shapes/ordering mirror
+``nn.TransformerEncoderLayer`` exactly:
+
+  self_attn.in_proj (3d x d packed q,k,v), self_attn.out_proj,
+  linear1 (d->ff), linear2 (ff->d), norm1, norm2
+  order: x = norm1(x + attn(x)); x = norm2(x + mlp(x))
+
+Layout is batch-first (B, S, D) — the TPU-friendly layout (the reference uses
+(S, B, D); the importer handles this, weights are layout-independent).
+
+Attention runs through motionstyle.ops.attention which picks the Pallas
+flash kernel on TPU and falls back to the XLA einsum path elsewhere.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from motionstyle.ops.attention import multihead_attention
+
+
+class MultiheadSelfAttention(nn.Module):
+    """Packed-projection MHA matching torch.nn.MultiheadAttention."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, key_padding_mask: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        d = self.embed_dim
+        in_proj = nn.Dense(3 * d, name="in_proj")
+        out_proj = nn.Dense(d, name="out_proj")
+        qkv = in_proj(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = multihead_attention(q, k, v, self.num_heads, key_padding_mask=key_padding_mask)
+        out = out_proj(out)
+        if self.dropout > 0.0 and not deterministic:
+            out = nn.Dropout(self.dropout, name="attn_drop")(out, deterministic=False)
+        return out
+
+
+class TransformerEncoderLayer(nn.Module):
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, key_padding_mask: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        attn = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout, name="self_attn")
+        a = attn(x, key_padding_mask=key_padding_mask, deterministic=deterministic)
+        if not deterministic:
+            a = nn.Dropout(self.dropout)(a, deterministic=False)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + a)
+        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        h = nn.gelu(h, approximate=False)
+        if not deterministic:
+            h = nn.Dropout(self.dropout)(h, deterministic=False)
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        if not deterministic:
+            h = nn.Dropout(self.dropout)(h, deterministic=False)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    num_layers: int
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, key_padding_mask: Optional[jax.Array] = None,
+                 deterministic: bool = True) -> jax.Array:
+        for i in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                name=f"layers_{i}",
+            )(x, key_padding_mask=key_padding_mask, deterministic=deterministic)
+        return x
