@@ -96,6 +96,7 @@ class MDM(nn.Module):
             name="seqTransEncoder",
         )
         self.output_process = nn.Dense(c.input_feats, name="output_process")
+        self.pe_dropout = nn.Dropout(c.dropout)
 
     def _frames_to_tokens(self, x: jax.Array) -> jax.Array:
         """(B, C, F, T) motion -> (B, T, C*F) token sequence."""
@@ -109,7 +110,7 @@ class MDM(nn.Module):
     def _apply_pe(self, xseq: jax.Array, deterministic: bool) -> jax.Array:
         xseq = xseq + jnp.asarray(self.pe)[None, : xseq.shape[1]]
         if not deterministic:
-            xseq = nn.Dropout(self.cfg.dropout)(xseq, deterministic=False)
+            xseq = self.pe_dropout(xseq, deterministic=False)
         return xseq
 
     def __call__(self, x: jax.Array, timesteps: jax.Array,
@@ -161,6 +162,14 @@ class StyleDiffusion(nn.Module):
             c.num_layers, c.latent_dim, c.num_heads, c.ff_size, c.dropout,
             name="style_encoder",
         )
+
+    def full_init(self, x, timesteps, enc_text=None):
+        """Touch every forward path so .init creates the complete param tree
+        (flax only materializes parameters of modules actually traced)."""
+        out = self(x, timesteps, enc_text)
+        _ = self.denoise_prior(x, timesteps, enc_text)
+        _ = self.encode_motion(x)
+        return out
 
     # --- frozen prior path (neutral content generation) ---
     def denoise_prior(self, x, timesteps, enc_text=None, deterministic=True):

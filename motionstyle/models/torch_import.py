@@ -127,7 +127,7 @@ def assemble_style_diffusion_params(
     dummy_x = jnp.zeros((1, cfg.njoints, cfg.nfeats, 8), dtype=jnp.float32)
     dummy_t = jnp.zeros((1,), dtype=jnp.int32)
     dummy_text = jnp.zeros((1, cfg.clip_dim), dtype=jnp.float32)
-    params = model.init(rng, dummy_x, dummy_t, dummy_text)["params"]
+    params = model.init(rng, dummy_x, dummy_t, dummy_text, method=StyleDiffusion.full_init)["params"]
 
     params["mdm"] = convert_mdm(mdm_sd, cfg)
     if semantic_sd is not None:

@@ -1,0 +1,89 @@
+"""Device mesh + sharding rules: the framework's scale-out story.
+
+The reference has no working distributed path (utils/dist_util.py is a stub,
+SURVEY.md §2); here data parallelism and tensor parallelism are first-class:
+
+  - a 2-D ('data', 'model') jax.sharding.Mesh;
+  - batches sharded over 'data' (leading axis);
+  - the transformer FFN (linear1/linear2) and attention projections sharded
+    over 'model' (Megatron-style column/row split: linear1 kernel over its
+    output dim, linear2 kernel over its input dim, so the pair needs a single
+    psum which XLA inserts automatically);
+  - everything else replicated. Collectives ride ICI; grads sync via the
+    psum XLA derives from the sharded-batch loss (the jax analogue of DDP
+    allreduce — replacing the reference's dead dist.all_gather call sites).
+
+All public entry points are mesh-optional: single chip = trivial mesh.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
+    """Build a ('data', 'model') mesh over the first n devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    grid = np.array(devices[:n]).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, ("data", "model"))
+
+
+def batch_spec(ndim: int) -> P:
+    """Shard the leading (batch) axis over 'data'."""
+    return P("data", *([None] * (ndim - 1)))
+
+
+def param_spec(path: tuple, leaf) -> P:
+    """Megatron-style sharding rules for the denoiser parameter tree."""
+    keys = [getattr(p, "key", str(p)) for p in path]
+    name = "/".join(str(k) for k in keys)
+    if leaf.ndim == 2:
+        if name.endswith("linear1/kernel"):
+            return P(None, "model")  # column parallel (d -> ff)
+        if name.endswith("linear2/kernel"):
+            return P("model", None)  # row parallel (ff -> d)
+        if name.endswith("in_proj/kernel"):
+            return P(None, "model")  # qkv column parallel
+        if name.endswith("out_proj/kernel"):
+            return P("model", None)  # attention output row parallel
+    if leaf.ndim == 1:
+        if name.endswith("linear1/bias") or name.endswith("in_proj/bias"):
+            return P("model")
+    return P()  # replicated
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a parameter pytree onto the mesh per param_spec."""
+    def place(path, leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, param_spec(path, leaf)))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a batch pytree with leading-axis 'data' sharding."""
+    def place(leaf):
+        arr = np.asarray(leaf) if not isinstance(leaf, jax.Array) else leaf
+        return jax.device_put(arr, NamedSharding(mesh, batch_spec(arr.ndim)))
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    )
+
+
+def all_gather_batch(x, axis_name: str = "data"):
+    """Gather a per-shard array across the data axis (inside shard_map).
+
+    The jax-native replacement for the reference's only live collective
+    (LossAwareSampler's dist.all_gather, diffusion/resample.py:88-108).
+    """
+    return jax.lax.all_gather(x, axis_name, tiled=True)

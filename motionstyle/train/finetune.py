@@ -1,0 +1,251 @@
+"""Few-shot style finetuning loop.
+
+Parity: train/training_loop.py (TrainInpaintingLoop :43) — AdamW on the
+trainable style encoder only (:97 + parameters_wo_enc), uniform timestep
+sampler restricted to range(T - skip) (:240-246), the few-shot style loss
+(:248-263), LR anneal (:297-303), checkpoint save with frozen-submodule
+stripping (:312-348) and `model{step:09d}` naming, latest-checkpoint resume
+(:110-141, :374-382).
+
+TPU-first: ONE jitted train step = grad of the differentiable DDIM unroll
+(remat per step) + optax update, with the frozen subtrees held out of the
+optimizer via optax.multi_transform. Checkpoints are written in the
+*reference's torch layout* (seqTransEncoder.* keys) so weights round-trip
+between this framework and the PyTorch implementation.
+"""
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from motionstyle.diffusion import losses
+from motionstyle.diffusion.ddpm import Inpainting
+from motionstyle.diffusion.resample import UniformSampler
+from motionstyle.diffusion.schedule import DiffusionSchedule
+from motionstyle.models.denoiser import StyleDiffusion, mask_cond
+from motionstyle.models.torch_import import convert_encoder, export_style_encoder
+from motionstyle.train import logging as logger
+
+
+@dataclass
+class FinetuneConfig:
+    save_dir: str
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    lr_anneal_steps: int = 0
+    num_steps: int = 24
+    log_interval: int = 1
+    save_interval: int = 100
+    batch_size: int = 64
+    skip_steps: int = 700
+    diffusion_steps: int = 1000
+    use_ddim: bool = True
+    semantic_guidance: bool = True
+    ls_weight: float = 10.0
+    cond_mask_prob: float = 0.1
+    resume_checkpoint: str = ""
+    seed: int = 10
+
+
+def parse_resume_step_from_filename(filename: str) -> int:
+    """path/to/modelNNNNNNNNN.pt -> NNNNNNNNN; parity: training_loop.py:352."""
+    split = filename.split("model")
+    if len(split) < 2:
+        return 0
+    try:
+        return int(split[-1].split(".")[0])
+    except ValueError:
+        return 0
+
+
+def find_resume_checkpoint(save_dir: str, mode: str = "model") -> Optional[str]:
+    """Latest '{mode}NNNNNNNNN.pt' in save_dir; parity: training_loop.py:374."""
+    files = [f for f in os.listdir(save_dir) if f.endswith(".pt") and f.startswith(mode)]
+    if not files:
+        return None
+    steps = sorted(int(f[len(mode): len(mode) + 9]) for f in files)
+    return os.path.join(save_dir, f"{mode}{steps[-1]:09d}.pt")
+
+
+class StyleFinetuneTrainer:
+    """Drives few-shot style finetuning of a StyleDiffusion model."""
+
+    def __init__(
+        self,
+        cfg: FinetuneConfig,
+        model: StyleDiffusion,
+        params: dict,
+        sched: DiffusionSchedule,
+        train_platform=None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.params = params["params"] if "params" in params else params
+        self.sched = sched
+        self.platform = train_platform
+        self.mesh = mesh
+        self.step = 0
+        self.resume_step = 0
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+        if cfg.resume_checkpoint:
+            self._load_checkpoint(cfg.resume_checkpoint)
+
+        # optimizer on the trainable subtree only (parameters_wo_enc parity)
+        def label(path, _):
+            return "trainable" if str(path[0].key) == "style_encoder" else "frozen"
+
+        schedule = cfg.lr
+        if cfg.lr_anneal_steps:
+            schedule = optax.linear_schedule(cfg.lr, 0.0, cfg.lr_anneal_steps)
+        self.tx = optax.multi_transform(
+            {
+                "trainable": optax.adamw(schedule, b1=0.9, b2=0.999, weight_decay=cfg.weight_decay),
+                "frozen": optax.set_to_zero(),
+            },
+            jax.tree_util.tree_map_with_path(label, self.params),
+        )
+        self.opt_state = self.tx.init(self.params)
+        if self.resume_step:
+            self._load_optimizer_state()
+
+        if cfg.use_ddim:
+            self.t_range = int((cfg.diffusion_steps - cfg.skip_steps) / cfg.diffusion_steps * sched.num_timesteps)
+        else:
+            self.t_range = cfg.diffusion_steps - cfg.skip_steps
+        self.sampler = UniformSampler(sched.num_timesteps)
+        self._train_step = self._build_train_step()
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        cfg, model, sched = self.cfg, self.model, self.sched
+
+        def train_step(params, opt_state, rng, batch):
+            """batch: x_start, t, content, style_target, mask, inp_mask,
+            enc_text_style, enc_text_t2m, text_features — all arrays."""
+            rng_loss, rng_drop, rng_cond = jax.random.split(rng, 3)
+
+            def loss_fn(p):
+                def model_fn(x, t_orig, cond):
+                    enc = cond["enc_text"]
+                    # train-time CFG condition dropout per forward
+                    enc = mask_cond(jax.random.fold_in(rng_cond, t_orig[0]), enc, cfg.cond_mask_prob)
+                    return model.apply(
+                        {"params": p}, x, t_orig, enc,
+                        deterministic=False,
+                        rngs={"dropout": jax.random.fold_in(rng_drop, t_orig[0])},
+                    )
+
+                def motion_enc_fn(motion, cond):
+                    return model.apply(
+                        {"params": p}, motion, cond.get("frame_mask"),
+                        method=StyleDiffusion.encode_motion,
+                    )
+
+                terms = losses.few_shot_style_finetune_loss(
+                    sched, model_fn,
+                    batch["x_start"], batch["t"],
+                    batch["content"], batch["style_target"], rng_loss,
+                    mask=batch["mask"],
+                    cond_style={"enc_text": batch["enc_text_style"]},
+                    cond_t2m={"enc_text": batch["enc_text_t2m"], "frame_mask": batch.get("frame_mask_t2m")},
+                    inpainting_style=Inpainting(batch["inp_mask"], batch["content"]),
+                    inpainting_t2m_mask=batch.get("inp_mask_t2m"),
+                    skip_steps=cfg.skip_steps,
+                    use_ddim=cfg.use_ddim,
+                    semantic_guidance=cfg.semantic_guidance,
+                    motion_enc_fn=motion_enc_fn if cfg.semantic_guidance else None,
+                    text_features=batch.get("text_features"),
+                    ls_weight=cfg.ls_weight,
+                )
+                return terms["loss"], terms
+
+            (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, new_opt_state = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt_state, terms
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def run_step(self, batch: dict) -> dict:
+        self.rng, sub, tsub = jax.random.split(self.rng, 3)
+        t, _ = self.sampler.sample(tsub, batch["x_start"].shape[0], data_range=self.t_range)
+        batch = dict(batch, t=t)
+        self.params, self.opt_state, terms = self._train_step(self.params, self.opt_state, sub, batch)
+        self._log_terms(terms)
+        self.step += 1
+        if (self.step - 1 + self.resume_step) % self.cfg.save_interval == 0:
+            self.save()
+        return {k: float(np.asarray(v).mean()) for k, v in terms.items()}
+
+    def finish(self):
+        if (self.step - 1 + self.resume_step) % self.cfg.save_interval != 0:
+            self.save()
+
+    def _log_terms(self, terms):
+        for k, v in terms.items():
+            logger.logkv_mean(k, float(np.asarray(v).mean()))
+        logger.logkv("step", self.step + self.resume_step)
+        if self.platform is not None:
+            for k, v in terms.items():
+                self.platform.report_scalar(
+                    name=k, value=float(np.asarray(v).mean()),
+                    iteration=self.step, group_name="Loss",
+                )
+
+    # ------------------------------------------------------------------
+    def ckpt_file_name(self) -> str:
+        return f"model{self.step + self.resume_step:09d}.pt"
+
+    def save(self):
+        """Write the trainable style encoder in the reference torch layout
+        (frozen motion_enc/mdm/clip stripped — training_loop.py:316-335)."""
+        import torch
+
+        os.makedirs(self.cfg.save_dir, exist_ok=True)
+        sd = export_style_encoder({"style_encoder": self.params["style_encoder"]}, self.model.cfg.num_layers)
+        path = os.path.join(self.cfg.save_dir, self.ckpt_file_name())
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
+        opt_path = os.path.join(self.cfg.save_dir, f"opt{self.step + self.resume_step:09d}.pt")
+        flat, _ = jax.tree_util.tree_flatten(self.opt_state)
+        torch.save([np.asarray(x) for x in flat], opt_path)
+        logger.log(f"saved checkpoint {path}")
+
+    def _load_checkpoint(self, path: str):
+        import torch
+
+        if os.path.isdir(path):
+            found = find_resume_checkpoint(path, "model")
+            if found is None:
+                return
+            path = found
+        self.resume_step = parse_resume_step_from_filename(path)
+        logger.log(f"loading model from checkpoint: {path}...")
+        sd = {k: v.numpy() for k, v in torch.load(path, map_location="cpu", weights_only=False).items()}
+        self.params["style_encoder"] = convert_encoder(sd, "seqTransEncoder", self.model.cfg.num_layers)
+
+    def _load_optimizer_state(self):
+        import torch
+
+        opt_path = os.path.join(
+            os.path.dirname(self.cfg.resume_checkpoint), f"opt{self.resume_step:09d}.pt"
+        )
+        if not os.path.exists(opt_path):
+            return
+        try:
+            flat = torch.load(opt_path, map_location="cpu", weights_only=False)
+            _, treedef = jax.tree_util.tree_flatten(self.opt_state)
+            self.opt_state = jax.tree_util.tree_unflatten(treedef, [jnp.asarray(x) for x in flat])
+            logger.log(f"loaded optimizer state from {opt_path}")
+        except Exception as e:  # mirror the reference's tolerant load (:138-141)
+            logger.log(f"could not load optimizer state: {e}")
