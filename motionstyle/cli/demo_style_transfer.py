@@ -1,0 +1,186 @@
+"""Style-transfer demo CLI: transfer a finetuned style onto a content motion.
+
+Parity: sample/demo_style_transfer.py — args.json reload next to --model_path,
+content/style clip processing :121-196, caption synthesis
+'A person is {content} {style}' :132-136, inpainting DDIM-20 sampling with
+skip=int(700/1000*20) and the dump[-5] early-stop pick :230-262, results.npy
+dict :283-288, foot-skate removal x2 :312-313, IK-fitted BVH exports
+:217/:306/:318, mp4 renders + ffmpeg hstack :332-370.
+
+Run:  python -m motionstyle.cli.demo_style_transfer \
+        --model_path save/ft/350angry_jumping/model000000024.pt \
+        --input_content '306neutral_running.npy' [--data_dir ...]
+"""
+from __future__ import annotations
+
+import os
+import shutil
+from os.path import join as pjoin
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motionstyle.cli import model_util
+from motionstyle.cli.finetune_style_diffusion import skeleton_assets
+from motionstyle.cli.parser_util import eval_inpainting_style_args
+from motionstyle.core.features import recover_from_ric
+from motionstyle.data.collate import get_dataset_loader, lengths_to_mask
+from motionstyle.data.masks import BVH_JOINT_NAMES, get_inpainting_mask
+from motionstyle.diffusion import sampling
+from motionstyle.diffusion.ddpm import Inpainting, cfg_model_fn
+
+
+def main(argv=None):
+    args = eval_inpainting_style_args(argv)
+    name = os.path.basename(os.path.dirname(args.model_path))
+    max_frames = 196 if args.dataset in ("humanml", "bandai-1_posrot", "bandai-2_posrot") else 60
+    max_frames = 76 if args.dataset == "stylexia_posrot" else max_frames
+    fps = 12.5 if args.dataset == "kit" else 20
+    joint_num = {"humanml": 22, "stylexia_posrot": 20}.get(args.dataset, 21)
+
+    out_path = args.output_dir or pjoin(
+        os.path.dirname(args.model_path),
+        f"style_transfer_from_stylexample_{name}_to_contentmotion_{args.input_content[:-4]}_seed{args.seed}",
+    )
+    if args.input_text:
+        out_path += "_" + args.input_text.replace(" ", "_").replace(".", "")
+    if os.path.exists(out_path):
+        shutil.rmtree(out_path)
+    os.makedirs(out_path)
+
+    print("creating data loader...")
+    args.batch_size = args.num_samples
+    data = get_dataset_loader(args.dataset, args.batch_size, max_frames, split="test",
+                              data_root=args.data_dir or None)
+    ds = data.dataset.t2m_dataset
+
+    print("creating model and diffusion...")
+    bundle, sched_ddim, _ = model_util.creat_serval_diffusion(args, timestep_respacing="ddim20")
+
+    skel, real_offsets, chains, ee_names = skeleton_assets(args.dataset)
+    bones = BVH_JOINT_NAMES[args.dataset]
+
+    def load_clip(fname):
+        path = fname if os.path.isfile(fname) else pjoin(ds.opt.motion_dir, fname)
+        m, l = ds.process_np_motion(path)
+        return jnp.asarray(m.T[None, :, None, :], dtype=jnp.float32), l
+
+    if not args.style_example:
+        args.style_example = "350angry_jumping.npy" if args.dataset == "stylexia_posrot" \
+            else "dataset-2_walk-turn-right_feminine_018.npy"
+    input_motions, style_m_length = load_clip(args.style_example)
+    sample_t2m, m_length = load_clip(args.input_content)
+
+    # caption: 'A person is {content} {style}' (:189-196)
+    if args.input_text:
+        texts = [args.input_text] * args.num_samples
+    else:
+        contents = args.input_content.split("_")[-1][:-4]
+        style_label = name.split("_")[0][3:]
+        texts = [f"A person is {contents} {style_label}"] * args.num_samples
+    print(f'caption: "{texts[0]}"')
+    enc_text = bundle.encode_text(texts, args.dataset)
+
+    inp_mask = jnp.asarray(
+        get_inpainting_mask(args.inpainting_mask, sample_t2m.shape, dataset=args.dataset),
+        dtype=jnp.float32,
+    )
+    inpainting = Inpainting(inp_mask, sample_t2m)
+    model_fn = bundle.denoiser_fn(style=True)
+    if args.dataset == "humanml" and args.guidance_param not in (0, 1):
+        model_fn = cfg_model_fn(model_fn, jnp.full((args.num_samples,), args.guidance_param))
+
+    content_denorm = ds.inv_transform(np.asarray(sample_t2m)[0, :, 0, :].T)
+    content_joints = np.asarray(recover_from_ric(jnp.asarray(content_denorm, dtype=jnp.float32), joint_num))
+    style_denorm = ds.inv_transform(np.asarray(input_motions)[0, :, 0, :].T)
+    style_joints = np.asarray(recover_from_ric(jnp.asarray(style_denorm, dtype=jnp.float32), joint_num))
+    ref_motion = content_joints[:m_length]
+
+    all_motions, all_hml, all_lengths, all_text = [], [], [], []
+    rng = jax.random.PRNGKey(args.seed)
+    skip = int(args.skip_steps / args.diffusion_steps * 20)
+    for rep_i in range(args.num_repetitions):
+        print(f"### Start sampling [repetitions #{rep_i}]")
+        rng, sub = jax.random.split(rng)
+        xstarts = sampling.sample_loop(
+            sched_ddim, model_fn, {"enc_text": enc_text}, sub,
+            shape=tuple(sample_t2m.shape), init_image=sample_t2m, method="ddim",
+            skip_timesteps=skip, inpainting=inpainting, dump_all_xstart=True,
+        )
+        sample = xstarts[-5]  # early-stopped denoise (:259-260)
+        denorm = ds.inv_transform(np.asarray(sample)[:, :, 0, :].transpose(0, 2, 1))
+        all_hml.append(denorm)
+        joints = np.asarray(recover_from_ric(jnp.asarray(denorm, dtype=jnp.float32), joint_num))
+        all_motions.append(joints.transpose(0, 2, 3, 1))  # B J 3 T
+        all_lengths.append(np.full(args.num_samples, m_length))
+        all_text += texts
+        print(f"created {len(all_motions) * args.batch_size} samples")
+
+    all_motions = np.concatenate(all_motions, axis=0)
+    all_lengths = np.concatenate(all_lengths, axis=0)
+    all_hml = np.concatenate(all_hml, axis=0)
+
+    npy_path = pjoin(out_path, "results.npy")
+    print(f"saving results file to [{npy_path}]")
+    np.save(npy_path, {
+        "motion": all_motions, "text": all_text, "lengths": all_lengths,
+        "num_samples": args.num_samples, "num_repetitions": args.num_repetitions,
+    })
+
+    if args.skip_render:
+        print(f"[Done] Results are at [{os.path.abspath(out_path)}]")
+        return out_path
+
+    from motionstyle.post.footskate import remove_fs
+    from motionstyle.post.ik import fit_joints_bvh
+    from motionstyle.post.render import plot_3d_motion
+
+    print(f"saving visualizations to [{out_path}]...")
+    if args.dataset != "humanml":
+        fit_joints_bvh(pjoin(out_path, "input_content_motion.bvh"),
+                       content_denorm[:m_length], skel, real_offsets, ref_motion, names=bones)
+        fit_joints_bvh(pjoin(out_path, "input_style_example.bvh"),
+                       style_denorm[:style_m_length], skel, real_offsets,
+                       style_joints[:style_m_length], names=bones)
+
+    length = int(all_lengths[0])
+    fs_motion = all_motions[0].transpose(2, 0, 1)[:length].copy()
+    fs_motion, _, _, _ = remove_fs(fs_motion, ref_motion, bones, ee_names,
+                                   force_on_floor=True, after_butterworth=True,
+                                   use_vel3=True, vel3_thr=0.05)
+    fs_motion, _, _, _ = remove_fs(fs_motion, fs_motion, bones, ee_names,
+                                   force_on_floor=True, after_butterworth=True,
+                                   use_vel3=True, vel3_thr=0.05)
+    if args.dataset != "humanml":
+        fit_joints_bvh(pjoin(out_path, "out_transferred_motion.bvh"),
+                       all_hml[0, :length], skel, real_offsets, fs_motion, names=bones)
+
+    rep_files = []
+    for title, motion, fname in (
+        ("Input Content Motion", content_joints[:m_length], "input_content_motion00.mp4"),
+        ("Input Style Motion", style_joints[:style_m_length], "input_style_motion00.mp4"),
+    ):
+        p = pjoin(out_path, fname)
+        plot_3d_motion(p, chains, motion, title=title, dataset=args.dataset, fps=fps, vis_mode="gt")
+        rep_files.append(p)
+    for rep_i in range(args.num_repetitions):
+        caption = f"style transferred motion: {all_text[rep_i * args.batch_size]}" \
+            if args.guidance_param else "style transferred motion"
+        p = pjoin(out_path, f"output_transferred_motion00_rep{rep_i:02d}.mp4")
+        plot_3d_motion(p, chains, fs_motion, title=caption, dataset=args.dataset,
+                       fps=fps, vis_mode=args.inpainting_mask,
+                       painting_features=args.inpainting_mask.split(","))
+        rep_files.append(p)
+    if args.num_repetitions > 1 and shutil.which("ffmpeg"):
+        all_rep = pjoin(out_path, "sample00.mp4")
+        ffmpeg_rep_files = [f" -i {f} " for f in rep_files]
+        hstack = f" -filter_complex hstack=inputs={args.num_repetitions + 1} "
+        os.system("ffmpeg -y -loglevel warning " + "".join(ffmpeg_rep_files) + f"{hstack} {all_rep}")
+
+    print(f"[Done] Results are at [{os.path.abspath(out_path)}]")
+    return out_path
+
+
+if __name__ == "__main__":
+    main()

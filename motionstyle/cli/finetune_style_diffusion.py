@@ -1,0 +1,257 @@
+"""Few-shot style finetune CLI.
+
+Parity: train/finetune_style_diffusion.py — per-dataset defaults :33-47,
+args.json config-of-record :68-70, neutral-content generation by the frozen
+prior (DDPM p_sample_loop with stop_timesteps=900, dump_all_xstart[-1],
+:195-212), noised/clean neutral visualization (:213-252), semantic-guidance
+caption edit (style word spliced before the last word, :279-286), training
+via the few-shot loss, final DDIM resample + mp4 (:307-343).
+
+Run:  python -m motionstyle.cli.finetune_style_diffusion \
+        --dataset stylexia_posrot --save_dir ./save/ft \
+        --style_example 350angry_jumping.npy [--data_dir .../style_xia]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+from os.path import join as pjoin
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motionstyle.cli import model_util
+from motionstyle.cli.parser_util import finetune_inpainting_style_args
+from motionstyle.core import params as skel_params
+from motionstyle.core.features import recover_from_ric
+from motionstyle.core.skeleton import Skeleton
+from motionstyle.data import masks as mask_lib
+from motionstyle.data.collate import collate, get_dataset_loader, lengths_to_mask
+from motionstyle.data.masks import BVH_JOINT_NAMES, get_inpainting_mask
+from motionstyle.diffusion import sampling
+from motionstyle.diffusion.ddpm import Inpainting, cfg_model_fn
+from motionstyle.train import logging as logger
+from motionstyle.train import platforms
+from motionstyle.train.finetune import FinetuneConfig, StyleFinetuneTrainer
+
+DATASET_DEFAULTS = {
+    "humanml": dict(example="M008551.npy", joints=22, max_frames=196,
+                    chains="t2m", offsets="smpl"),
+    "bandai-2_posrot": dict(example="dataset-2_walk-turn-right_feminine_018.npy",
+                            joints=21, max_frames=196, chains="bandai", offsets="bandai"),
+    "stylexia_posrot": dict(example="350angry_jumping.npy", joints=20, max_frames=76,
+                            chains="xia", offsets="xia"),
+}
+
+
+def skeleton_assets(dataset: str):
+    if dataset == "humanml":
+        return (Skeleton(skel_params.smpl_raw_offsets, skel_params.t2m_kinematic_chain),
+                skel_params.smpl_real_offsets, skel_params.t2m_kinematic_chain,
+                ["R_Ankle", "L_Ankle", "L_Foot", "R_Foot"])
+    if dataset.startswith("bandai"):
+        return (Skeleton(skel_params.bandai_raw_offsets, skel_params.bandai_kinematic_chain),
+                skel_params.bandai_real_offsets, skel_params.bandai_kinematic_chain,
+                ["Toes_R", "Toes_L", "Foot_L", "Foot_R"])
+    return (Skeleton(skel_params.xia_raw_offsets, skel_params.xia_kinematic_chain),
+            skel_params.xia_real_offsets, skel_params.xia_kinematic_chain,
+            ["rtoes", "ltoes", "lfoot", "rfoot"])
+
+
+def style_caption(dataset: str, style_example: str):
+    """Neutral-content caption + style word; parity: f_s_d.py:113-138."""
+    if dataset == "humanml":
+        return "a figure skips in a circle", "happily"
+    if dataset.startswith("bandai"):
+        if not style_example:
+            return "a person walks turn right normal", "feminine"
+        contents = style_example.split("_")[-3].split("-")
+        style_label = style_example.split("_")[-2]
+        contents[0] += "s"
+        return "a person " + " ".join(contents) + " normal", style_label
+    if not style_example:
+        return "a person is jumping neutral", "angry"
+    contents = style_example.split("_")[-1][:-4]
+    style_label = style_example.split("_")[0][3:]
+    return "a person is " + contents + " neutral", style_label
+
+
+def edit_caption_with_style(caption: str, style_label: str, dataset: str, tokens=None) -> str:
+    """Semantic-guidance caption edit; parity: f_s_d.py:268-286."""
+    if dataset == "humanml" and tokens:
+        words = caption.split(" ")
+        verb_idx = [i - 1 for i, tok in enumerate(tokens.split("_")) if "/VERB" in tok]
+        for j, idx in enumerate(verb_idx):
+            words.insert(idx + 1 + j, style_label)
+        return " ".join(words)
+    words = caption.split(" ")
+    words.pop(-1)
+    words.insert(-1, style_label)
+    return " ".join(words)
+
+
+def main(argv=None):
+    args = finetune_inpainting_style_args(argv)
+    defaults = DATASET_DEFAULTS[args.dataset]
+    if not args.style_example:
+        args.style_example = defaults["example"]
+    max_frames = defaults["max_frames"]
+    joint_num = defaults["joints"]
+
+    if os.path.exists(args.save_dir) and not args.overwrite and os.listdir(args.save_dir):
+        raise FileExistsError(f"save_dir [{args.save_dir}] already exists.")
+    args.save_dir = pjoin(args.save_dir, args.style_example[:-4])
+    os.makedirs(args.save_dir, exist_ok=True)
+    with open(pjoin(args.save_dir, "args.json"), "w") as fw:
+        json.dump(vars(args), fw, indent=4, sort_keys=True)
+    logger.configure(args.save_dir, format_strs=("stdout", "csv"))
+    platform = getattr(platforms, args.train_platform_type)(args.save_dir)
+    platform.report_args(args, name="Args")
+
+    print("creating data loader...")
+    data = get_dataset_loader(args.dataset, args.batch_size, args.num_frames,
+                              split="train", data_root=args.data_dir or None)
+
+    print("creating model and diffusion...")
+    bundle, sched_ddim, sched_full = model_util.creat_ddpm_ddim_diffusion(
+        args, timestep_respacing="ddim20" if args.use_ddim else "")
+    sched = sched_ddim if args.use_ddim else sched_full
+
+    skel, real_offsets, chains, ee_names = skeleton_assets(args.dataset)
+    bones = BVH_JOINT_NAMES[args.dataset]
+
+    # ---- the one style example ----
+    ds = data.dataset.t2m_dataset
+    style_path = args.style_example
+    if not os.path.isfile(style_path):
+        style_path = pjoin(ds.opt.motion_dir, args.style_example)
+    input_motions, m_length = ds.process_np_motion(style_path)
+    input_motions = jnp.asarray(input_motions.T[None, :, None, :], dtype=jnp.float32)
+
+    caption, style_label = style_caption(args.dataset, args.style_example)
+    mask = lengths_to_mask(np.asarray([m_length]), max_frames)[:, None, None, :]
+    inp_mask = jnp.asarray(
+        get_inpainting_mask(args.inpainting_mask, input_motions.shape, dataset=args.dataset),
+        dtype=jnp.float32,
+    )
+
+    # ---- generate neutral content from the frozen prior ----
+    print(f'generating neutral content for caption "{caption}" ...')
+    enc_neutral = bundle.encode_text([caption], args.dataset)
+    rng = jax.random.PRNGKey(args.seed)
+    rng, sub = jax.random.split(rng)
+    xstarts = sampling.sample_loop(
+        sched_full, bundle.denoiser_fn(style=False), {"enc_text": enc_neutral}, sub,
+        shape=(1, bundle.cfg.njoints, bundle.cfg.nfeats, max_frames),
+        init_image=input_motions, method="ddpm",
+        skip_timesteps=0, stop_timesteps=900,
+        inpainting=Inpainting(inp_mask, input_motions),
+        dump_all_xstart=True,
+    )
+    neutral = xstarts[-1]
+
+    if not args.skip_render:
+        _render_neutral(args, ds, neutral, input_motions, m_length, joint_num,
+                        skel, real_offsets, chains, bones, ee_names, sched_full, inp_mask, rng)
+
+    # ---- finetune ----
+    edited_caption = edit_caption_with_style(caption, style_label, args.dataset)
+    print(f'finetuning with style caption "{edited_caption}" ...')
+    enc_style = bundle.encode_text([caption], args.dataset)
+    enc_t2m = bundle.encode_text([edited_caption], args.dataset)
+
+    ft_cfg = FinetuneConfig(
+        save_dir=args.save_dir, lr=args.lr, weight_decay=args.weight_decay,
+        lr_anneal_steps=args.lr_anneal_steps, num_steps=args.num_steps,
+        log_interval=args.log_interval, save_interval=args.save_interval,
+        batch_size=args.batch_size, skip_steps=args.skip_steps,
+        diffusion_steps=args.diffusion_steps, use_ddim=bool(args.use_ddim),
+        semantic_guidance=bool(args.semantic_guidance), ls_weight=args.Ls,
+        cond_mask_prob=args.cond_mask_prob,
+        resume_checkpoint=args.resume_checkpoint, seed=args.seed,
+    )
+    trainer = StyleFinetuneTrainer(ft_cfg, bundle.model, bundle.params, sched, platform)
+    print("Total params: %.2fM trainable" % (
+        sum(np.size(x) for x in jax.tree_util.tree_leaves(trainer.params["style_encoder"])) / 1e6))
+
+    step = 0
+    while step < args.num_steps:
+        for motion, cond in data:
+            if step >= args.num_steps:
+                break
+            # inject mask + style word into the dataset captions (semantic
+            # guidance; parity f_s_d.py:259-295 InpaintingDataLoader)
+            texts = [edit_caption_with_style(t, style_label, args.dataset) for t in cond["y"]["text"]]
+            t2m_inp_mask = get_inpainting_mask(args.inpainting_mask, motion.shape, dataset=args.dataset)
+            batch = {
+                "x_start": motion.astype(np.float32),
+                "content": np.asarray(neutral, dtype=np.float32),
+                "style_target": np.asarray(input_motions, dtype=np.float32),
+                "mask": mask.astype(np.float32),
+                "inp_mask": np.asarray(inp_mask, dtype=np.float32),
+                "enc_text_style": np.asarray(enc_neutral, dtype=np.float32),
+                "enc_text_t2m": np.asarray(bundle.encode_text(texts, args.dataset), dtype=np.float32),
+                "inp_mask_t2m": t2m_inp_mask.astype(np.float32),
+                "frame_mask_t2m": cond["y"]["mask"][:, 0, 0, :].astype(bool),
+                "text_features": np.asarray(enc_t2m, dtype=np.float32),
+            }
+            # trainer params are the live weights; keep bundle in sync
+            terms = trainer.run_step(batch)
+            print(f"step[{step}]: loss[{terms['loss']:0.5f}]")
+            logger.dumpkvs()
+            step += 1
+    trainer.finish()
+    bundle = bundle._replace(params={"params": trainer.params})
+    platform.close()
+
+    # ---- final eval: resample the style example reconstruction ----
+    rng, sub = jax.random.split(rng)
+    sample = sampling.sample_loop(
+        sched_ddim, bundle.denoiser_fn(style=True), {"enc_text": enc_neutral}, sub,
+        shape=tuple(neutral.shape), init_image=neutral, method="ddim",
+        skip_timesteps=int(700 / args.diffusion_steps * 20),
+        inpainting=Inpainting(inp_mask, input_motions),
+    )
+    if not args.skip_render:
+        from motionstyle.post.render import plot_3d_motion
+
+        rec = ds.inv_transform(np.asarray(sample)[0, :, 0, :].T)
+        joints = np.asarray(recover_from_ric(jnp.asarray(rec, dtype=jnp.float32), joint_num))
+        plot_3d_motion(pjoin(args.save_dir, "style_example_rec00.mp4"), chains,
+                       joints[:m_length], title=" ", dataset=args.dataset, fps=20, vis_mode="gt")
+    print(f"[Done] checkpoints + outputs in {args.save_dir}")
+    return args.save_dir
+
+
+def _render_neutral(args, ds, neutral, input_motions, m_length, joint_num, skel,
+                    real_offsets, chains, bones, ee_names, sched_full, inp_mask, rng):
+    """Noised + clean neutral-motion visualization; parity f_s_d.py:213-252."""
+    from motionstyle.diffusion import ddpm as ddpm_mod
+    from motionstyle.post.footskate import remove_fs
+    from motionstyle.post.ik import fit_joints_bvh
+    from motionstyle.post.render import plot_3d_motion
+
+    rng, sub = jax.random.split(rng)
+    img = jax.random.normal(sub, neutral.shape, dtype=jnp.float32)
+    t701 = jnp.full((neutral.shape[0],), 701, dtype=jnp.int32)
+    noised = ddpm_mod.q_sample(sched_full, neutral, t701, img,
+                               inpainting=Inpainting(inp_mask, input_motions))
+    for tag, arr, iters in (("generated_noised_neutral_motion", noised, 100),
+                            ("generated_neutral_motion", neutral, 100)):
+        denorm = ds.inv_transform(np.asarray(arr)[0, :, 0, :].T)  # (T, D)
+        joints = np.asarray(recover_from_ric(jnp.asarray(denorm, dtype=jnp.float32), joint_num))
+        ref = joints[:m_length]
+        if tag == "generated_neutral_motion":
+            ref, _, _, _ = remove_fs(ref, ref, bones, ee_names, force_on_floor=False,
+                                     interp_length=3, use_vel3=True, vel3_thr=0.03,
+                                     after_butterworth=True)
+        fit_joints_bvh(pjoin(args.save_dir, tag + ".bvh"), denorm[:m_length], skel,
+                       real_offsets, ref, names=bones, iter_num=iters)
+        plot_3d_motion(pjoin(args.save_dir, tag + "00.mp4"), chains, ref,
+                       title=tag.replace("_", " "), dataset=args.dataset, fps=20, vis_mode="gt")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Model + diffusion factory and checkpoint assembly.
+
+Parity: utils/model_util.py — creat_serval_diffusion :26 /
+creat_ddpm_ddim_diffusion :33 (model + inpainting ddim + inpainting/plain
+ddpm), get_transfer_args dims table :108-167, create_gaussian_diffusion
+:170-201 (cosine, START_X, FIXED_SMALL), load_model_wo_moenc :9.
+
+Checkpoint surgery: the prior (--mdm_path), semantic discriminator
+(--semantic_discriminator_path) and finetuned style encoder (--model_path /
+--resume_checkpoint) are three reference-layout torch .pt files assembled
+into one StyleDiffusion param tree; missing files fall back to seeded random
+init with a loud warning (this environment ships no pretrained assets).
+"""
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motionstyle.cli.parser_util import get_cond_mode
+from motionstyle.diffusion.schedule import DiffusionSchedule, make_schedule
+from motionstyle.models import clip_text
+from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+from motionstyle.models.torch_import import (
+    assemble_style_diffusion_params,
+    convert_clip_text,
+    load_torch_state_dict,
+)
+
+DATASET_DIMS = {
+    "humanml": (263, 1),
+    "kit": (251, 1),
+    "bandai-1_posrot": (190, 1),
+    "bandai-2_posrot": (190, 1),
+    "stylexia_posrot": (181, 1),
+}
+
+
+def get_transfer_config(args) -> MDMConfig:
+    njoints, nfeats = DATASET_DIMS.get(args.dataset, (25, 6))
+    return MDMConfig(
+        njoints=njoints,
+        nfeats=nfeats,
+        latent_dim=args.latent_dim,
+        ff_size=1024,
+        num_layers=args.layers,
+        num_heads=4,
+        dropout=0.1,
+        clip_dim=512,
+        cond_mask_prob=args.cond_mask_prob,
+    )
+
+
+class ModelBundle(NamedTuple):
+    model: StyleDiffusion
+    params: dict
+    clip_params: dict
+    cfg: MDMConfig
+
+    def denoiser_fn(self, style: bool = True):
+        """model_fn(x, t_orig, cond) for the sampler: style path or prior."""
+        method = None if style else StyleDiffusion.denoise_prior
+
+        def fn(x, t_orig, cond):
+            if method is None:
+                return self.model.apply(self.params, x, t_orig, cond.get("enc_text"))
+            return self.model.apply(self.params, x, t_orig, cond.get("enc_text"), method=method)
+
+        return fn
+
+    def motion_enc_fn(self):
+        def fn(motion, cond):
+            return self.model.apply(
+                self.params, motion, cond.get("frame_mask"), method=StyleDiffusion.encode_motion
+            )
+
+        return fn
+
+    def encode_text(self, texts, dataset: str):
+        return clip_text.encode_text(self.clip_params, texts, dataset=dataset)
+
+
+def _maybe_load(path: str, what: str):
+    if path and os.path.exists(path):
+        print(f"loading {what} from {path}")
+        return load_torch_state_dict(path)
+    if path:
+        print(f"WARNING: {what} checkpoint not found at {path!r}; using random init")
+    else:
+        print(f"WARNING: no {what} checkpoint given; using random init")
+    return None
+
+
+def build_model(args) -> ModelBundle:
+    cfg = get_transfer_config(args)
+    mdm_sd = _maybe_load(getattr(args, "mdm_path", ""), "MDM prior")
+    sem_sd = _maybe_load(getattr(args, "semantic_discriminator_path", ""), "semantic discriminator")
+    style_sd = None
+    model_path = getattr(args, "model_path", "")
+    if model_path and os.path.exists(model_path):
+        print(f"load style diffusion model: {model_path}")
+        style_sd = load_torch_state_dict(model_path)
+
+    model = StyleDiffusion(cfg)
+    params = assemble_style_diffusion_params(
+        cfg, mdm_sd, semantic_sd=sem_sd, style_sd=style_sd,
+        rng=jax.random.PRNGKey(args.seed),
+    )
+
+    clip_w = getattr(args, "clip_weights", "")
+    enc = clip_text.ClipTextEncoder()
+    if clip_w and os.path.exists(clip_w):
+        print(f"loading CLIP text tower from {clip_w}")
+        sd = load_torch_state_dict(clip_w)
+        prefix = "clip_model." if any(k.startswith("clip_model.") for k in sd) else ""
+        clip_params = {"params": convert_clip_text(sd, prefix)}
+    else:
+        # deterministic seeded init so finetune and demo agree without assets
+        clip_params = enc.init(jax.random.PRNGKey(42), jnp.zeros((1, 77), jnp.int32))
+    return ModelBundle(model, params, clip_params, cfg)
+
+
+def creat_serval_diffusion(args, timestep_respacing: str = "") -> tuple:
+    """(bundle, inpainting respaced schedule, plain full schedule).
+
+    Parity: model_util.py:26-30 — the demo's pair of diffusions. Inpainting
+    behavior is a sampler argument here, not a class, so both returns are
+    DiffusionSchedules.
+    """
+    bundle = build_model(args)
+    sched_respaced = make_schedule(args.noise_schedule, args.diffusion_steps, timestep_respacing or None)
+    sched_full = make_schedule(args.noise_schedule, args.diffusion_steps)
+    return bundle, sched_respaced, sched_full
+
+
+creat_ddpm_ddim_diffusion = creat_serval_diffusion  # same pair in this design

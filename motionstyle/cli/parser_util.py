@@ -1,0 +1,188 @@
+"""CLI argument parsing with grouped args + args.json round trip.
+
+Parity: utils/parser_util.py — argparse groups so that model/diffusion/
+dataset/style-inpainting args are selectively overwritten from the args.json
+saved next to a checkpoint (parse_and_load_from_model :7-42), the same flag
+names and defaults (add_* functions :62-238), finetune_inpainting_style_args
+:253 and eval_inpainting_style_args :266.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from argparse import ArgumentParser
+
+
+def parse_and_load_from_model(parser: ArgumentParser):
+    add_data_options(parser)
+    add_model_options(parser)
+    add_diffusion_options(parser)
+    args = parser.parse_args()
+    args_to_overwrite = []
+    for group_name in ["dataset", "model", "diffusion", "style inpainting", "inpainting module"]:
+        args_to_overwrite += get_args_per_group_name(parser, args, group_name)
+    # run-local flags must never be resurrected from a checkpoint's args.json
+    args_to_overwrite = [a for a in args_to_overwrite
+                         if a not in ("skip_render", "model_path", "output_dir")]
+
+    model_path = get_model_path_from_args()
+    args_path = os.path.join(os.path.dirname(model_path), "args.json")
+    assert os.path.exists(args_path), "Arguments json file was not found!"
+    with open(args_path) as fr:
+        model_args = json.load(fr)
+    for a in args_to_overwrite:
+        if a in model_args:
+            setattr(args, a, model_args[a])
+        elif "cond_mode" in model_args:
+            setattr(args, "unconstrained", model_args["cond_mode"] == "no_cond")
+        else:
+            print(f"Warning: was not able to load [{a}], using default value [{args.__dict__.get(a)}] instead.")
+    if args.cond_mask_prob == 0:
+        args.guidance_param = 1
+    return args
+
+
+def get_args_per_group_name(parser, args, group_name):
+    for group in parser._action_groups:
+        if group.title == group_name:
+            return [a.dest for a in group._group_actions if hasattr(args, a.dest)]
+    return []
+
+
+def get_model_path_from_args():
+    dummy = ArgumentParser()
+    dummy.add_argument("--model_path")
+    dummy_args, _ = dummy.parse_known_args()
+    if dummy_args.model_path is None:
+        raise ValueError("model_path argument must be specified.")
+    return dummy_args.model_path
+
+
+def add_base_options(parser):
+    group = parser.add_argument_group("base")
+    group.add_argument("--device", default=0, type=int, help="Device id to use.")
+    group.add_argument("--seed", default=10, type=int, help="For fixing random seed.")
+    group.add_argument("--batch_size", default=64, type=int, help="Batch size during training.")
+
+
+def add_diffusion_options(parser):
+    group = parser.add_argument_group("diffusion")
+    group.add_argument("--noise_schedule", default="cosine", choices=["linear", "cosine"], type=str)
+    group.add_argument("--diffusion_steps", default=1000, type=int)
+    group.add_argument("--sigma_small", default=True, type=bool)
+
+
+def add_model_options(parser):
+    group = parser.add_argument_group("model")
+    group.add_argument("--arch", default="trans_enc", choices=["trans_enc", "trans_dec", "gru"], type=str)
+    group.add_argument("--emb_trans_dec", default=False, type=bool)
+    group.add_argument("--layers", default=8, type=int)
+    group.add_argument("--latent_dim", default=512, type=int)
+    group.add_argument("--cond_mask_prob", default=0.1, type=float)
+    group.add_argument("--lambda_rcxyz", default=0.0, type=float)
+    group.add_argument("--lambda_vel", default=0.0, type=float)
+    group.add_argument("--lambda_fc", default=0.0, type=float)
+    group.add_argument("--unconstrained", action="store_true")
+    group.add_argument("--mdm_path", default="", type=str, help="pretrained MDM prior checkpoint (.pt)")
+    group.add_argument("--clip_weights", default="", type=str,
+                       help="optional CLIP text-tower .pt; random-init (seeded) if absent")
+
+
+def add_data_options(parser):
+    group = parser.add_argument_group("dataset")
+    group.add_argument("--dataset", default="humanml",
+                       choices=["humanml", "bandai-2_posrot", "bandai-1_posrot", "stylexia_posrot"], type=str)
+    group.add_argument("--data_dir", default="", type=str)
+
+
+def add_finetune_options(parser):
+    group = parser.add_argument_group("training")
+    group.add_argument("--save_dir", required=True, type=str)
+    group.add_argument("--semantic_discriminator_path", default="", type=str)
+    group.add_argument("--overwrite", action="store_true")
+    group.add_argument("--train_platform_type", default="TensorboardPlatform",
+                       choices=["NoPlatform", "ClearmlPlatform", "TensorboardPlatform"], type=str)
+    group.add_argument("--lr", default=1e-4, type=float)
+    group.add_argument("--weight_decay", default=0.0, type=float)
+    group.add_argument("--lr_anneal_steps", default=0, type=int)
+    group.add_argument("--log_interval", default=1, type=int)
+    group.add_argument("--save_interval", default=100, type=int)
+    group.add_argument("--num_steps", default=24, type=int)
+    group.add_argument("--num_frames", default=60, type=int)
+    group.add_argument("--resume_checkpoint", default="", type=str)
+    group.add_argument("--skip_render", action="store_true",
+                       help="skip the BVH/mp4 visualization outputs")
+
+
+def add_style_inpainting_options(parser):
+    group = parser.add_argument_group("style inpainting")
+    group.add_argument("--inpainting_mask", default="root_horizontal", type=str)
+    group.add_argument("--inpainting_model_path", type=str, default="")
+    group.add_argument("--skip_steps", type=int, default=700)
+    group.add_argument("--style_finetune", type=int, default=1)
+    group.add_argument("--semantic_guidance", type=int, default=1)
+    group.add_argument("--use_ddim", type=int, default=1)
+    group.add_argument("--Ls", type=float, default=10)
+    group.add_argument("--style_example", type=str, default="")
+    return group
+
+
+def add_sampling_options(parser):
+    group = parser.add_argument_group("inpainting module")
+    group.add_argument("--semantic_discriminator_path", default="", type=str)
+    group.add_argument("--model_path", required=True, type=str)
+    group.add_argument("--output_dir", default="", type=str)
+    group.add_argument("--num_samples", default=1, type=int)
+    group.add_argument("--num_repetitions", default=1, type=int)
+    group.add_argument("--guidance_param", default=2.5, type=float)
+    group.add_argument("--skip_render", action="store_true")
+    return group
+
+
+def add_generate_options(parser):
+    group = parser.add_argument_group("generate")
+    group.add_argument("--motion_length", default=6.0, type=float)
+    group.add_argument("--input_text", default="", type=str)
+    group.add_argument("--text_prompt", default="", type=str)
+    group.add_argument("--input_content", default="", type=str)
+
+
+def get_cond_mode(args) -> str:
+    if getattr(args, "unconstrained", False):
+        return "no_cond"
+    if args.dataset in ("kit", "humanml", "bandai-1_posrot", "bandai-2_posrot", "stylexia_posrot"):
+        return "text"
+    return "action"
+
+
+def finetune_inpainting_style_args(argv=None):
+    parser = ArgumentParser()
+    add_base_options(parser)
+    add_data_options(parser)
+    add_finetune_options(parser)
+    add_diffusion_options(parser)
+    add_model_options(parser)
+    add_style_inpainting_options(parser)
+    if argv is not None:
+        return parser.parse_args(argv)
+    return parser.parse_args()
+
+
+def eval_inpainting_style_args(argv=None):
+    parser = ArgumentParser()
+    add_base_options(parser)
+    add_generate_options(parser)
+    add_style_inpainting_options(parser)
+    add_sampling_options(parser)
+    if argv is not None:
+        import sys
+
+        old = sys.argv
+        sys.argv = [old[0]] + list(argv)
+        try:
+            args = parse_and_load_from_model(parser)
+        finally:
+            sys.argv = old
+        return args
+    return parse_and_load_from_model(parser)

@@ -109,7 +109,7 @@ def convert_clip_text(sd: Dict[str, np.ndarray], prefix: str = "clip_model.") ->
 
 def assemble_style_diffusion_params(
     cfg: MDMConfig,
-    mdm_sd: Dict[str, np.ndarray],
+    mdm_sd: Optional[Dict[str, np.ndarray]] = None,
     semantic_sd: Optional[Dict[str, np.ndarray]] = None,
     style_sd: Optional[Dict[str, np.ndarray]] = None,
     rng=None,
@@ -129,7 +129,8 @@ def assemble_style_diffusion_params(
     dummy_text = jnp.zeros((1, cfg.clip_dim), dtype=jnp.float32)
     params = model.init(rng, dummy_x, dummy_t, dummy_text, method=StyleDiffusion.full_init)["params"]
 
-    params["mdm"] = convert_mdm(mdm_sd, cfg)
+    if mdm_sd is not None:
+        params["mdm"] = convert_mdm(mdm_sd, cfg)
     if semantic_sd is not None:
         params["mu_query"] = semantic_sd["muQuery"].astype(np.float32)
         params["sigma_query"] = semantic_sd["sigmaQuery"].astype(np.float32)

@@ -1,0 +1,256 @@
+"""BVH skeletal-animation I/O.
+
+A clean-room reader/writer for the standard BVH format (hierarchy of OFFSET /
+CHANNELS / End Site blocks + a MOTION table), with the reference's Anim
+container API (bvh_utils.py:29-81, read_bvh :84, save_bvh :499).
+
+Conventions: quaternions (w,x,y,z); euler channels written as
+"Zrotation Yrotation Xrotation" with R = Rz @ Ry @ Rx (intrinsic zyx) —
+read/write round-trip exactly; degrees on disk.
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from motionstyle.core import rotations as rot
+
+CHANNEL_AXIS = {"Xrotation": "x", "Yrotation": "y", "Zrotation": "z"}
+AXIS_CHANNEL = {"x": "Xrotation", "y": "Yrotation", "z": "Zrotation"}
+
+
+@dataclass
+class Anim:
+    """quats (T, J, 4) local; pos (T, J, 3) local positions (root animated);
+    offsets (J, 3) rest offsets; parents (J,); bones (J,) names."""
+
+    quats: np.ndarray
+    pos: np.ndarray
+    offsets: np.ndarray
+    parents: np.ndarray
+    bones: List[str]
+    end_offsets: Optional[dict] = None  # joint index -> (3,) end-site offset
+    frametime: float = 1.0 / 20.0
+
+    def __post_init__(self):
+        if self.bones is None:
+            self.bones = [f"joint_{i}" for i in range(len(self.parents))]
+
+    @property
+    def shape(self):
+        return (self.quats.shape[0], self.quats.shape[1])
+
+    def clip(self, sl):
+        self.quats = self.quats[sl]
+        self.pos = self.pos[sl]
+
+
+def _euler_zyx_to_quat(e_deg: np.ndarray) -> np.ndarray:
+    """(..., 3) (z, y, x) degrees -> quaternion, R = Rz Ry Rx."""
+    e = np.radians(e_deg)
+    return np.asarray(rot.euler_to_quaternion(jnp.asarray(e), "zyx"))
+
+
+def _quat_to_euler_zyx(q: np.ndarray) -> np.ndarray:
+    return np.degrees(np.asarray(rot.quaternion_to_euler(jnp.asarray(q), "zyx")))
+
+
+def read_bvh(filename: str, start=None, end=None, end_sites: bool = False) -> Anim:
+    """Parse a BVH file into an Anim. end_sites=True keeps End Site joints as
+    'End Site' named bones (reference behavior with end_sites flag)."""
+    names: List[str] = []
+    offsets: List[list] = []
+    parents: List[int] = []
+    channels_per_joint: List[int] = []
+    channel_order: List[str] = []
+    end_offsets = {}
+    active = -1
+    frames = None
+    frametime = 1.0 / 20.0
+    motion_rows = []
+    in_motion = False
+    pending_end = False
+    in_end_site = False
+
+    with open(filename) as f:
+        for line in f:
+            if in_motion:
+                if m := re.match(r"\s*Frames:\s+(\d+)", line):
+                    frames = int(m.group(1))
+                    continue
+                if m := re.match(r"\s*Frame Time:\s*([\d.eE+-]+)", line):
+                    frametime = float(m.group(1))
+                    continue
+                vals = line.strip().split()
+                if vals:
+                    motion_rows.append([float(v) for v in vals])
+                continue
+            if "MOTION" in line:
+                in_motion = True
+                continue
+            if m := re.match(r"\s*(ROOT|JOINT)\s+(\S+)", line):
+                names.append(m.group(2))
+                offsets.append([0.0, 0.0, 0.0])
+                channels_per_joint.append(0)
+                parents.append(active)
+                active = len(parents) - 1
+                continue
+            if re.match(r"\s*End Site", line):
+                pending_end = True
+                if end_sites:
+                    names.append("End Site")
+                    offsets.append([0.0, 0.0, 0.0])
+                    channels_per_joint.append(0)
+                    parents.append(active)
+                    active = len(parents) - 1
+                continue
+            if m := re.match(r"\s*OFFSET\s+([\-\d.eE]+)\s+([\-\d.eE]+)\s+([\-\d.eE]+)", line):
+                vals = [float(m.group(i)) for i in (1, 2, 3)]
+                if in_end_site and not end_sites:
+                    end_offsets[active] = np.array(vals)
+                else:
+                    offsets[active] = vals
+                continue
+            if m := re.match(r"\s*CHANNELS\s+(\d+)\s+(.*)", line):
+                n = int(m.group(1))
+                channels_per_joint[active] = n
+                chans = m.group(2).split()
+                rot_chans = [c for c in chans if c.endswith("rotation")]
+                if rot_chans and not channel_order:
+                    channel_order = [CHANNEL_AXIS[c] for c in rot_chans]
+                continue
+            if "{" in line:
+                if pending_end and not end_sites:
+                    in_end_site = True
+                pending_end = False
+                continue
+            if "}" in line:
+                if in_end_site:
+                    in_end_site = False
+                else:
+                    active = parents[active]
+                continue
+
+    J = len(names)
+    offsets = np.array(offsets, dtype=np.float32)
+    parents = np.array(parents, dtype=int)
+    motion = np.array(motion_rows, dtype=np.float32)
+    T = motion.shape[0]
+
+    quats = np.zeros((T, J, 4), dtype=np.float32)
+    quats[..., 0] = 1.0
+    pos = np.tile(offsets[None], (T, 1, 1)).astype(np.float32)
+    col = 0
+    order = "".join(channel_order) or "zyx"
+    for j in range(J):
+        nch = channels_per_joint[j]
+        if nch == 0:
+            continue
+        block = motion[:, col : col + nch]
+        col += nch
+        if nch >= 6:
+            pos[:, j] = block[:, :3]
+            e = block[:, 3:6]
+        elif nch == 3:
+            e = block
+        else:
+            continue
+        q = np.asarray(rot.euler_to_quaternion(jnp.asarray(np.radians(e.astype(np.float64))), order))
+        quats[:, j] = q
+
+    anim = Anim(quats, pos, offsets, parents, names, end_offsets or None, frametime)
+    if start is not None or end is not None:
+        anim.clip(slice(start, end))
+    return anim
+
+
+def save_bvh(filename: str, anim: Anim, frametime: float = 1.0 / 20.0,
+             order: str = "zyx", positions: bool = False) -> None:
+    """Write an Anim as BVH: 6 channels on the root (+all joints when
+    positions=True), 3 rotation channels elsewhere, End Sites from
+    anim.end_offsets (zero end sites added to leaves otherwise)."""
+    J = anim.quats.shape[1]
+    children = [[] for _ in range(J)]
+    for j in range(1, J):
+        children[anim.parents[j]].append(j)
+    rot_chans = " ".join(AXIS_CHANNEL[a] for a in order)
+    end_offsets = anim.end_offsets or {}
+
+    lines = ["HIERARCHY"]
+    dfs_order: List[int] = []  # BVH motion columns follow hierarchy DFS order
+
+    def emit(j, depth):
+        dfs_order.append(j)
+        t = "\t" * depth
+        tag = "ROOT" if depth == 0 else "JOINT"
+        lines.append(f"{t}{tag} {anim.bones[j]}")
+        lines.append(f"{t}{{")
+        t2 = "\t" * (depth + 1)
+        o = anim.offsets[j]
+        lines.append(f"{t2}OFFSET {o[0]:.6f} {o[1]:.6f} {o[2]:.6f}")
+        if depth == 0 or positions:
+            lines.append(f"{t2}CHANNELS 6 Xposition Yposition Zposition {rot_chans}")
+        else:
+            lines.append(f"{t2}CHANNELS 3 {rot_chans}")
+        if children[j]:
+            for c in children[j]:
+                emit(c, depth + 1)
+        else:
+            eo = end_offsets.get(j, np.zeros(3))
+            lines.append(f"{t2}End Site")
+            lines.append(f"{t2}{{")
+            lines.append(f"{t2}\tOFFSET {eo[0]:.6f} {eo[1]:.6f} {eo[2]:.6f}")
+            lines.append(f"{t2}}}")
+        lines.append(f"{t}}}")
+
+    emit(0, 0)
+    T = anim.quats.shape[0]
+    lines.append("MOTION")
+    lines.append(f"Frames: {T}")
+    lines.append(f"Frame Time: {frametime:.6f}")
+
+    eul = _quat_to_euler_zyx(anim.quats) if order == "zyx" else np.degrees(
+        np.asarray(rot.quaternion_to_euler(jnp.asarray(anim.quats), order))
+    )
+    rows = []
+    for f_i in range(T):
+        vals = []
+        for j in dfs_order:
+            if j == 0 or positions:
+                vals.extend(f"{v:.6f}" for v in anim.pos[f_i, j])
+            vals.extend(f"{v:.6f}" for v in eul[f_i, j])
+        rows.append(" ".join(vals))
+    lines.extend(rows)
+    with open(filename, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def extract_chains(anim: Anim):
+    """Derive (kinematic_chains, unit_offsets, real_offsets) from an Anim;
+    parity: bvh_utils.py:815 (extract_chains)."""
+    J = len(anim.parents)
+    children = [[] for _ in range(J)]
+    for j in range(1, J):
+        children[anim.parents[j]].append(j)
+    chains = []
+
+    def walk(j, chain):
+        chain = chain + [j]
+        if not children[j]:
+            chains.append(chain)
+            return
+        for i, c in enumerate(children[j]):
+            if i == 0:
+                walk(c, chain)
+            else:
+                walk(c, [j])
+
+    walk(0, [])
+    real = np.array(anim.offsets, dtype=np.float32)
+    norms = np.linalg.norm(real, axis=-1, keepdims=True)
+    unit = np.where(norms > 1e-8, real / np.maximum(norms, 1e-8), 0.0)
+    return chains, unit.astype(np.float32), real

@@ -1,0 +1,112 @@
+"""Stick-figure motion rendering to mp4/gif via matplotlib.
+
+Parity: data_loaders/humanml/utils/plot_script.py (plot_3d_motion :30,
+frame-coloring modes incl. inpainting highlight). Headless-safe (Agg);
+falls back to pillow gifs when no ffmpeg binary is present.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+from typing import List, Optional
+
+import numpy as np
+
+
+def _colors_for_mode(vis_mode: str, painting_features: Optional[List[str]]):
+    blue = ["#4D84AA", "#5B9965", "#61CEB9", "#34C1E2", "#80B79A"]
+    orange = ["#DD5A37", "#D69E00", "#B75A39", "#FF6D00", "#DDB50E"]
+    if vis_mode == "gt":
+        return blue
+    if vis_mode == "upper_body":
+        return orange[:2] + blue[2:]
+    return orange  # any inpainting mode highlights the whole figure
+
+
+def plot_3d_motion(
+    save_path: str,
+    kinematic_tree,
+    joints: np.ndarray,
+    title: str = "",
+    dataset: str = "stylexia_posrot",
+    figsize=(3, 3),
+    fps: float = 20,
+    radius: float = 3,
+    vis_mode: str = "default",
+    gt_frames=(),
+    painting_features: Optional[List[str]] = None,
+):
+    """joints: (T, J, 3) global positions -> animated mp4 (or gif fallback)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, FFMpegWriter, PillowWriter
+    from mpl_toolkits.mplot3d import Axes3D  # noqa: F401
+
+    data = joints.copy().reshape(len(joints), -1, 3)
+    if dataset == "kit":
+        data *= 0.003
+    elif dataset in ("humanml",):
+        data *= 1.3
+
+    frame_number = data.shape[0]
+    MINS, MAXS = data.min(axis=0).min(axis=0), data.max(axis=0).max(axis=0)
+    colors = _colors_for_mode(vis_mode, painting_features)
+
+    height_offset = MINS[1]
+    data[:, :, 1] -= height_offset
+    trajec = data[:, 0, [0, 2]]
+    data[..., 0] -= data[:, 0:1, 0]
+    data[..., 2] -= data[:, 0:1, 2]
+
+    fig = plt.figure(figsize=figsize)
+    plt.tight_layout()
+    ax = fig.add_subplot(111, projection="3d")
+
+    def init():
+        ax.set_xlim3d([-radius / 2, radius / 2])
+        ax.set_ylim3d([0, radius])
+        ax.set_zlim3d([-radius / 3.0, radius * 2 / 3.0])
+        fig.suptitle(title, fontsize=10)
+        ax.grid(b=False)
+
+    def plot_xz_plane(minx, maxx, miny, minz, maxz):
+        verts = [[minx, miny, minz], [minx, miny, maxz], [maxx, miny, maxz], [maxx, miny, minz]]
+        from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+        xz_plane = Poly3DCollection([verts])
+        xz_plane.set_facecolor((0.5, 0.5, 0.5, 0.5))
+        ax.add_collection3d(xz_plane)
+
+    def update(index):
+        ax.clear()
+        ax.view_init(elev=120, azim=-90)
+        ax.dist = 7.5
+        ax.set_xlim3d([-radius / 2, radius / 2])
+        ax.set_ylim3d([0, radius])
+        ax.set_zlim3d([-radius / 3.0, radius * 2 / 3.0])
+        plot_xz_plane(
+            MINS[0] - trajec[index, 0], MAXS[0] - trajec[index, 0], 0,
+            MINS[2] - trajec[index, 1], MAXS[2] - trajec[index, 1],
+        )
+        used_colors = _colors_for_mode("gt", None) if index in gt_frames else colors
+        for i, (chain, color) in enumerate(zip(kinematic_tree, used_colors)):
+            linewidth = 4.0 if i < 5 else 2.0
+            ax.plot3D(
+                data[index, chain, 0], data[index, chain, 1], data[index, chain, 2],
+                linewidth=linewidth, color=color,
+            )
+        ax.set_xticklabels([])
+        ax.set_yticklabels([])
+        ax.set_zticklabels([])
+
+    ani = FuncAnimation(fig, update, frames=frame_number, interval=1000 / fps, repeat=False, init_func=init)
+    os.makedirs(os.path.dirname(os.path.abspath(save_path)) or ".", exist_ok=True)
+    if shutil.which("ffmpeg") and save_path.endswith(".mp4"):
+        ani.save(save_path, writer=FFMpegWriter(fps=fps))
+    else:
+        alt = save_path if save_path.endswith(".gif") else save_path.rsplit(".", 1)[0] + ".gif"
+        ani.save(alt, writer=PillowWriter(fps=min(fps, 20)))
+    plt.close(fig)
+    return save_path

@@ -267,4 +267,31 @@ for mod, key, D in [(SX, "stylexia", 181), (BD, "bandai", 190), (HP, "hml_posrot
         arrs[f"{key}__{mn.replace(',', '_')}"] = mod.get_inpainting_mask(mn, (2, D, 1, 5))
 save("masks", **arrs)
 
+# ---------------- postprocess goldens ----------------
+sig = rng.randn(64).astype(np.float64).cumsum()
+bw = BU.Butterworth(sig.copy(), 1 / 20, 3)
+# synthetic walking-ish motion with stationary feet segments for remove_fs
+T2, J2 = 40, 20
+walk = rng.randn(T2, J2, 3).astype(np.float64) * 0.05
+walk[:, :, 1] += 1.0
+walk[:, 14, 1] = 0.02  # rfoot near floor
+walk[5:15, 15] = walk[5, 15]  # rtoes pinned -> contact segment
+walk[20:28, 19] = walk[20, 19]  # ltoes pinned
+bones = SX.BVH_JOINT_NAMES
+ee = ["rtoes", "ltoes", "lfoot", "rfoot"]
+fs_out, fs_vels, fs_contacts, _ = BU.remove_fs(
+    "", walk.copy(), walk.copy(), bones, ee,
+    force_on_floor=True, use_vel3=True, vel3_thr=0.05, after_butterworth=True,
+)
+fs2_out, _, fs2_contacts, _ = BU.remove_fs(
+    "", walk.copy(), walk.copy(), bones, ee,
+    force_on_floor=False, use_window=False,
+)
+save(
+    "postprocess",
+    sig=sig, bw=bw, walk=walk,
+    fs_out=fs_out, fs_vels=fs_vels, fs_contacts=fs_contacts,
+    fs2_out=fs2_out, fs2_contacts=fs2_contacts,
+)
+
 print("all goldens written to", OUT)
