@@ -60,6 +60,10 @@ class MDMConfig:
     clip_dim: int = 512
     max_len: int = 5000
     cond_mask_prob: float = 0.1
+    # compute dtype for the transformer stacks ('bfloat16' for TPU speed;
+    # params remain fp32; the denoiser output is always cast back to fp32 so
+    # the diffusion math stays full precision)
+    dtype: str = "float32"
 
     @property
     def input_feats(self) -> int:
@@ -71,13 +75,14 @@ class TimestepEmbedder(nn.Module):
 
     latent_dim: int
     pe: np.ndarray
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, timesteps: jax.Array) -> jax.Array:
-        h = jnp.asarray(self.pe)[timesteps]
-        h = nn.Dense(self.latent_dim, name="time_embed_0")(h)
+        h = jnp.asarray(self.pe, dtype=self.dtype)[timesteps]
+        h = nn.Dense(self.latent_dim, name="time_embed_0", dtype=self.dtype)(h)
         h = nn.silu(h)
-        return nn.Dense(self.latent_dim, name="time_embed_2")(h)
+        return nn.Dense(self.latent_dim, name="time_embed_2", dtype=self.dtype)(h)
 
 
 class MDM(nn.Module):
@@ -87,15 +92,16 @@ class MDM(nn.Module):
 
     def setup(self):
         c = self.cfg
+        dt = jnp.dtype(c.dtype)
         self.pe = sinusoidal_position_encoding(c.max_len, c.latent_dim)
-        self.input_process = nn.Dense(c.latent_dim, name="input_process")
-        self.embed_timestep = TimestepEmbedder(c.latent_dim, self.pe, name="embed_timestep")
-        self.embed_text = nn.Dense(c.latent_dim, name="embed_text")
+        self.input_process = nn.Dense(c.latent_dim, name="input_process", dtype=dt)
+        self.embed_timestep = TimestepEmbedder(c.latent_dim, self.pe, name="embed_timestep", dtype=dt)
+        self.embed_text = nn.Dense(c.latent_dim, name="embed_text", dtype=dt)
         self.seqTransEncoder = TransformerEncoder(
             c.num_layers, c.latent_dim, c.num_heads, c.ff_size, c.dropout,
-            name="seqTransEncoder",
+            dtype=dt, name="seqTransEncoder",
         )
-        self.output_process = nn.Dense(c.input_feats, name="output_process")
+        self.output_process = nn.Dense(c.input_feats, name="output_process", dtype=dt)
         self.pe_dropout = nn.Dropout(c.dropout)
 
     def _frames_to_tokens(self, x: jax.Array) -> jax.Array:
@@ -108,7 +114,7 @@ class MDM(nn.Module):
         return h.reshape(B, T, self.cfg.njoints, self.cfg.nfeats).transpose(0, 2, 3, 1)
 
     def _apply_pe(self, xseq: jax.Array, deterministic: bool) -> jax.Array:
-        xseq = xseq + jnp.asarray(self.pe)[None, : xseq.shape[1]]
+        xseq = xseq + jnp.asarray(self.pe, dtype=xseq.dtype)[None, : xseq.shape[1]]
         if not deterministic:
             xseq = self.pe_dropout(xseq, deterministic=False)
         return xseq
@@ -128,7 +134,7 @@ class MDM(nn.Module):
         xseq = jnp.concatenate([emb[:, None, :], h], axis=1)
         xseq = self._apply_pe(xseq, deterministic)
         out = self.seqTransEncoder(xseq, deterministic=deterministic)[:, 1:]
-        return self._tokens_to_frames(self.output_process(out))
+        return self._tokens_to_frames(self.output_process(out)).astype(jnp.float32)
 
     def re_encode(self, output: jax.Array, deterministic: bool = True) -> jax.Array:
         """Re-run the denoiser on its own output at t=0; parity :366-375."""
@@ -154,13 +160,14 @@ class StyleDiffusion(nn.Module):
         self.mdm = MDM(c, name="mdm")
         self.mu_query = self.param("mu_query", nn.initializers.normal(1.0), (1, c.latent_dim))
         self.sigma_query = self.param("sigma_query", nn.initializers.normal(1.0), (1, c.latent_dim))
+        dt = jnp.dtype(c.dtype)
         self.motion_enc_encoder = TransformerEncoder(
             c.num_layers, c.latent_dim, c.num_heads, c.ff_size, c.dropout,
-            name="motion_enc_encoder",
+            dtype=dt, name="motion_enc_encoder",
         )
         self.style_encoder = TransformerEncoder(
             c.num_layers, c.latent_dim, c.num_heads, c.ff_size, c.dropout,
-            name="style_encoder",
+            dtype=dt, name="style_encoder",
         )
 
     def full_init(self, x, timesteps, enc_text=None):
@@ -186,7 +193,7 @@ class StyleDiffusion(nn.Module):
         xseq = jnp.concatenate([emb[:, None, :], h], axis=1)
         xseq = self.mdm._apply_pe(xseq, deterministic)
         out = self.style_encoder(xseq, deterministic=deterministic)[:, 1:]
-        return self.mdm._tokens_to_frames(self.mdm.output_process(out))
+        return self.mdm._tokens_to_frames(self.mdm.output_process(out)).astype(jnp.float32)
 
     # --- semantic discriminator path ---
     def encode_motion(self, x, frame_mask=None, deterministic=True):
@@ -222,13 +229,14 @@ class DiffuseTransfer(nn.Module):
         self.mdm = MDM(c, name="mdm")
         self.mu_query = self.param("mu_query", nn.initializers.normal(1.0), (1, c.latent_dim))
         self.sigma_query = self.param("sigma_query", nn.initializers.normal(1.0), (1, c.latent_dim))
+        dt = jnp.dtype(c.dtype)
         self.motion_enc_encoder = TransformerEncoder(
             c.num_layers, c.latent_dim, c.num_heads, c.ff_size, c.dropout,
-            name="motion_enc_encoder",
+            dtype=dt, name="motion_enc_encoder",
         )
         self.transfer_encoder = TransformerEncoder(
             c.num_layers, c.latent_dim, c.num_heads, c.ff_size, c.dropout,
-            name="transfer_encoder",
+            dtype=dt, name="transfer_encoder",
         )
 
     def __call__(self, x, timesteps, enc_text, style_code, content_code,
@@ -240,7 +248,7 @@ class DiffuseTransfer(nn.Module):
         xseq = jnp.concatenate([emb[:, None, :], h], axis=1)
         xseq = self.mdm._apply_pe(xseq, deterministic)
         out = self.transfer_encoder(xseq, deterministic=deterministic)[:, 1:]
-        return self.mdm._tokens_to_frames(self.mdm.output_process(out))
+        return self.mdm._tokens_to_frames(self.mdm.output_process(out)).astype(jnp.float32)
 
     def encode_motion(self, x, frame_mask=None, deterministic=True):
         B, T = x.shape[0], x.shape[-1]

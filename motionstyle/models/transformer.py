@@ -34,13 +34,14 @@ class MultiheadSelfAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x: jax.Array, key_padding_mask: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
         d = self.embed_dim
-        in_proj = nn.Dense(3 * d, name="in_proj")
-        out_proj = nn.Dense(d, name="out_proj")
+        in_proj = nn.Dense(3 * d, name="in_proj", dtype=self.dtype)
+        out_proj = nn.Dense(d, name="out_proj", dtype=self.dtype)
         qkv = in_proj(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         out = multihead_attention(q, k, v, self.num_heads, key_padding_mask=key_padding_mask)
@@ -55,23 +56,24 @@ class TransformerEncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int = 2048
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, key_padding_mask: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
-        attn = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout, name="self_attn")
+        attn = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout, dtype=self.dtype, name="self_attn")
         a = attn(x, key_padding_mask=key_padding_mask, deterministic=deterministic)
         if not deterministic:
             a = nn.Dropout(self.dropout)(a, deterministic=False)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + a)
-        h = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x + a)
+        h = nn.Dense(self.dim_feedforward, name="linear1", dtype=self.dtype)(x)
         h = nn.gelu(h, approximate=False)
         if not deterministic:
             h = nn.Dropout(self.dropout)(h, deterministic=False)
-        h = nn.Dense(self.d_model, name="linear2")(h)
+        h = nn.Dense(self.d_model, name="linear2", dtype=self.dtype)(h)
         if not deterministic:
             h = nn.Dropout(self.dropout)(h, deterministic=False)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(x + h)
         return x
 
 
@@ -81,6 +83,7 @@ class TransformerEncoder(nn.Module):
     nhead: int
     dim_feedforward: int = 1024
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, key_padding_mask: Optional[jax.Array] = None,
@@ -88,6 +91,6 @@ class TransformerEncoder(nn.Module):
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-                name=f"layers_{i}",
+                dtype=self.dtype, name=f"layers_{i}",
             )(x, key_padding_mask=key_padding_mask, deterministic=deterministic)
         return x

@@ -252,6 +252,15 @@ save(
     ddpm_step_noise=np.stack(_noise_log),
 )
 
+# PLMS (deterministic) trajectory on the plain respaced diffusion
+torch.manual_seed(7)
+plms_out = sp.plms_sample_loop(
+    ToyModel(), (1, C, 1, T), noise=torch.from_numpy(init_noise.copy()),
+    clip_denoised=False, model_kwargs={"y": {}}, skip_timesteps=14,
+    init_image=torch.from_numpy(content), order=2,
+)
+save("plms_toy", plms=plms_out.numpy())
+
 # ---------------- inpainting masks ----------------
 from data_loaders import stylexia_posrot_utils as SX  # noqa: E402
 from data_loaders import bandai_posrot_utils as BD  # noqa: E402
