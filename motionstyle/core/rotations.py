@@ -264,6 +264,47 @@ def quat_fk(lrot: jax.Array, lpos: jax.Array, parents) -> tuple[jax.Array, jax.A
     return jnp.concatenate(gr, axis=-2), jnp.concatenate(gp, axis=-2)
 
 
+def expmap_to_quaternion(e: jax.Array) -> jax.Array:
+    """Exponential map (..., 3) -> quaternion (..., 4); stable sinc formula.
+
+    Parity: data_loaders/humanml/common/quaternion.py:240.
+    """
+    theta = jnp.linalg.norm(e, axis=-1, keepdims=True)
+    w = jnp.cos(0.5 * theta)
+    xyz = 0.5 * jnp.sinc(0.5 * theta / jnp.pi) * e
+    return jnp.concatenate([w, xyz], axis=-1)
+
+
+def qpow(q0: jax.Array, t) -> jax.Array:
+    """Quaternion power q0**t; elementwise over matching shapes.
+
+    Parity: quaternion.py:371 semantics (slerp building block), simplified to
+    broadcasting (t scalar or broadcastable to q0[..., 0]).
+    """
+    q0 = qnormalize(q0)
+    theta0 = jnp.arccos(jnp.clip(q0[..., 0], -1.0, 1.0))
+    theta0 = jnp.where(jnp.abs(theta0) <= 1e-9, 1e-9, theta0)
+    v0 = q0[..., 1:] / jnp.sin(theta0)[..., None]
+    theta = jnp.asarray(t) * theta0
+    return jnp.concatenate([jnp.cos(theta)[..., None], v0 * jnp.sin(theta)[..., None]], axis=-1)
+
+
+def qslerp(q0: jax.Array, q1: jax.Array, t) -> jax.Array:
+    """Spherical interpolation from q0 to q1 at fraction(s) t.
+
+    Sign-corrects q1 onto q0's hemisphere for shortest-path interpolation.
+    """
+    q0 = qnormalize(q0)
+    q1 = qnormalize(q1)
+    flip = (jnp.sum(q0 * q1, axis=-1, keepdims=True) < 0)
+    q1 = jnp.where(flip, -q1, q1)
+    return qmul(qpow(qmul(q1, qinv(q0)), t), q0)
+
+
+def lerp(p0: jax.Array, p1: jax.Array, t) -> jax.Array:
+    return p0 + jnp.asarray(t) * (p1 - p0)
+
+
 def qfix_np(q):
     """Host-side (numpy) quaternion continuity fix over axis 0."""
     import numpy as np

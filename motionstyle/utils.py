@@ -1,0 +1,73 @@
+"""Misc utilities: seed fixing, array adapters, joint freezing, profiling.
+
+Parity: utils/fixseed.py:6, utils/misc.py (to_numpy/to_torch :1-33,
+freeze_joints :35), plus the tracing wrapper SURVEY.md §5 calls for (the
+reference has no profiler; here jax.profiler traces are one context manager).
+"""
+from __future__ import annotations
+
+import contextlib
+import os
+import random
+import time
+
+import numpy as np
+
+
+def fixseed(seed: int) -> None:
+    """Pin python/numpy (and torch when present) RNGs. JAX randomness is
+    explicit-key based; CLIs derive keys from the same seed."""
+    random.seed(seed)
+    np.random.seed(seed)
+    try:
+        import torch
+
+        torch.manual_seed(seed)
+    except ImportError:
+        pass
+
+
+def to_numpy(tensor):
+    if hasattr(tensor, "detach"):
+        return tensor.detach().cpu().numpy()
+    return np.asarray(tensor)
+
+
+def freeze_joints(x, joints_to_freeze):
+    """Pin selected joints to their first-frame pose; parity: misc.py:35."""
+    frozen = x.copy() if hasattr(x, "copy") else np.array(x)
+    frozen[:, joints_to_freeze, :, :] = frozen[:, joints_to_freeze, :, :1]
+    return frozen
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str = "/tmp/motionstyle_trace", enabled: bool = True):
+    """jax.profiler trace around a region (view with TensorBoard/perfetto)."""
+    if not enabled:
+        yield None
+        return
+    import jax
+
+    os.makedirs(log_dir, exist_ok=True)
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class Throughput:
+    """Simple steps/sec + items/sec meter for training/sampling loops."""
+
+    def __init__(self):
+        self.t0 = time.perf_counter()
+        self.steps = 0
+        self.items = 0
+
+    def update(self, items: int = 0):
+        self.steps += 1
+        self.items += items
+
+    def report(self) -> dict:
+        dt = max(time.perf_counter() - self.t0, 1e-9)
+        return {"steps_per_sec": self.steps / dt, "items_per_sec": self.items / dt, "elapsed_s": dt}
