@@ -167,8 +167,13 @@ def matrix_to_rotation_6d(m: jax.Array) -> jax.Array:
 
 
 def axis_angle_to_quaternion(aa: jax.Array) -> jax.Array:
-    """Axis-angle (..., 3) -> quaternion; small-angle Taylor branch via where."""
-    angle = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    """Axis-angle (..., 3) -> quaternion; small-angle Taylor branch via where.
+
+    Gradient-safe at aa == 0 (plain norm has a NaN gradient there, which
+    poisons SMPLify/IK fits initialized at the rest pose).
+    """
+    sq = jnp.sum(aa * aa, axis=-1, keepdims=True)
+    angle = jnp.sqrt(jnp.maximum(sq, 1e-24))
     half = angle * 0.5
     small = angle < 1e-6
     sin_half_over_angle = jnp.where(
