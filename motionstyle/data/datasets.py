@@ -236,13 +236,21 @@ class Text2MotionDataset(_BaseMotionDataset):
     vectors (only needed by the T2M evaluator — see motionstyle/eval).
     """
 
-    def __init__(self, opt: DataOpt, split: str = "train"):
+    def __init__(self, opt: DataOpt, split: str = "train", mode: str = "train",
+                 eval_meta_dir: Optional[str] = None):
         self.opt = opt
+        self.mode = mode
         self.max_motion_length = opt.max_motion_length
         min_motion_len = 40 if opt.dataset_name in ("t2m", "humanml") else 24
 
         self.mean = np.load(pjoin(opt.data_root, "Mean.npy"))
         self.std = np.load(pjoin(opt.data_root, "Std.npy"))
+        # T2M evaluator re-norm stats (dataset.py:1145-1149): generated
+        # motions are re-normalized into these before FID/R-precision.
+        meta = eval_meta_dir or pjoin("t2m", "Comp_v6_KLD01", "meta")
+        if os.path.exists(pjoin(meta, "mean.npy")):
+            self.mean_for_eval = np.load(pjoin(meta, "mean.npy"))
+            self.std_for_eval = np.load(pjoin(meta, "std.npy"))
 
         split_file = pjoin(opt.data_root, f"{split}.txt")
         id_list = []

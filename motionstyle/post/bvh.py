@@ -168,6 +168,27 @@ def read_bvh(filename: str, start=None, end=None, end_sites: bool = False) -> An
     return anim
 
 
+def resample_anim(anim: Anim, rate: float) -> Anim:
+    """Fractional-rate temporal resampling: slerp rotations, lerp positions.
+
+    Parity with read_bvh's downsample_rate path (bvh_utils.py:84-295), e.g.
+    rate=1.5 converts 30 fps capture to 20 fps.
+    """
+    T = anim.quats.shape[0]
+    new_T = int(np.floor((T - 1) / rate)) + 1
+    src = np.arange(new_T) * rate
+    i0 = np.clip(np.floor(src).astype(int), 0, T - 1)
+    i1 = np.clip(i0 + 1, 0, T - 1)
+    frac = (src - i0).astype(np.float32)
+
+    q0 = jnp.asarray(anim.quats[i0])
+    q1 = jnp.asarray(anim.quats[i1])
+    quats = np.asarray(rot.qslerp(q0, q1, frac[:, None]))
+    pos = anim.pos[i0] * (1 - frac)[:, None, None] + anim.pos[i1] * frac[:, None, None]
+    return Anim(quats.astype(np.float32), pos.astype(np.float32), anim.offsets,
+                anim.parents, anim.bones, anim.end_offsets, anim.frametime * rate)
+
+
 def save_bvh(filename: str, anim: Anim, frametime: float = 1.0 / 20.0,
              order: str = "zyx", positions: bool = False) -> None:
     """Write an Anim as BVH: 6 channels on the root (+all joints when
