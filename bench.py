@@ -153,6 +153,175 @@ def bench_torch_cpu_baseline(measure_steps: int = 30) -> float:
     return 1.0 / (per_step * DDPM_STEPS)
 
 
+def bench_cfg_ddim100_batched(batch: int = 32, reps: int = 3) -> float:
+    """BASELINE config: 32-clip CFG-guided inpainting DDIM-100 batched
+    inference (Xia). Returns clips/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionstyle.data.masks import get_inpainting_mask
+    from motionstyle.diffusion import sampling
+    from motionstyle.diffusion.ddpm import Inpainting, cfg_model_fn
+    from motionstyle.diffusion.schedule import make_schedule
+    from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+
+    Tx = 76
+    cfg = MDMConfig(njoints=C, nfeats=1, dtype="bfloat16")
+    model = StyleDiffusion(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((batch, C, 1, Tx)),
+                        jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)))
+    sched = make_schedule("cosine", DDPM_STEPS, "ddim100")
+    content = jax.random.normal(jax.random.PRNGKey(1), (batch, C, 1, Tx))
+    mask = jnp.asarray(get_inpainting_mask("root_horizontal", (batch, C, 1, Tx),
+                                           dataset="stylexia_posrot"), jnp.float32)
+    guided = cfg_model_fn(lambda x, t, c: model.apply(params, x, t, c["enc_text"]),
+                          jnp.full((batch,), 2.5))
+
+    @jax.jit
+    def run(rng):
+        return sampling.sample_loop(
+            sched, guided, {"enc_text": jnp.zeros((batch, 512))}, rng,
+            shape=(batch, C, 1, Tx), init_image=content, method="ddim",
+            skip_timesteps=70, inpainting=Inpainting(mask, content), remat=False)
+
+    jax.block_until_ready(run(jax.random.PRNGKey(2)))
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(jax.random.PRNGKey(3 + i)))
+        times.append(time.perf_counter() - t0)
+    return batch / float(np.median(times))
+
+
+def bench_bandai_long_batch(batch: int = 16, reps: int = 3) -> float:
+    """BASELINE config: Bandai 196x190 batched style transfer (DDIM-20/skip-14)."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionstyle.data.masks import get_inpainting_mask
+    from motionstyle.diffusion import sampling
+    from motionstyle.diffusion.ddpm import Inpainting
+    from motionstyle.diffusion.schedule import make_schedule
+    from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+
+    Cb, Tb = 190, 196
+    cfg = MDMConfig(njoints=Cb, nfeats=1, dtype="bfloat16")
+    model = StyleDiffusion(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((batch, Cb, 1, Tb)),
+                        jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)))
+    sched = make_schedule("cosine", DDPM_STEPS, "ddim20")
+    content = jax.random.normal(jax.random.PRNGKey(1), (batch, Cb, 1, Tb))
+    mask = jnp.asarray(get_inpainting_mask("root_horizontal", (batch, Cb, 1, Tb),
+                                           dataset="bandai-2_posrot"), jnp.float32)
+
+    @jax.jit
+    def run(rng):
+        return sampling.sample_loop(
+            sched, lambda x, t, c: model.apply(params, x, t, c["enc_text"]),
+            {"enc_text": jnp.zeros((batch, 512))}, rng,
+            shape=(batch, Cb, 1, Tb), init_image=content, method="ddim",
+            skip_timesteps=14, inpainting=Inpainting(mask, content),
+            dump_all_xstart=True, remat=False)[-5]
+
+    jax.block_until_ready(run(jax.random.PRNGKey(2)))
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(jax.random.PRNGKey(3 + i)))
+        times.append(time.perf_counter() - t0)
+    return batch / float(np.median(times))
+
+
+def bench_finetune_steps(steps: int = 32) -> float:
+    """BASELINE config: few-shot finetune (~32 steps). Returns steps/sec
+    (steady state, compile excluded)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from motionstyle.data.masks import get_inpainting_mask
+    from motionstyle.diffusion.schedule import make_schedule
+    from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+    from motionstyle.train.finetune import FinetuneConfig, StyleFinetuneTrainer
+
+    Tx = 76
+    cfg_m = MDMConfig(njoints=C, nfeats=1)
+    model = StyleDiffusion(cfg_m)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, C, 1, Tx)),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 512)),
+                        method=StyleDiffusion.full_init)
+    sched = make_schedule("cosine", DDPM_STEPS, "ddim20")
+    tr = StyleFinetuneTrainer(
+        FinetuneConfig(save_dir=tempfile.mkdtemp(), num_steps=steps, save_interval=10 ** 9),
+        model, params, sched)
+    r = np.random.RandomState(0)
+    inp = get_inpainting_mask("root_horizontal", (1, C, 1, Tx), dataset="stylexia_posrot").astype(np.float32)
+    batch = dict(
+        x_start=r.randn(1, C, 1, Tx).astype(np.float32),
+        content=r.randn(1, C, 1, Tx).astype(np.float32),
+        style_target=r.randn(1, C, 1, Tx).astype(np.float32),
+        mask=np.ones((1, 1, 1, Tx), np.float32), inp_mask=inp,
+        enc_text_style=r.randn(1, 512).astype(np.float32),
+        enc_text_t2m=r.randn(1, 512).astype(np.float32), inp_mask_t2m=inp,
+        text_features=r.randn(1, 512).astype(np.float32),
+    )
+    tr.run_step(batch)  # compile
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        tr.run_step(batch)
+    return steps / (time.perf_counter() - t0)
+
+
+def bench_humanml_prior_fk(batch: int = 8, reps: int = 2) -> float:
+    """BASELINE config: HumanML3D T2M prior DDPM-1000 sampling + on-device
+    recover_from_ric decode. Returns clips/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionstyle.core.features import recover_from_ric
+    from motionstyle.diffusion import sampling
+    from motionstyle.diffusion.schedule import make_schedule
+    from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+
+    Ch, Th = 263, 196
+    cfg = MDMConfig(njoints=Ch, nfeats=1, dtype="bfloat16")
+    model = StyleDiffusion(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((batch, Ch, 1, Th)),
+                        jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)))
+    sched = make_schedule("cosine", DDPM_STEPS)
+
+    @jax.jit
+    def run(rng):
+        sample = sampling.sample_loop(
+            sched, lambda x, t, c: model.apply(params, x, t, c["enc_text"],
+                                               method=StyleDiffusion.denoise_prior),
+            {"enc_text": jnp.zeros((batch, 512))}, rng,
+            shape=(batch, Ch, 1, Th), method="ddpm", remat=False)
+        return recover_from_ric(sample[:, :, 0, :].transpose(0, 2, 1), 22)
+
+    jax.block_until_ready(run(jax.random.PRNGKey(1)))
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(jax.random.PRNGKey(2 + i)))
+        times.append(time.perf_counter() - t0)
+    return batch / float(np.median(times))
+
+
+def main_full():
+    """All five BASELINE.json benchmark configs, one JSON line each."""
+    for name, fn, unit in (
+        ("xia_demo_p50_latency_ms", lambda: bench_transfer_latency() * 1e3, "ms"),
+        ("few_shot_finetune_steps_per_sec", bench_finetune_steps, "steps/s"),
+        ("cfg_ddim100_32clip_clips_per_sec", bench_cfg_ddim100_batched, "clips/s"),
+        ("bandai_long_batch_clips_per_sec", bench_bandai_long_batch, "clips/s"),
+        ("humanml_prior_fk_clips_per_sec", bench_humanml_prior_fk, "clips/s"),
+    ):
+        v = fn()
+        print(json.dumps({"metric": name, "value": round(float(v), 3), "unit": unit}))
+
+
 def main():
     torch_clips_per_sec = bench_torch_cpu_baseline()
 
@@ -181,4 +350,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--full" in sys.argv:
+        main_full()
+    else:
+        main()

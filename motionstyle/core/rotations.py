@@ -269,6 +269,29 @@ def quat_fk(lrot: jax.Array, lpos: jax.Array, parents) -> tuple[jax.Array, jax.A
     return jnp.concatenate(gr, axis=-2), jnp.concatenate(gp, axis=-2)
 
 
+def rotm_fk(lrot: jax.Array, lpos: jax.Array, parents) -> tuple[jax.Array, jax.Array]:
+    """Matrix-form FK over a parent array; parity: utils/rotation.py:631.
+
+    lrot (..., J, 3, 3), lpos (..., J, 3) -> (global rots, global positions).
+    """
+    gr = [lrot[..., :1, :, :]]
+    gp = [lpos[..., :1, :]]
+    for i in range(1, len(parents)):
+        p = parents[i]
+        gp.append((gr[p][..., 0, :, :] @ lpos[..., i, :, None])[..., 0][..., None, :] + gp[p])
+        gr.append(gr[p] @ lrot[..., i : i + 1, :, :])
+    return jnp.concatenate(gr, axis=-3), jnp.concatenate(gp, axis=-2)
+
+
+def dct_matrix(n: int) -> jax.Array:
+    """Orthonormal DCT-II basis (n, n); parity: utils/rotation.py:715."""
+    import numpy as np
+
+    k = np.arange(n)
+    m = np.sqrt(2.0 / n) * jnp.cos(jnp.pi * (2 * jnp.asarray(k)[None] + 1) * jnp.asarray(k)[:, None] / (2 * n))
+    return m.at[0].set(jnp.sqrt(1.0 / n))
+
+
 def expmap_to_quaternion(e: jax.Array) -> jax.Array:
     """Exponential map (..., 3) -> quaternion (..., 4); stable sinc formula.
 

@@ -62,7 +62,35 @@ class DataOpt:
         return pjoin(self.data_root, "texts")
 
 
-def get_opt(dataset_name: str, data_root: Optional[str] = None) -> DataOpt:
+def parse_opt_file(opt_path: str) -> dict:
+    """Parse a key: value opt.txt into a dict with bool/float/int coercion.
+
+    Parity: data_loaders/humanml/utils/get_opt.py:29-50 (including its quirk
+    that 'True'/'False' both coerce to bool('True'/'False') == True).
+    """
+    skip = ("-------------- End ----------------", "------------ Options -------------")
+    out = {}
+    with open(opt_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line in skip:
+                continue
+            key, value = line.split(": ", 1)
+            if value in ("True", "False"):
+                out[key] = bool(value)
+            else:
+                try:
+                    out[key] = int(value)
+                except ValueError:
+                    try:
+                        out[key] = float(value)
+                    except ValueError:
+                        out[key] = value
+    return out
+
+
+def get_opt(dataset_name: str, data_root: Optional[str] = None,
+            opt_path: Optional[str] = None) -> DataOpt:
     table = {
         "t2m": ("./processed_data/HumanML3D", 22, 263, 196),
         "humanml": ("./processed_data/HumanML3D", 22, 263, 196),
@@ -74,7 +102,13 @@ def get_opt(dataset_name: str, data_root: Optional[str] = None) -> DataOpt:
     if dataset_name not in table:
         raise KeyError(f"Dataset not recognized: {dataset_name}")
     root, j, d, m = table[dataset_name]
-    return DataOpt(dataset_name, data_root or root, j, d, m)
+    opt = DataOpt(dataset_name, data_root or root, j, d, m)
+    if opt_path and os.path.exists(opt_path):
+        parsed = parse_opt_file(opt_path)
+        for key in ("unit_length", "max_text_len"):
+            if key in parsed:
+                setattr(opt, key, parsed[key])
+    return opt
 
 
 class _BaseMotionDataset:

@@ -118,6 +118,31 @@ def masked_l2(a: jax.Array, b: jax.Array, mask: jax.Array) -> jax.Array:
     return loss / non_zero
 
 
+def condition_mean(sched: DiffusionSchedule, cond_fn, pmv: "PMeanVariance",
+                   x: jax.Array, t: jax.Array, cond: dict) -> jax.Array:
+    """Classifier-guidance mean shift (Sohl-Dickstein): mean + var * grad.
+
+    cond_fn(x, t_orig, cond) -> grad(log p(y|x)). Parity:
+    gaussian_diffusion.py:454-467.
+    """
+    gradient = cond_fn(x, sched.timestep_map[t], cond)
+    return pmv.mean + jnp.exp(pmv.log_variance) * gradient
+
+
+def condition_score(sched: DiffusionSchedule, cond_fn, pmv: "PMeanVariance",
+                    x: jax.Array, t: jax.Array, cond: dict) -> "PMeanVariance":
+    """Score-based conditioning (Song et al.): shift eps by -sqrt(1-abar)*grad
+    and recompute x0/mean. Parity: gaussian_diffusion.py:condition_score
+    (:486-530).
+    """
+    alpha_bar = sched.extract(sched.alphas_cumprod, t, x.ndim)
+    eps = predict_eps_from_xstart(sched, x, t, pmv.pred_xstart)
+    eps = eps - jnp.sqrt(1 - alpha_bar) * cond_fn(x, sched.timestep_map[t], cond)
+    pred_xstart = predict_xstart_from_eps(sched, x, t, eps)
+    mean = q_posterior_mean(sched, pred_xstart, x, t)
+    return PMeanVariance(mean, pmv.log_variance, pred_xstart)
+
+
 def cfg_model_fn(model_fn: ModelFn, scale: jax.Array) -> ModelFn:
     """Classifier-free guidance as ONE batched forward (cond + uncond halves)
     instead of the reference's two sequential calls (cfg_sampler.py:36-43).

@@ -86,6 +86,7 @@ def sample_loop(
     remat: bool = True,
     sigma_small: bool = True,
     step_noise: Optional[jax.Array] = None,
+    cond_fn=None,
 ):
     """Run the full reverse diffusion as one scan.
 
@@ -127,6 +128,15 @@ def sample_loop(
             sched, model_fn, x, t, cond,
             clip_denoised=clip_denoised, inpainting=inpainting, sigma_small=sigma_small,
         )
+        if cond_fn is not None:
+            # classifier guidance: DDPM shifts the mean, DDIM shifts the score
+            if is_ddim:
+                pmv = ddpm.condition_score(sched, cond_fn, pmv, x, t, cond)
+            else:
+                pmv = ddpm.PMeanVariance(
+                    ddpm.condition_mean(sched, cond_fn, pmv, x, t, cond),
+                    pmv.log_variance, pmv.pred_xstart,
+                )
         if inject_noise:
             noise_step = injected
         else:

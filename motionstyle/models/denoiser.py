@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from motionstyle.models.transformer import TransformerEncoder
+from motionstyle.models.transformer import GRUStack, TransformerDecoder, TransformerEncoder
 
 
 def sinusoidal_position_encoding(max_len: int, d_model: int) -> np.ndarray:
@@ -64,6 +64,13 @@ class MDMConfig:
     # params remain fp32; the denoiser output is always cast back to fp32 so
     # the diffusion math stays full precision)
     dtype: str = "float32"
+    # 'trans_enc' (default) | 'trans_dec' | 'gru'; parity with the reference's
+    # --arch flag (mdm_forstyledataset.py:229-252). Note the reference's gru
+    # branch reshapes an already-embedded tensor and cannot run for hml_vec
+    # (:334-339); this implementation conditions each frame token on the
+    # timestep/text embedding instead.
+    arch: str = "trans_enc"
+    emb_trans_dec: bool = False
 
     @property
     def input_feats(self) -> int:
@@ -97,10 +104,20 @@ class MDM(nn.Module):
         self.input_process = nn.Dense(c.latent_dim, name="input_process", dtype=dt)
         self.embed_timestep = TimestepEmbedder(c.latent_dim, self.pe, name="embed_timestep", dtype=dt)
         self.embed_text = nn.Dense(c.latent_dim, name="embed_text", dtype=dt)
-        self.seqTransEncoder = TransformerEncoder(
-            c.num_layers, c.latent_dim, c.num_heads, c.ff_size, c.dropout,
-            dtype=dt, name="seqTransEncoder",
-        )
+        if c.arch == "trans_enc":
+            self.seqTransEncoder = TransformerEncoder(
+                c.num_layers, c.latent_dim, c.num_heads, c.ff_size, c.dropout,
+                dtype=dt, name="seqTransEncoder",
+            )
+        elif c.arch == "trans_dec":
+            self.seqTransDecoder = TransformerDecoder(
+                c.num_layers, c.latent_dim, c.num_heads, c.ff_size, c.dropout,
+                dtype=dt, name="seqTransDecoder",
+            )
+        elif c.arch == "gru":
+            self.gru = GRUStack(c.latent_dim, c.num_layers, dtype=dt, name="gru")
+        else:
+            raise ValueError("Please choose correct architecture [trans_enc, trans_dec, gru]")
         self.output_process = nn.Dense(c.input_feats, name="output_process", dtype=dt)
         self.pe_dropout = nn.Dropout(c.dropout)
 
@@ -131,9 +148,22 @@ class MDM(nn.Module):
         if enc_text is not None:
             emb = emb + self.embed_text(enc_text)
         h = self.input_process(self._frames_to_tokens(x))
-        xseq = jnp.concatenate([emb[:, None, :], h], axis=1)
-        xseq = self._apply_pe(xseq, deterministic)
-        out = self.seqTransEncoder(xseq, deterministic=deterministic)[:, 1:]
+        if self.cfg.arch == "trans_enc":
+            xseq = jnp.concatenate([emb[:, None, :], h], axis=1)
+            xseq = self._apply_pe(xseq, deterministic)
+            out = self.seqTransEncoder(xseq, deterministic=deterministic)[:, 1:]
+        elif self.cfg.arch == "trans_dec":
+            if self.cfg.emb_trans_dec:
+                xseq = jnp.concatenate([emb[:, None, :], h], axis=1)
+            else:
+                xseq = h
+            xseq = self._apply_pe(xseq, deterministic)
+            out = self.seqTransDecoder(xseq, emb[:, None, :], deterministic=deterministic)
+            if self.cfg.emb_trans_dec:
+                out = out[:, 1:]
+        else:  # gru
+            xseq = self._apply_pe(h + emb[:, None, :], deterministic)
+            out = self.gru(xseq)
         return self._tokens_to_frames(self.output_process(out)).astype(jnp.float32)
 
     def re_encode(self, output: jax.Array, deterministic: bool = True) -> jax.Array:

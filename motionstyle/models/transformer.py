@@ -77,6 +77,101 @@ class TransformerEncoderLayer(nn.Module):
         return x
 
 
+class MultiheadCrossAttention(nn.Module):
+    """Torch-layout cross attention (separate q and packed kv projections)."""
+
+    embed_dim: int
+    num_heads: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, memory: jax.Array) -> jax.Array:
+        d = self.embed_dim
+        q = nn.Dense(d, name="q_proj", dtype=self.dtype)(x)
+        kv = nn.Dense(2 * d, name="kv_proj", dtype=self.dtype)(memory)
+        k, v = jnp.split(kv, 2, axis=-1)
+        out = multihead_attention(q, k, v, self.num_heads)
+        return nn.Dense(d, name="out_proj", dtype=self.dtype)(out)
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Post-LN decoder block (self-attn, cross-attn to memory, FFN);
+    parity with torch nn.TransformerDecoderLayer used by the reference's
+    trans_dec arch (mdm_forstyledataset.py:239-247)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, memory: jax.Array, deterministic: bool = True) -> jax.Array:
+        a = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout, dtype=self.dtype,
+                                   name="self_attn")(x, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x + a)
+        c = MultiheadCrossAttention(self.d_model, self.nhead, dtype=self.dtype,
+                                    name="multihead_attn")(x, memory)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(x + c)
+        h = nn.Dense(self.dim_feedforward, name="linear1", dtype=self.dtype)(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.d_model, name="linear2", dtype=self.dtype)(h)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm3", dtype=self.dtype)(x + h)
+        return x
+
+
+class TransformerDecoder(nn.Module):
+    num_layers: int
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, memory: jax.Array, deterministic: bool = True) -> jax.Array:
+        for i in range(self.num_layers):
+            x = TransformerDecoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                dtype=self.dtype, name=f"layers_{i}",
+            )(x, memory, deterministic=deterministic)
+        return x
+
+
+class GRUStack(nn.Module):
+    """Multi-layer unidirectional GRU (torch cell math), scanned over time."""
+
+    hidden_size: int
+    num_layers: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """(B, T, D) -> (B, T, H)."""
+        B, T, D = x.shape
+        H = self.hidden_size
+        for layer in range(self.num_layers):
+            w_ih = self.param(f"weight_ih_l{layer}", nn.initializers.lecun_normal(), (3 * H, x.shape[-1]))
+            w_hh = self.param(f"weight_hh_l{layer}", nn.initializers.orthogonal(), (3 * H, H))
+            b_ih = self.param(f"bias_ih_l{layer}", nn.initializers.zeros, (3 * H,))
+            b_hh = self.param(f"bias_hh_l{layer}", nn.initializers.zeros, (3 * H,))
+            gi = (x @ w_ih.T + b_ih).transpose(1, 0, 2)  # (T, B, 3H)
+
+            def cell(h, gi_t, w_hh=w_hh, b_hh=b_hh):
+                gh = h @ w_hh.T + b_hh
+                i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+                h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+                r = jax.nn.sigmoid(i_r + h_r)
+                z = jax.nn.sigmoid(i_z + h_z)
+                n = jnp.tanh(i_n + r * h_n)
+                h = (1 - z) * n + z * h
+                return h, h
+
+            _, ys = jax.lax.scan(cell, jnp.zeros((B, H), x.dtype), gi)
+            x = ys.transpose(1, 0, 2)
+        return x
+
+
 class TransformerEncoder(nn.Module):
     num_layers: int
     d_model: int

@@ -28,13 +28,13 @@ _NEG = -1e9
 
 
 def _xla_attention(q, k, v, num_heads, mask_add):
-    """q,k,v: (B, S, D); mask_add: (B, 1, 1, S) additive or None."""
+    """q: (B, Sq, D); k,v: (B, Sk, D); mask_add: (B, 1, 1, Sk) additive or None."""
     B, S, D = q.shape
     dh = D // num_heads
     scale = 1.0 / (dh ** 0.5)
 
     def split(x):
-        return x.reshape(B, S, num_heads, dh).transpose(0, 2, 1, 3)  # B H S dh
+        return x.reshape(B, x.shape[1], num_heads, dh).transpose(0, 2, 1, 3)  # B H S dh
 
     qh, kh, vh = split(q), split(k), split(v)
     scores = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh, preferred_element_type=jnp.float32)

