@@ -288,7 +288,8 @@ def bench_humanml_prior_fk(batch: int = 8, reps: int = 2) -> float:
     cfg = MDMConfig(njoints=Ch, nfeats=1, dtype="bfloat16")
     model = StyleDiffusion(cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((batch, Ch, 1, Th)),
-                        jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)))
+                        jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)),
+                        method=StyleDiffusion.full_init)
     sched = make_schedule("cosine", DDPM_STEPS)
 
     @jax.jit

@@ -1,0 +1,94 @@
+"""Mesh-sharded batched sampling and training steps.
+
+The scale-out path for production serving (SURVEY.md §7 M5): shard the clip
+batch over the 'data' mesh axis (and optionally the transformer over
+'model'), jit the whole sampler scan with explicit shardings, and let XLA
+place collectives on ICI. One compiled executable serves any number of chips
+in the mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from motionstyle.diffusion import sampling
+from motionstyle.diffusion.ddpm import Inpainting, ModelFn
+from motionstyle.diffusion.schedule import DiffusionSchedule
+from motionstyle.parallel.mesh import batch_spec, shard_batch, shard_params
+
+
+class ShardedSampler:
+    """Compile-once data-parallel sampler over a mesh.
+
+    params are placed per parallel.mesh.param_spec (replicated or
+    Megatron-sharded over 'model'); every array argument with a leading batch
+    axis is sharded over 'data'.
+    """
+
+    def __init__(self, mesh: Mesh, sched: DiffusionSchedule, model_fn_builder: Callable,
+                 params, **sample_kwargs):
+        """model_fn_builder(params) -> model_fn(x, t_orig, cond)."""
+        self.mesh = mesh
+        self.sched = sched
+        self.params = shard_params(params, mesh)
+        self.sample_kwargs = sample_kwargs
+        self.model_fn_builder = model_fn_builder
+        self._compiled = {}
+
+    def __call__(self, batch: dict, rng: jax.Array):
+        """batch: {'shape': tuple | 'init_image': (B, C, 1, T), 'cond': dict,
+        optional 'inpainting': Inpainting}. Returns device-sharded samples."""
+        init_image = batch.get("init_image")
+        shape = tuple(batch["shape"]) if "shape" in batch else tuple(init_image.shape)
+        key = (shape, tuple(sorted(batch.get("cond", {}).keys())), "inpainting" in batch)
+        if key not in self._compiled:
+            def run(params, init_image, cond, inpainting, rng):
+                model_fn = self.model_fn_builder(params)
+                return sampling.sample_loop(
+                    self.sched, model_fn, cond, rng,
+                    shape=shape, init_image=init_image,
+                    inpainting=inpainting, **self.sample_kwargs,
+                )
+
+            self._compiled[key] = jax.jit(run, static_argnames=())
+        cond = shard_batch(batch.get("cond", {}), self.mesh)
+        init = None
+        inpainting = batch.get("inpainting")
+        if init_image is not None:
+            init = shard_batch(init_image, self.mesh)
+        if inpainting is not None:
+            inpainting = Inpainting(*shard_batch(tuple(inpainting), self.mesh))
+        with self.mesh:
+            return self._compiled[key](self.params, init, cond, inpainting, rng)
+
+
+def data_parallel_sample(
+    mesh: Mesh,
+    sched: DiffusionSchedule,
+    model_fn: ModelFn,
+    cond: dict,
+    rng: jax.Array,
+    shape: tuple,
+    **kwargs,
+):
+    """One-shot helper: jit the sampler with batch sharded over 'data'."""
+    cond = shard_batch(cond, mesh)
+    init_image = kwargs.pop("init_image", None)
+    inpainting = kwargs.pop("inpainting", None)
+    if init_image is not None:
+        init_image = shard_batch(init_image, mesh)
+    if inpainting is not None:
+        inpainting = Inpainting(*shard_batch(tuple(inpainting), mesh))
+
+    @jax.jit
+    def fn(c, init, inp, r):
+        return sampling.sample_loop(sched, model_fn, c, r, shape=shape,
+                                    init_image=init, inpainting=inp, **kwargs)
+
+    with mesh:
+        return fn(cond, init_image, inpainting, rng)
