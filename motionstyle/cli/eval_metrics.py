@@ -1,0 +1,104 @@
+"""T2M metric evaluation CLI: sample the prior over the test split and report
+FID / R-precision / matching / diversity / multimodality.
+
+The reference ships the metric stack (metrics.py, evaluator_wrapper.py,
+model_motion_loaders.py) without a wired entry point (SURVEY.md §2 row 9,
+"import only"); this CLI is that missing driver.
+
+Run:  python -m motionstyle.cli.eval_metrics \
+        --dataset humanml --data_dir processed_data/HumanML3D \
+        --model_path save/model000050000.pt \
+        [--evaluator_checkpoint t2m/text_mot_match/model/finest.tar] \
+        [--glove_dir ./glove] [--num_samples 256] [--mm_num_samples 32]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import numpy as np
+
+from motionstyle.cli import model_util
+from motionstyle.cli.parser_util import add_data_options, add_diffusion_options, add_model_options
+from motionstyle.data.collate import get_dataset_loader
+from motionstyle.diffusion import sampling
+from motionstyle.diffusion.ddpm import cfg_model_fn
+from motionstyle.eval.evaluators import EvaluatorWrapper, WordVectorizer
+from motionstyle.eval.motion_loaders import (
+    GeneratedMotionDataset,
+    evaluate_matching_and_fid,
+    evaluate_multimodality,
+)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    add_data_options(parser)
+    add_model_options(parser)
+    add_diffusion_options(parser)
+    parser.add_argument("--model_path", default="", type=str)
+    parser.add_argument("--evaluator_checkpoint", default="", type=str)
+    parser.add_argument("--glove_dir", default="", type=str)
+    parser.add_argument("--batch_size", default=32, type=int)
+    parser.add_argument("--num_samples", default=256, type=int)
+    parser.add_argument("--mm_num_samples", default=0, type=int)
+    parser.add_argument("--mm_num_repeats", default=10, type=int)
+    parser.add_argument("--guidance_param", default=2.5, type=float)
+    parser.add_argument("--seed", default=10, type=int)
+    args = parser.parse_args(argv)
+
+    max_frames = 196 if args.dataset in ("humanml", "bandai-1_posrot", "bandai-2_posrot") else 76
+    loader = get_dataset_loader(args.dataset, args.batch_size, max_frames, split="test",
+                                data_root=args.data_dir or None)
+
+    bundle, _, sched_full = model_util.creat_serval_diffusion(args)
+    model_fn = bundle.denoiser_fn(style=False)
+
+    def sample_batch_fn(texts, lengths, shape, rng):
+        cond = {"enc_text": bundle.encode_text(texts, args.dataset)}
+        fn = model_fn
+        if args.guidance_param not in (0.0, 1.0):
+            import jax.numpy as jnp
+
+            fn = cfg_model_fn(model_fn, jnp.full((shape[0],), args.guidance_param))
+        return sampling.sample_loop(sched_full, fn, cond, rng, shape=tuple(shape),
+                                    method="ddpm", remat=False)
+
+    print("generating evaluation samples ...")
+    gen = GeneratedMotionDataset(
+        sample_batch_fn, loader,
+        mm_num_samples=args.mm_num_samples, mm_num_repeats=args.mm_num_repeats,
+        num_samples_limit=args.num_samples, seed=args.seed,
+    )
+
+    wv = WordVectorizer(args.glove_dir or None)
+    evaluator = EvaluatorWrapper(args.dataset, checkpoint_path=args.evaluator_checkpoint or None,
+                                 dim_pose=bundle.cfg.njoints)
+
+    # ground-truth items straight from the loader
+    gt_items, gen_items = [], []
+    for i, (motion, cond) in enumerate(loader):
+        for b in range(motion.shape[0]):
+            tokens = cond["y"].get("tokens", [""] * motion.shape[0])[b].split("_")
+            gt_items.append((cond["y"]["text"][b], motion[b, :, 0, :].T,
+                             int(cond["y"]["lengths"][b]), tokens))
+        if len(gt_items) >= len(gen):
+            break
+    for i in range(len(gen)):
+        caption, motion, length, tokens, _ = gen[i]
+        gen_items.append((caption, motion, length, tokens))
+
+    n = min(len(gt_items), len(gen_items))
+    metrics = evaluate_matching_and_fid(evaluator, wv, gt_items[:n], gen_items[:n],
+                                        diversity_times=min(300, n - 1))
+    if gen.mm_generated_motion:
+        metrics["multimodality"] = evaluate_multimodality(
+            evaluator, gen.mm_generated_motion, mm_num_times=min(10, args.mm_num_repeats - 1))
+    out = {k: round(float(v), 4) for k, v in metrics.items()}
+    print(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main()
