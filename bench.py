@@ -35,7 +35,8 @@ def bench_ours(batch: int, dtype: str, reps: int = 3) -> float:
     from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
 
     cfg = MDMConfig(njoints=C, nfeats=1, latent_dim=LATENT, ff_size=FF, num_layers=LAYERS,
-                    num_heads=HEADS, dtype="bfloat16" if dtype == "bf16" else "float32")
+                    num_heads=HEADS, dtype="bfloat16" if dtype.startswith("bf16") else "float32",
+                    fused=dtype.endswith("fused"))
     model = StyleDiffusion(cfg)
     x0 = jnp.zeros((batch, C, 1, T_FRAMES), dtype=jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)))
@@ -328,7 +329,7 @@ def main():
 
     best = (0.0, None, None)
     results = {}
-    for dtype in ("bf16", "f32"):
+    for dtype in ("bf16_fused", "bf16", "f32"):
         for batch in (1, 32, 64):
             cps = bench_ours(batch, dtype)
             results[f"{dtype}_b{batch}"] = round(cps, 3)

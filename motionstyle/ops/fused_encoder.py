@@ -1,0 +1,172 @@
+"""Pallas TPU kernel: one FUSED post-LN transformer encoder layer.
+
+Measured motivation (v5e, B=32, S=197, d=512, 8 layers): the XLA encoder costs
+3.50 ms/step inside the sampler scan while the raw matmul roofline is
+1.44 ms — softmax, LayerNorms, residuals and the attention re-layout are left
+unfused. This kernel runs the WHOLE layer per batch row in VMEM:
+
+  qkv = x @ Wqkv + b          (MXU, bf16 in / fp32 accum)
+  per head: softmax(q k^T / sqrt(dh) + mask) v      (MXU + VPU, fp32)
+  x = LN(x + attn @ Wo + bo)                        (VPU, fp32 stats)
+  x = LN(x + gelu(x @ W1 + b1) @ W2 + b2)
+
+Grid = (batch,): each program owns its (S_pad, d) token block; the weight
+blocks map to the same indices every step, so Mosaic keeps them resident in
+VMEM after the first DMA. Sequence is padded to a multiple of 128 lanes and
+padded keys are masked with -1e9.
+
+Forward-only by design: sampling dominates the workload; training paths keep
+the XLA encoder (jax.checkpoint remat makes its fusion profile different
+anyway). Numerics match the XLA layer to bf16 tolerance (tests).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG = -1e9
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _layer_kernel(num_heads, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                  ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  ln2s_ref, ln2b_ref, o_ref):
+    x = x_ref[0]  # (S, D) bf16
+    S, D = x.shape
+    dh = D // num_heads
+    scale = 1.0 / (dh ** 0.5)
+
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0]  # (S, 3D) fp32
+
+    mask = mask_ref[0]  # (1, S) additive fp32
+    attn_cols = []
+    for h in range(num_heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, D + h * dh: D + (h + 1) * dh]
+        v = qkv[:, 2 * D + h * dh: 2 * D + (h + 1) * dh]
+        scores = jax.lax.dot_general(
+            (q * scale).astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + mask  # (S, S)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        attn_cols.append(
+            jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    attn = jnp.concatenate(attn_cols, axis=-1)  # (S, D) fp32
+
+    proj = jax.lax.dot_general(
+        attn.astype(jnp.bfloat16), wo_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[0]
+
+    h1 = x.astype(jnp.float32) + proj
+    mu = jnp.mean(h1, axis=-1, keepdims=True)
+    var = jnp.mean((h1 - mu) ** 2, axis=-1, keepdims=True)
+    h1 = (h1 - mu) * jax.lax.rsqrt(var + 1e-5) * ln1s_ref[0] + ln1b_ref[0]
+
+    ff = jax.lax.dot_general(
+        h1.astype(jnp.bfloat16), w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0]
+    # tanh-approx gelu (erf is not lowered in Pallas TPU; max deviation from
+    # the exact gelu is ~1e-3 absolute, inside bf16 sampling tolerance)
+    ff = 0.5 * ff * (1.0 + jnp.tanh(0.7978845608028654 * (ff + 0.044715 * ff ** 3)))
+    ff = jax.lax.dot_general(
+        ff.astype(jnp.bfloat16), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0]
+
+    h2 = h1 + ff
+    mu = jnp.mean(h2, axis=-1, keepdims=True)
+    var = jnp.mean((h2 - mu) ** 2, axis=-1, keepdims=True)
+    h2 = (h2 - mu) * jax.lax.rsqrt(var + 1e-5) * ln2s_ref[0] + ln2b_ref[0]
+    o_ref[0] = h2.astype(o_ref.dtype)
+
+
+def fused_encoder_layer(
+    x: jax.Array,
+    layer_params: dict,
+    num_heads: int,
+    key_padding_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Run one fused encoder layer. x (B, S, D); layer_params is the flax
+    param subtree of models.transformer.TransformerEncoderLayer."""
+    from jax.experimental import pallas as pl
+
+    B, S, D = x.shape
+    Sp = _round_up(S, 128)
+
+    p = layer_params
+    wqkv = p["self_attn"]["in_proj"]["kernel"].astype(jnp.bfloat16)
+    bqkv = p["self_attn"]["in_proj"]["bias"].astype(jnp.float32)[None]
+    wo = p["self_attn"]["out_proj"]["kernel"].astype(jnp.bfloat16)
+    bo = p["self_attn"]["out_proj"]["bias"].astype(jnp.float32)[None]
+    w1 = p["linear1"]["kernel"].astype(jnp.bfloat16)
+    b1 = p["linear1"]["bias"].astype(jnp.float32)[None]
+    w2 = p["linear2"]["kernel"].astype(jnp.bfloat16)
+    b2 = p["linear2"]["bias"].astype(jnp.float32)[None]
+    ln1s = p["norm1"]["scale"].astype(jnp.float32)[None]
+    ln1b = p["norm1"]["bias"].astype(jnp.float32)[None]
+    ln2s = p["norm2"]["scale"].astype(jnp.float32)[None]
+    ln2b = p["norm2"]["bias"].astype(jnp.float32)[None]
+
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, Sp - S), (0, 0)))
+    key_mask = jnp.full((B, Sp), _NEG, dtype=jnp.float32).at[:, :S].set(0.0)
+    if key_padding_mask is not None:
+        key_mask = key_mask.at[:, :S].set(
+            jnp.where(key_padding_mask.astype(bool), 0.0, _NEG)
+        )
+    key_mask = key_mask[:, None, :]  # (B, 1, Sp)
+
+    F = w1.shape[1]
+    row = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
+    mat = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+    out = pl.pallas_call(
+        functools.partial(_layer_kernel, num_heads),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Sp, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, Sp), lambda i: (i, 0, 0)),
+            mat(D, 3 * D), row(3 * D), mat(D, D), row(D),
+            row(D), row(D), mat(D, F), row(F), mat(F, D), row(D),
+            row(D), row(D),
+        ],
+        out_specs=pl.BlockSpec((1, Sp, D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Sp, D), x.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(xp, key_mask, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b)
+    return out[:, :S]
+
+
+def fused_encoder(
+    x: jax.Array,
+    encoder_params: dict,
+    num_layers: int,
+    num_heads: int,
+    key_padding_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Stack of fused layers over the 'layers_{i}' param subtrees."""
+    for i in range(num_layers):
+        x = fused_encoder_layer(x, encoder_params[f"layers_{i}"], num_heads, key_padding_mask)
+    return x
