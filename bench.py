@@ -73,7 +73,8 @@ def bench_transfer_latency(reps: int = 10) -> float:
     from motionstyle.diffusion.schedule import make_schedule
     from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
 
-    cfg = MDMConfig(njoints=C, nfeats=1, latent_dim=LATENT, ff_size=FF, num_layers=LAYERS, num_heads=HEADS)
+    cfg = MDMConfig(njoints=C, nfeats=1, latent_dim=LATENT, ff_size=FF, num_layers=LAYERS,
+                    num_heads=HEADS, dtype="bfloat16", fused=True)
     model = StyleDiffusion(cfg)
     Tx = 76
     x0 = jnp.zeros((1, C, 1, Tx), dtype=jnp.float32)
@@ -167,7 +168,7 @@ def bench_cfg_ddim100_batched(batch: int = 32, reps: int = 3) -> float:
     from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
 
     Tx = 76
-    cfg = MDMConfig(njoints=C, nfeats=1, dtype="bfloat16")
+    cfg = MDMConfig(njoints=C, nfeats=1, dtype="bfloat16", fused=True)
     model = StyleDiffusion(cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((batch, C, 1, Tx)),
                         jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)))
@@ -206,7 +207,7 @@ def bench_bandai_long_batch(batch: int = 16, reps: int = 3) -> float:
     from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
 
     Cb, Tb = 190, 196
-    cfg = MDMConfig(njoints=Cb, nfeats=1, dtype="bfloat16")
+    cfg = MDMConfig(njoints=Cb, nfeats=1, dtype="bfloat16", fused=True)
     model = StyleDiffusion(cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((batch, Cb, 1, Tb)),
                         jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)))
@@ -286,7 +287,7 @@ def bench_humanml_prior_fk(batch: int = 8, reps: int = 2) -> float:
     from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
 
     Ch, Th = 263, 196
-    cfg = MDMConfig(njoints=Ch, nfeats=1, dtype="bfloat16")
+    cfg = MDMConfig(njoints=Ch, nfeats=1, dtype="bfloat16", fused=True)
     model = StyleDiffusion(cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((batch, Ch, 1, Th)),
                         jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)),

@@ -99,7 +99,7 @@ def main(argv=None):
 
     all_motions, all_hml, all_lengths, all_text = [], [], [], []
     rng = jax.random.PRNGKey(args.seed)
-    skip = int(args.skip_steps / args.diffusion_steps * 20)
+    skip = int(args.skip_steps / args.diffusion_steps * sched_ddim.num_timesteps)
     for rep_i in range(args.num_repetitions):
         print(f"### Start sampling [repetitions #{rep_i}]")
         rng, sub = jax.random.split(rng)

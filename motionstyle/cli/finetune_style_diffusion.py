@@ -142,11 +142,12 @@ def main(argv=None):
     enc_neutral = bundle.encode_text([caption], args.dataset)
     rng = jax.random.PRNGKey(args.seed)
     rng, sub = jax.random.split(rng)
+    # stop at 0.9T (the reference hardcodes 900 for T=1000, f_s_d.py:149)
     xstarts = sampling.sample_loop(
         sched_full, bundle.denoiser_fn(style=False), {"enc_text": enc_neutral}, sub,
         shape=(1, bundle.cfg.njoints, bundle.cfg.nfeats, max_frames),
         init_image=input_motions, method="ddpm",
-        skip_timesteps=0, stop_timesteps=900,
+        skip_timesteps=0, stop_timesteps=int(0.9 * args.diffusion_steps),
         inpainting=Inpainting(inp_mask, input_motions),
         dump_all_xstart=True,
     )
@@ -157,6 +158,11 @@ def main(argv=None):
                         skel, real_offsets, chains, bones, ee_names, sched_full, inp_mask, rng)
 
     # ---- finetune ----
+    if args.semantic_guidance and args.latent_dim != 512:
+        raise ValueError(
+            "semantic guidance compares the 512-d CLIP text embedding against "
+            "the motion encoder's latent (the reference relies on latent_dim "
+            "== 512); pass --semantic_guidance 0 for other widths")
     edited_caption = edit_caption_with_style(caption, style_label, args.dataset)
     print(f'finetuning with style caption "{edited_caption}" ...')
     enc_style = bundle.encode_text([caption], args.dataset)
@@ -211,7 +217,7 @@ def main(argv=None):
     sample = sampling.sample_loop(
         sched_ddim, bundle.denoiser_fn(style=True), {"enc_text": enc_neutral}, sub,
         shape=tuple(neutral.shape), init_image=neutral, method="ddim",
-        skip_timesteps=int(700 / args.diffusion_steps * 20),
+        skip_timesteps=int(args.skip_steps / args.diffusion_steps * sched_ddim.num_timesteps),
         inpainting=Inpainting(inp_mask, input_motions),
     )
     if not args.skip_render:
@@ -235,8 +241,9 @@ def _render_neutral(args, ds, neutral, input_motions, m_length, joint_num, skel,
 
     rng, sub = jax.random.split(rng)
     img = jax.random.normal(sub, neutral.shape, dtype=jnp.float32)
-    t701 = jnp.full((neutral.shape[0],), 701, dtype=jnp.int32)
-    noised = ddpm_mod.q_sample(sched_full, neutral, t701, img,
+    # the reference visualizes the q-sampled motion at t=701 of 1000
+    t_vis = jnp.full((neutral.shape[0],), int(0.701 * args.diffusion_steps), dtype=jnp.int32)
+    noised = ddpm_mod.q_sample(sched_full, neutral, t_vis, img,
                                inpainting=Inpainting(inp_mask, input_motions))
     for tag, arr, iters in (("generated_noised_neutral_motion", noised, 100),
                             ("generated_neutral_motion", neutral, 100)):

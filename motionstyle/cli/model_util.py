@@ -51,6 +51,7 @@ def get_transfer_config(args) -> MDMConfig:
         dropout=0.1,
         clip_dim=512,
         cond_mask_prob=args.cond_mask_prob,
+        fused=bool(getattr(args, "fused", 0)),
     )
 
 

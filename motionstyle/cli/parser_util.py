@@ -24,7 +24,7 @@ def parse_and_load_from_model(parser: ArgumentParser):
         args_to_overwrite += get_args_per_group_name(parser, args, group_name)
     # run-local flags must never be resurrected from a checkpoint's args.json
     args_to_overwrite = [a for a in args_to_overwrite
-                         if a not in ("skip_render", "model_path", "output_dir")]
+                         if a not in ("skip_render", "model_path", "output_dir", "fused")]
 
     model_path = get_model_path_from_args()
     args_path = os.path.join(os.path.dirname(model_path), "args.json")
@@ -87,6 +87,9 @@ def add_model_options(parser):
     group.add_argument("--mdm_path", default="", type=str, help="pretrained MDM prior checkpoint (.pt)")
     group.add_argument("--clip_weights", default="", type=str,
                        help="optional CLIP text-tower .pt; random-init (seeded) if absent")
+    group.add_argument("--fused", default=0, type=int,
+                       help="route inference through the fused Pallas encoder kernel "
+                            "(bf16 matmuls; ~1.5x sampling throughput on TPU)")
 
 
 def add_data_options(parser):

@@ -1,0 +1,67 @@
+"""CLI smoke tests: full finetune + demo + converter flows with a tiny model
+on CPU (the TPU-scale run is exercised by the verify drives / bench)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def xia_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("style_xia_cli")
+    (root / "new_joint_vecs").mkdir()
+    r = np.random.RandomState(0)
+    for f in ["350angry_jumping.npy", "306neutral_running.npy", "100angry_walking.npy",
+              "101proud_walking.npy"]:
+        np.save(root / "new_joint_vecs" / f, (r.randn(int(r.randint(30, 76)), 181) * 0.5).astype(np.float32))
+    np.save(root / "Mean.npy", (r.randn(181) * 0.1).astype(np.float32))
+    np.save(root / "Std.npy", (np.abs(r.randn(181)) + 0.5).astype(np.float32))
+    return str(root)
+
+
+@pytest.mark.slow
+class TestCLIPipeline:
+    def test_finetune_then_demo(self, xia_root, tmp_path):
+        from motionstyle.cli.demo_style_transfer import main as demo_main
+        from motionstyle.cli.finetune_style_diffusion import main as ft_main
+
+        save_dir = ft_main([
+            "--dataset", "stylexia_posrot", "--save_dir", str(tmp_path / "ft"),
+            "--style_example", "350angry_jumping.npy", "--data_dir", xia_root,
+            "--num_steps", "1", "--batch_size", "1", "--overwrite",
+            "--train_platform_type", "NoPlatform", "--skip_render",
+            "--layers", "1", "--latent_dim", "64", "--diffusion_steps", "40",
+            "--skip_steps", "28", "--semantic_guidance", "0",
+        ])
+        ckpts = sorted(f for f in os.listdir(save_dir) if f.startswith("model"))
+        assert ckpts and os.path.exists(os.path.join(save_dir, "args.json"))
+
+        out = demo_main([
+            "--model_path", os.path.join(save_dir, ckpts[-1]),
+            "--input_content", "306neutral_running.npy",
+            "--data_dir", xia_root, "--skip_render",
+        ])
+        results = np.load(os.path.join(out, "results.npy"), allow_pickle=True).item()
+        assert results["motion"].shape == (1, 20, 3, 76)
+        assert results["num_samples"] == 1 and results["num_repetitions"] == 1
+        assert np.isfinite(results["motion"]).all()
+
+    def test_demo_args_json_roundtrip(self, xia_root, tmp_path):
+        """args.json written by finetune governs the demo's model config."""
+        from motionstyle.cli.parser_util import eval_inpainting_style_args
+
+        save_dir = tmp_path / "ft2" / "350angry_jumping"
+        save_dir.mkdir(parents=True)
+        with open(save_dir / "args.json", "w") as f:
+            json.dump({"dataset": "stylexia_posrot", "layers": 3, "latent_dim": 96,
+                       "skip_steps": 420, "inpainting_mask": "root"}, f)
+        (save_dir / "model000000001.pt").touch()
+        args = eval_inpainting_style_args([
+            "--model_path", str(save_dir / "model000000001.pt"),
+            "--input_content", "x.npy",
+        ])
+        assert args.layers == 3 and args.latent_dim == 96
+        assert args.skip_steps == 420 and args.inpainting_mask == "root"
