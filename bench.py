@@ -330,8 +330,8 @@ def main():
 
     best = (0.0, None, None)
     results = {}
-    for dtype in ("bf16_fused", "bf16", "f32"):
-        for batch in (1, 32, 64):
+    for dtype, batches in (("bf16_fused", (1, 32, 64)), ("bf16", (32,)), ("f32", (32,))):
+        for batch in batches:
             cps = bench_ours(batch, dtype)
             results[f"{dtype}_b{batch}"] = round(cps, 3)
             if cps > best[0]:

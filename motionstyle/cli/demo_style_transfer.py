@@ -99,6 +99,12 @@ def main(argv=None):
 
     all_motions, all_hml, all_lengths, all_text = [], [], [], []
     rng = jax.random.PRNGKey(args.seed)
+    profile_ctx = None
+    if getattr(args, "profile", ""):
+        from motionstyle.utils import profile_trace
+
+        profile_ctx = profile_trace(args.profile)
+        profile_ctx.__enter__()
     skip = int(args.skip_steps / args.diffusion_steps * sched_ddim.num_timesteps)
     for rep_i in range(args.num_repetitions):
         print(f"### Start sampling [repetitions #{rep_i}]")
@@ -116,6 +122,10 @@ def main(argv=None):
         all_lengths.append(np.full(args.num_samples, m_length))
         all_text += texts
         print(f"created {len(all_motions) * args.batch_size} samples")
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        print(f"profiler trace written to {args.profile}")
 
     all_motions = np.concatenate(all_motions, axis=0)
     all_lengths = np.concatenate(all_lengths, axis=0)

@@ -62,6 +62,8 @@ def get_model_path_from_args():
 def add_base_options(parser):
     group = parser.add_argument_group("base")
     group.add_argument("--device", default=0, type=int, help="Device id to use.")
+    group.add_argument("--profile", default="", type=str,
+                       help="write a jax.profiler trace of the hot loop to this directory")
     group.add_argument("--seed", default=10, type=int, help="For fixing random seed.")
     group.add_argument("--batch_size", default=64, type=int, help="Batch size during training.")
 

@@ -87,6 +87,7 @@ def sample_loop(
     sigma_small: bool = True,
     step_noise: Optional[jax.Array] = None,
     cond_fn=None,
+    fused_update: bool = False,
 ):
     """Run the full reverse diffusion as one scan.
 
@@ -119,11 +120,37 @@ def sample_loop(
     is_ddim = method == "ddim"
     inject_noise = step_noise is not None  # test hook: replay a pinned noise sequence
 
+    # the Pallas fused-update path (ops/sampler_update.py): DDPM only, no
+    # guidance hooks, x0 clipping, grad, or pinned noise — the hot serving
+    # configuration. Its hardware-PRNG noise stream differs from jax.random.
+    use_fused_update = (
+        fused_update and not is_ddim and not differentiable and not clip_denoised
+        and sigma_small and cond_fn is None and not const_noise and not inject_noise
+    )
+    if use_fused_update:
+        from motionstyle.ops.sampler_update import fused_ddpm_update
+
+        base_seed = jax.random.randint(jax.random.fold_in(rng, 7), (), 0, 2 ** 30)
+
     def step(carry, xs):
         t_scalar, injected = xs
         x, step_rng = carry
         step_rng, sub = jax.random.split(step_rng)
         t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
+        if use_fused_update:
+            model_output = model_fn(x, sched.timestep_map[t], cond)
+            nxt, pred_xstart = fused_ddpm_update(
+                x, model_output,
+                inpainting.mask if inpainting is not None else None,
+                inpainting.motion if inpainting is not None else None,
+                sched.posterior_mean_coef1[t_scalar],
+                sched.posterior_mean_coef2[t_scalar],
+                jnp.exp(0.5 * sched.posterior_log_variance_clipped[t_scalar]),
+                (t_scalar != 0).astype(jnp.float32),
+                base_seed + t_scalar,
+            )
+            y = pred_xstart if dump_all_xstart else None
+            return (nxt, step_rng), y
         pmv = ddpm.p_mean_variance(
             sched, model_fn, x, t, cond,
             clip_denoised=clip_denoised, inpainting=inpainting, sigma_small=sigma_small,
