@@ -71,6 +71,10 @@ def main(argv=None):
             else "dataset-2_walk-turn-right_feminine_018.npy"
     input_motions, style_m_length = load_clip(args.style_example)
     sample_t2m, m_length = load_clip(args.input_content)
+    if args.num_samples > 1:
+        # batch the content clip (the reference crashes for num_samples > 1)
+        sample_t2m = jnp.tile(sample_t2m, (args.num_samples, 1, 1, 1))
+
 
     # caption: 'A person is {content} {style}' (:189-196)
     if args.input_text:
@@ -109,12 +113,15 @@ def main(argv=None):
     for rep_i in range(args.num_repetitions):
         print(f"### Start sampling [repetitions #{rep_i}]")
         rng, sub = jax.random.split(rng)
-        xstarts = sampling.sample_loop(
+        dump_all_xstart = args.dataset != "humanml"  # :240-243
+        result = sampling.sample_loop(
             sched_ddim, model_fn, {"enc_text": enc_text}, sub,
             shape=tuple(sample_t2m.shape), init_image=sample_t2m, method="ddim",
-            skip_timesteps=skip, inpainting=inpainting, dump_all_xstart=True,
+            skip_timesteps=skip, inpainting=inpainting, dump_all_xstart=dump_all_xstart,
         )
-        sample = xstarts[-5]  # early-stopped denoise (:259-260)
+        # posrot datasets take the x0 prediction 5 steps early (an intentional
+        # under-denoise, :259-260); humanml takes the final sample
+        sample = result[-5] if dump_all_xstart else result
         denorm = ds.inv_transform(np.asarray(sample)[:, :, 0, :].transpose(0, 2, 1))
         all_hml.append(denorm)
         joints = np.asarray(recover_from_ric(jnp.asarray(denorm, dtype=jnp.float32), joint_num))

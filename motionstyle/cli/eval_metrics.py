@@ -76,12 +76,21 @@ def main(argv=None):
     evaluator = EvaluatorWrapper(args.dataset, checkpoint_path=args.evaluator_checkpoint or None,
                                  dim_pose=bundle.cfg.njoints)
 
-    # ground-truth items straight from the loader
+    # ground-truth items from the loader, re-normalized into the SAME space
+    # the generated items use (T2M evaluator stats when present) — comparing
+    # mixed normalization conventions would corrupt FID/matching
+    def to_eval_space(motion_td):
+        ds = loader.dataset
+        if hasattr(ds, "mean_for_eval"):
+            denormed = ds.t2m_dataset.inv_transform(motion_td)
+            return (denormed - ds.mean_for_eval) / ds.std_for_eval
+        return motion_td
+
     gt_items, gen_items = [], []
     for i, (motion, cond) in enumerate(loader):
         for b in range(motion.shape[0]):
             tokens = cond["y"].get("tokens", [""] * motion.shape[0])[b].split("_")
-            gt_items.append((cond["y"]["text"][b], motion[b, :, 0, :].T,
+            gt_items.append((cond["y"]["text"][b], to_eval_space(motion[b, :, 0, :].T),
                              int(cond["y"]["lengths"][b]), tokens))
         if len(gt_items) >= len(gen):
             break

@@ -165,7 +165,6 @@ def main(argv=None):
             "== 512); pass --semantic_guidance 0 for other widths")
     edited_caption = edit_caption_with_style(caption, style_label, args.dataset)
     print(f'finetuning with style caption "{edited_caption}" ...')
-    enc_style = bundle.encode_text([caption], args.dataset)
     enc_t2m = bundle.encode_text([edited_caption], args.dataset)
 
     ft_cfg = FinetuneConfig(

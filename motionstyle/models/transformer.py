@@ -45,10 +45,11 @@ class MultiheadSelfAttention(nn.Module):
         qkv = in_proj(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         out = multihead_attention(q, k, v, self.num_heads, key_padding_mask=key_padding_mask)
-        out = out_proj(out)
-        if self.dropout > 0.0 and not deterministic:
-            out = nn.Dropout(self.dropout, name="attn_drop")(out, deterministic=False)
-        return out
+        # torch applies dropout to the attention probabilities; the fused
+        # attention op doesn't expose them, so the single output dropout in
+        # the encoder layer stands in (one dropout total, like torch's
+        # dropout1 — the prob-dropout is approximated, not doubled).
+        return out_proj(out)
 
 
 class TransformerEncoderLayer(nn.Module):

@@ -146,6 +146,8 @@ def multihead_attention(
     kernel on v5e (0.54ms vs 1.12ms per 8-layer step at B=32), so the Pallas
     path is opt-in — for long sequences or via MOTIONSTYLE_PALLAS_ATTN=1.
     """
+    if q.shape[1] != k.shape[1]:
+        use_pallas = False  # the single-block kernel assumes self-attention
     if use_pallas is None:
         import os
 

@@ -158,7 +158,11 @@ class StyleFinetuneTrainer:
                     mask=batch["mask"],
                     cond_style={"enc_text": batch["enc_text_style"]},
                     cond_t2m={"enc_text": batch["enc_text_t2m"], "frame_mask": batch.get("frame_mask_t2m")},
-                    inpainting_style=Inpainting(batch["inp_mask"], batch["content"]),
+                    # the unroll keeps the STYLE EXAMPLE's masked channels
+                    # (reference: y['inpainted_motion'] = input_motions,
+                    # finetune_style_diffusion.py:141), while init_image is
+                    # the neutral content
+                    inpainting_style=Inpainting(batch["inp_mask"], batch["style_target"]),
                     inpainting_t2m_mask=batch.get("inp_mask_t2m"),
                     skip_steps=cfg.skip_steps,
                     use_ddim=cfg.use_ddim,
@@ -229,6 +233,7 @@ class StyleFinetuneTrainer:
             if found is None:
                 return
             path = found
+        self._resolved_checkpoint = path
         self.resume_step = parse_resume_step_from_filename(path)
         logger.log(f"loading model from checkpoint: {path}...")
         sd = {k: v.numpy() for k, v in torch.load(path, map_location="cpu", weights_only=False).items()}
@@ -238,7 +243,8 @@ class StyleFinetuneTrainer:
         import torch
 
         opt_path = os.path.join(
-            os.path.dirname(self.cfg.resume_checkpoint), f"opt{self.resume_step:09d}.pt"
+            os.path.dirname(getattr(self, "_resolved_checkpoint", self.cfg.resume_checkpoint)),
+            f"opt{self.resume_step:09d}.pt",
         )
         if not os.path.exists(opt_path):
             return
