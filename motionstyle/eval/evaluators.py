@@ -88,11 +88,15 @@ class TorchGRU(nn.Module):
 
     hidden_size: int
     bidirectional: bool = True
+    return_sequence: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, lengths: jax.Array, h0: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, lengths: jax.Array, h0: jax.Array):
         """x (B, T, D), lengths (B,), h0 (num_dir, B, H) -> final hidden
-        concatenated over directions (B, num_dir*H)."""
+        concatenated over directions (B, num_dir*H); with return_sequence
+        also the per-step outputs (B, T, num_dir*H), backward direction
+        re-aligned to forward time order within each valid length (the
+        pad_packed + flip convention of modules.py:270-309)."""
         B, T, D = x.shape
         H = self.hidden_size
 
@@ -117,17 +121,32 @@ class TorchGRU(nn.Module):
                 h = jnp.where(valid, h_new, h)
                 return h, None
 
+            def cell_seq(h, inputs):
+                h, _ = cell(h, inputs)
+                return h, h
+
             ts = jnp.arange(T)
             gi_seq = gi_all.transpose(1, 0, 2)  # (T, B, 3H)
             if reverse:
                 ts = ts[::-1]
                 gi_seq = gi_seq[::-1]
-            h_final, _ = jax.lax.scan(cell, h0[1 if reverse else 0], (gi_seq, ts))
-            return h_final
+            h_final, ys = jax.lax.scan(cell_seq, h0[1 if reverse else 0], (gi_seq, ts))
+            ys = ys.transpose(1, 0, 2)  # (B, T, H), in scan order
+            if reverse:
+                # scan order is t = T-1..0; flip back to forward time order.
+                # within each sequence, outputs at t >= len hold the carried
+                # (frozen) state, matching masked-update semantics.
+                ys = ys[:, ::-1]
+            return h_final, ys
 
-        out = direction("l0", False)
+        out, seq_f = direction("l0", False)
+        seqs = seq_f
         if self.bidirectional:
-            out = jnp.concatenate([out, direction("l0_reverse", True)], axis=-1)
+            out_b, seq_b = direction("l0_reverse", True)
+            out = jnp.concatenate([out, out_b], axis=-1)
+            seqs = jnp.concatenate([seq_f, seq_b], axis=-1)
+        if self.return_sequence:
+            return out, seqs
         return out
 
 

@@ -146,7 +146,8 @@ class AttLayer(nn.Module):
 
 
 class TextEncoderBiGRU(nn.Module):
-    """Bidirectional text encoder returning (per-step seq, last hidden)."""
+    """Bidirectional text encoder returning (per-step word_hids, last hidden);
+    parity: modules.py:270-309 (TextEncoderBiGRU)."""
 
     word_size: int = 300
     pos_size: int = 15
@@ -158,10 +159,9 @@ class TextEncoderBiGRU(nn.Module):
         x = nn.Dense(self.hidden_size, name="input_emb")(word_embs + pos)
         hidden = self.param("hidden", nn.initializers.normal(1.0), (2, 1, self.hidden_size))
         h0 = jnp.broadcast_to(hidden, (2, x.shape[0], self.hidden_size))
-        gru_last = TorchGRU(self.hidden_size, name="gru")(x, cap_lens, h0)
-        # per-step outputs via a second forward-only pass is avoided; the
-        # sequence features come from running both directions with outputs.
-        return gru_last
+        gru_last, word_hids = TorchGRU(self.hidden_size, return_sequence=True, name="gru")(
+            x, cap_lens, h0)
+        return word_hids, gru_last
 
 
 class MotionLenEstimatorBiGRU(nn.Module):
@@ -221,6 +221,135 @@ class LengthEstTrainer:
         }
         self.params, self.opt_state, loss, acc = self._step(self.params, self.opt_state, batch)
         return {"loss": float(loss), "acc": float(acc)}
+
+
+class CompV6Generator:
+    """Compact T2M (Guo et al. CompV6) motion generator: text BiGRU +
+    word attention + per-step VAE prior + autoregressive movement decoder +
+    movement conv decoder.
+
+    Parity: trainers.py CompTrainerV6 (:211-460) — the generate() loop
+    (:382-448: attention vector, prior z, decoder step, movement decode) and
+    the teacher-forced training step with posterior KL (:277-380,
+    backward_G :450-460: L1 motion/movement reconstruction + KL(post||pri)).
+    """
+
+    def __init__(self, dim_pose: int = 263, dim_z: int = 128,
+                 hidden: int = 1024, text_hidden: int = 512, unit_length: int = 4,
+                 lr: float = 2e-4, lambda_rec_mov: float = 1.0,
+                 lambda_rec_mot: float = 1.0, lambda_kld: float = 0.01, rng=None):
+        from motionstyle.eval.evaluators import MovementConvEncoder
+        from motionstyle.eval.trainers import MovementConvDecoder
+
+        self.unit_length = unit_length
+        self.dim_pose = dim_pose
+        mov_dim = 512
+        self.text_enc = TextEncoderBiGRU(hidden_size=text_hidden)
+        self.att = AttLayer(value_dim=text_hidden)
+        self.seq_pri = TextDecoder(text_size=2 * text_hidden, input_size=mov_dim + text_hidden,
+                                   output_size=dim_z, hidden_size=hidden, n_layers=1)
+        self.seq_post = TextDecoder(text_size=2 * text_hidden, input_size=mov_dim * 2 + text_hidden,
+                                    output_size=dim_z, hidden_size=hidden, n_layers=1)
+        self.seq_dec = TextVAEDecoder(text_size=2 * text_hidden, input_size=mov_dim + text_hidden + dim_z,
+                                      output_size=mov_dim, hidden_size=hidden, n_layers=1)
+        self.mov_enc = MovementConvEncoder(output_size=mov_dim)
+        # the movement decoder reconstructs the FULL pose incl. the foot-
+        # contact channels (reference dim_pose output)
+        self.mov_dec = MovementConvDecoder(output_size=dim_pose)
+
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        ks = jax.random.split(rng, 6)
+        B = 1
+        self.params = {
+            "text_enc": self.text_enc.init(ks[0], jnp.zeros((B, 4, 300)), jnp.zeros((B, 4, 15)), jnp.asarray([4]))["params"],
+            "att": self.att.init(ks[1], jnp.zeros((B, hidden)), jnp.zeros((B, 4, 2 * text_hidden)))["params"],
+            "seq_pri": self.seq_pri.init(ks[2], jnp.zeros((B, 2 * text_hidden)), jnp.zeros((B, mov_dim + text_hidden)),
+                                         jnp.asarray(0), jax.random.PRNGKey(0), method=TextDecoder.full_init)["params"],
+            "seq_post": self.seq_post.init(ks[3], jnp.zeros((B, 2 * text_hidden)), jnp.zeros((B, mov_dim * 2 + text_hidden)),
+                                           jnp.asarray(0), jax.random.PRNGKey(0), method=TextDecoder.full_init)["params"],
+            "seq_dec": self.seq_dec.init(ks[4], jnp.zeros((B, 2 * text_hidden)), jnp.zeros((B, mov_dim + text_hidden + dim_z)),
+                                         jnp.asarray(0), method=TextVAEDecoder.full_init)["params"],
+            "mov_enc": self.mov_enc.init(ks[5], jnp.zeros((B, unit_length, dim_pose - 4)))["params"],
+            "mov_dec": self.mov_dec.init(jax.random.fold_in(rng, 9), jnp.zeros((B, 2, mov_dim)))["params"],
+        }
+        self.lambdas = (lambda_rec_mov, lambda_rec_mot, lambda_kld)
+        self.tx = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(lr))
+        self.opt_state = self.tx.init(self.params)
+
+    # --------------------------------------------------------------
+    def _mov_in0(self, params, B):
+        zeros = jnp.zeros((B, self.unit_length, self.dim_pose - 4))
+        return self.mov_enc.apply({"params": params["mov_enc"]}, zeros)[:, 0]
+
+    def generate(self, params, word_embs, pos_ohot, cap_lens, m_lens, mov_len, rng):
+        """Sample fake motions; parity trainers.py:382-448."""
+        word_hids, hidden = self.text_enc.apply({"params": params["text_enc"]},
+                                                word_embs, pos_ohot, cap_lens)
+        h_pri = self.seq_pri.apply({"params": params["seq_pri"]}, hidden, method=TextDecoder.get_init_hidden)
+        h_dec = self.seq_dec.apply({"params": params["seq_dec"]}, hidden, method=TextVAEDecoder.get_init_hidden)
+        mov_in = self._mov_in0(params, word_embs.shape[0])
+        movs, mus = [], []
+        for i in range(mov_len):
+            att_vec, _ = self.att.apply({"params": params["att"]}, h_dec[-1], word_hids)
+            tta = m_lens // self.unit_length - i
+            rng, sub = jax.random.split(rng)
+            z, mu, logvar, h_pri = self.seq_pri.apply(
+                {"params": params["seq_pri"]}, jnp.concatenate([mov_in, att_vec], -1), h_pri, tta, sub)
+            fake_mov, h_dec = self.seq_dec.apply(
+                {"params": params["seq_dec"]}, jnp.concatenate([mov_in, att_vec, z], -1), h_dec, tta)
+            movs.append(fake_mov[:, None])
+            mus.append(mu)
+            mov_in = jax.lax.stop_gradient(fake_mov)
+        fake_movements = jnp.concatenate(movs, axis=1)
+        fake_motions = self.mov_dec.apply({"params": params["mov_dec"]}, fake_movements)
+        return fake_motions, fake_movements, jnp.concatenate(mus, 0)
+
+    def train_step(self, word_embs, pos_ohot, cap_lens, motions, m_lens, rng,
+                   tf_ratio: float = 0.4):
+        """Teacher-forced VAE step; returns loss logs."""
+        mov_len = motions.shape[1] // self.unit_length
+        teacher_force = bool(np.random.rand() < tf_ratio)
+
+        def loss_fn(params, rng):
+            movements = jax.lax.stop_gradient(
+                self.mov_enc.apply({"params": params["mov_enc"]}, motions[..., :-4]))
+            word_hids, hidden = self.text_enc.apply({"params": params["text_enc"]},
+                                                    word_embs, pos_ohot, cap_lens)
+            h_pri = self.seq_pri.apply({"params": params["seq_pri"]}, hidden, method=TextDecoder.get_init_hidden)
+            h_post = self.seq_post.apply({"params": params["seq_post"]}, hidden, method=TextDecoder.get_init_hidden)
+            h_dec = self.seq_dec.apply({"params": params["seq_dec"]}, hidden, method=TextVAEDecoder.get_init_hidden)
+            mov_in = self._mov_in0(params, motions.shape[0])
+            movs, kld_terms = [], []
+            for i in range(mov_len):
+                att_vec, _ = self.att.apply({"params": params["att"]}, h_dec[-1], word_hids)
+                tta = m_lens // self.unit_length - i
+                rng, k1 = jax.random.split(rng)
+                z_pri, mu_pri, lv_pri, h_pri = self.seq_pri.apply(
+                    {"params": params["seq_pri"]}, jnp.concatenate([mov_in, att_vec], -1), h_pri, tta, k1)
+                rng, k2 = jax.random.split(rng)
+                z_post, mu_post, lv_post, h_post = self.seq_post.apply(
+                    {"params": params["seq_post"]},
+                    jnp.concatenate([mov_in, movements[:, i], att_vec], -1), h_post, tta, k2)
+                fake_mov, h_dec = self.seq_dec.apply(
+                    {"params": params["seq_dec"]}, jnp.concatenate([mov_in, att_vec, z_post], -1), h_dec, tta)
+                movs.append(fake_mov[:, None])
+                kld_terms.append(kl_criterion(mu_post, lv_post, mu_pri, lv_pri))
+                mov_in = movements[:, i] if teacher_force else jax.lax.stop_gradient(fake_mov)
+            fake_movements = jnp.concatenate(movs, axis=1)
+            fake_motions = self.mov_dec.apply({"params": params["mov_dec"]}, fake_movements)
+            l_mov_rec, l_mot_rec, l_kld = self.lambdas
+            loss_mot = optax.huber_loss(fake_motions, motions).mean()
+            loss_mov = optax.huber_loss(fake_movements, movements).mean()
+            loss_kld = sum(kld_terms) / len(kld_terms)
+            loss = loss_mot * l_mov_rec + loss_mov * l_mot_rec + loss_kld * l_kld
+            return loss, {"loss": loss, "loss_mot_rec": loss_mot,
+                          "loss_mov_rec": loss_mov, "loss_kld": loss_kld}
+
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            self.params, rng)
+        updates, self.opt_state = self.tx.update(grads, self.opt_state, self.params)
+        self.params = optax.apply_updates(self.params, updates)
+        return {k: float(v) for k, v in logs.items()}
 
 
 def kl_criterion(mu1, logvar1, mu2, logvar2):

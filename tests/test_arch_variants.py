@@ -150,3 +150,35 @@ class TestSmallUtils:
         joints = goldens["features"]["rec_ric"][0][:3]
         frames = plot_3d_array((joints, "t", params.xia_kinematic_chain))
         assert frames.ndim == 4 and frames.shape[0] == 3 and frames.shape[-1] == 3
+
+
+class TestCompV6Generator:
+    def test_text_encoder_returns_sequence(self):
+        from motionstyle.eval.t2m_generator import TextEncoderBiGRU
+
+        enc = TextEncoderBiGRU(hidden_size=32)
+        we = jnp.zeros((2, 6, 300))
+        po = jnp.zeros((2, 6, 15))
+        params = enc.init(jax.random.PRNGKey(0), we, po, jnp.asarray([6, 4]))
+        word_hids, last = enc.apply(params, we, po, jnp.asarray([6, 4]))
+        assert word_hids.shape == (2, 6, 64)
+        assert last.shape == (2, 64)
+
+    def test_generate_and_train(self):
+        from motionstyle.eval.t2m_generator import CompV6Generator
+
+        gen = CompV6Generator(dim_pose=31, dim_z=8, hidden=32, text_hidden=16)
+        r = np.random.RandomState(0)
+        B, T = 2, 8  # mov_len = 2
+        we = r.randn(B, 5, 300).astype(np.float32)
+        po = r.randn(B, 5, 15).astype(np.float32)
+        cap_lens = np.asarray([5, 4])
+        motions = r.randn(B, T, 31).astype(np.float32)
+        m_lens = np.asarray([8, 8])
+        losses = [gen.train_step(we, po, cap_lens, motions, m_lens,
+                                 jax.random.PRNGKey(i), tf_ratio=1.0)["loss"]
+                  for i in range(6)]
+        assert np.isfinite(losses).all() and losses[-1] < losses[0]
+        fake, movs, mus = gen.generate(gen.params, we, po, cap_lens, m_lens, 2, jax.random.PRNGKey(9))
+        assert fake.shape == (B, 8, 31)  # mov_len*unit_length, dim_pose
+        assert movs.shape == (B, 2, 512)
