@@ -56,7 +56,7 @@ def main(argv=None):
     ds = data.dataset.t2m_dataset
 
     print("creating model and diffusion...")
-    bundle, sched_ddim, _ = model_util.creat_serval_diffusion(args, timestep_respacing="ddim20")
+    bundle, sched_ddim, sched_full = model_util.creat_serval_diffusion(args, timestep_respacing="ddim20")
 
     skel, real_offsets, chains, ee_names = skeleton_assets(args.dataset)
     bones = BVH_JOINT_NAMES[args.dataset]
@@ -70,13 +70,8 @@ def main(argv=None):
         args.style_example = "350angry_jumping.npy" if args.dataset == "stylexia_posrot" \
             else "dataset-2_walk-turn-right_feminine_018.npy"
     input_motions, style_m_length = load_clip(args.style_example)
-    sample_t2m, m_length = load_clip(args.input_content)
-    if args.num_samples > 1:
-        # batch the content clip (the reference crashes for num_samples > 1)
-        sample_t2m = jnp.tile(sample_t2m, (args.num_samples, 1, 1, 1))
 
-
-    # caption: 'A person is {content} {style}' (:189-196)
+    # caption: 'A person is {content} {style}' (:129-136)
     if args.input_text:
         texts = [args.input_text] * args.num_samples
     else:
@@ -85,6 +80,26 @@ def main(argv=None):
         texts = [f"A person is {contents} {style_label}"] * args.num_samples
     print(f'caption: "{texts[0]}"')
     enc_text = bundle.encode_text(texts, args.dataset)
+
+    if args.dataset == "humanml":
+        # reference :144-176 — the humanml content motion is GENERATED from
+        # the frozen prior (full 1000-step DDPM, guidance 2.5) at max_frames
+        # from the same caption; m_length is the style example's length.
+        print("sampling content motion from the frozen prior...")
+        njoints, nfeats = model_util.DATASET_DIMS[args.dataset]
+        prior_fn = cfg_model_fn(bundle.denoiser_fn(style=False),
+                                jnp.full((args.num_samples,), 2.5))
+        rng_prior = jax.random.fold_in(jax.random.PRNGKey(args.seed), 1)
+        sample_t2m = sampling.sample_loop(
+            sched_full, prior_fn, {"enc_text": enc_text}, rng_prior,
+            shape=(args.num_samples, njoints, nfeats, max_frames), method="ddpm",
+        )
+        m_length = style_m_length
+    else:
+        sample_t2m, m_length = load_clip(args.input_content)
+        if args.num_samples > 1:
+            # batch the content clip (the reference crashes for num_samples > 1)
+            sample_t2m = jnp.tile(sample_t2m, (args.num_samples, 1, 1, 1))
 
     inp_mask = jnp.asarray(
         get_inpainting_mask(args.inpainting_mask, sample_t2m.shape, dataset=args.dataset),

@@ -41,6 +41,14 @@ DATASET_DIMS = {
 
 def get_transfer_config(args) -> MDMConfig:
     njoints, nfeats = DATASET_DIMS.get(args.dataset, (25, 6))
+    arch = getattr(args, "arch", "trans_enc")
+    if arch != "trans_enc":
+        # MDM supports trans_dec/gru (models/denoiser.py), but the style-
+        # transfer wrapper only implements the trans_enc forward — exactly
+        # like the reference StyleDiffusion (mdm_forstyledataset.py:619-622).
+        raise NotImplementedError(
+            f"StyleDiffusion implements arch='trans_enc' only (got {arch!r}); "
+            "build MDM directly for trans_dec/gru experiments")
     return MDMConfig(
         njoints=njoints,
         nfeats=nfeats,
@@ -51,6 +59,8 @@ def get_transfer_config(args) -> MDMConfig:
         dropout=0.1,
         clip_dim=512,
         cond_mask_prob=args.cond_mask_prob,
+        arch=arch,
+        emb_trans_dec=bool(getattr(args, "emb_trans_dec", False)),
         fused=bool(getattr(args, "fused", 0)),
     )
 

@@ -23,8 +23,10 @@ from motionstyle.core.features import process_file, uniform_skeleton
 from motionstyle.core.skeleton import Skeleton
 from motionstyle.models.smpl import SMPL
 
-# AMASS (Z-up) -> Y-up axis permutation; parity :40-44 (trans_matrix)
-TRANS_MATRIX = np.array([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0], [0.0, 1.0, 0.0]])
+# AMASS -> canonical axis permutation (x<->z swap), the ACTIVE matrix in the
+# reference (process_smpl_from_hybrik.py:48-50; the identity-x variant above
+# it is commented out there)
+TRANS_MATRIX = np.array([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0], [1.0, 0.0, 0.0]])
 
 
 def _resample_grid(n_frames: int, downsample_rate: float):

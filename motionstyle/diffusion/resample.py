@@ -21,8 +21,12 @@ class UniformSampler:
         self.num_timesteps = num_timesteps
 
     def sample(self, rng: jax.Array, batch: int, data_range=None):
-        hi = self.num_timesteps if data_range is None else len(range(*(data_range if isinstance(data_range, tuple) else (0, data_range))))
-        lo = 0
+        if data_range is None:
+            lo, hi = 0, self.num_timesteps
+        elif isinstance(data_range, tuple):
+            lo, hi = data_range
+        else:
+            lo, hi = 0, int(data_range)
         t = jax.random.randint(rng, (batch,), lo, hi, dtype=jnp.int32)
         weights = jnp.ones((batch,), dtype=jnp.float32)
         return t, weights

@@ -140,14 +140,23 @@ class TorchGRU(nn.Module):
             return h_final, ys
 
         out, seq_f = direction("l0", False)
-        seqs = seq_f
         if self.bidirectional:
             out_b, seq_b = direction("l0_reverse", True)
             out = jnp.concatenate([out, out_b], axis=-1)
-            seqs = jnp.concatenate([seq_f, seq_b], axis=-1)
-        if self.return_sequence:
-            return out, seqs
-        return out
+        if not self.return_sequence:
+            return out
+        # reference convention (modules.py:294-307): pad_packed zeros the
+        # padded positions, then the backward half is flipped WITHIN each
+        # valid length: word_hids[t].backward = b_{len-1-t}
+        ts = jnp.arange(T)[None, :]
+        valid = (ts < lengths[:, None])[..., None]
+        seq_f = jnp.where(valid, seq_f, 0.0)
+        if self.bidirectional:
+            flip_idx = jnp.clip(lengths[:, None] - 1 - ts, 0, T - 1)
+            seq_b = jnp.take_along_axis(seq_b, flip_idx[..., None], axis=1)
+            seq_b = jnp.where(valid, seq_b, 0.0)
+            return out, jnp.concatenate([seq_f, seq_b], axis=-1)
+        return out, seq_f
 
 
 class MovementConvEncoder(nn.Module):
@@ -258,13 +267,17 @@ class EvaluatorWrapper:
     def __init__(self, dataset_name: str = "humanml", checkpoint_path: Optional[str] = None,
                  dim_pose: Optional[int] = None, unit_length: int = 4, rng=None):
         self.dim_pose = dim_pose or (263 if dataset_name == "humanml" else 251)
+        # only the humanml/kit layouts end in 4 foot-contact channels
+        # (features.py LAYOUTS has_vel_fc); posrot layouts feed full features
+        self.strip_fc = self.dim_pose in (263, 251)
         self.unit_length = unit_length
         self.movement_enc = MovementConvEncoder()
         self.text_enc = TextEncoderBiGRUCo()
         self.motion_enc = MotionEncoderBiGRUCo()
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         k1, k2, k3 = jax.random.split(rng, 3)
-        self.movement_params = self.movement_enc.init(k1, jnp.zeros((1, 8, self.dim_pose - 4)))
+        in_dim = self.dim_pose - 4 if self.strip_fc else self.dim_pose
+        self.movement_params = self.movement_enc.init(k1, jnp.zeros((1, 8, in_dim)))
         self.text_params = self.text_enc.init(
             k2, jnp.zeros((1, 4, 300)), jnp.zeros((1, 4, 15)), jnp.asarray([4]))
         self.motion_params = self.motion_enc.init(k3, jnp.zeros((1, 2, 512)), jnp.asarray([2]))
@@ -280,7 +293,8 @@ class EvaluatorWrapper:
 
     def get_motion_embeddings(self, motions: np.ndarray, m_lens: np.ndarray) -> np.ndarray:
         """motions (B, T, dim_pose), m_lens (B,) -> (B, 512)."""
-        movements = self.movement_enc.apply(self.movement_params, jnp.asarray(motions[..., :-4]))
+        feats = motions[..., :-4] if self.strip_fc else motions
+        movements = self.movement_enc.apply(self.movement_params, jnp.asarray(feats))
         lens = jnp.asarray(m_lens) // self.unit_length
         return np.asarray(self.motion_enc.apply(self.motion_params, movements, lens))
 

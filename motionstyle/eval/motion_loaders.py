@@ -108,6 +108,82 @@ class GeneratedMotionDataset:
         return d["caption"], motion, d["length"], d["tokens"], d["cap_len"]
 
 
+def sample_mov_length(logits: jax.Array, rng: jax.Array, min_mov_length: int = 10,
+                      max_draws: int = 3) -> int:
+    """Multinomial draw over the length estimator's softmax with up to two
+    re-draws when the draw lands below min_mov_length; the final draw is kept
+    either way. Parity: comp_v6_model_dataset.py:85-91."""
+    length = 0
+    for _ in range(max_draws):
+        rng, sub = jax.random.split(rng)
+        length = int(jax.random.categorical(sub, logits))
+        if length >= min_mov_length:
+            break
+    return length
+
+
+class CompV6GeneratedDataset:
+    """Eval dataset for the vendored T2M (CompV6) generator: per-caption
+    lengths sampled from the length estimator, motions generated
+    autoregressively.
+
+    Parity: comp_v6_model_dataset.py CompV6GeneratedDataset :51-120 — length
+    distribution from MotionLenEstimatorBiGRU (softmax + multinomial with
+    re-draws), m_lens = mov_length * unit_length, multimodality repeats.
+    Host batch=1 loop like the reference; this is the offline evaluation
+    path for the evaluator stack, not a serving path.
+    """
+
+    def __init__(self, generator, len_estimator, ground_truth_loader,
+                 word_vectorizer: WordVectorizer, mm_num_samples: int = 0,
+                 mm_num_repeats: int = 0, min_mov_length: int = 10, seed: int = 0):
+        rng = jax.random.PRNGKey(seed)
+        self.dataset = ground_truth_loader.dataset
+        self.generated_motion = []
+        self.mm_generated_motion = []
+
+        items = []
+        for motion, cond in ground_truth_loader:
+            texts = cond["y"]["text"]
+            tokens = [t.split("_") for t in cond["y"].get("tokens", [""] * len(texts))]
+            items += [(texts[b], tokens[b]) for b in range(len(texts))]
+        mm_idxs = set(np.sort(np.random.RandomState(seed).choice(
+            len(items), min(mm_num_samples, len(items)), replace=False)).tolist()) \
+            if mm_num_samples > 0 else set()
+
+        for i, (caption, tokens) in enumerate(items):
+            we, po, cl = embed_texts(word_vectorizer, [tokens])
+            logits = len_estimator.model.apply(
+                {"params": len_estimator.params}, jnp.asarray(we), jnp.asarray(po),
+                jnp.asarray(cl))[0]
+            is_mm = i in mm_idxs
+            mm_motions = []
+            for r in range(mm_num_repeats if is_mm else 1):
+                rng, k_len, k_gen = jax.random.split(rng, 3)
+                mov_length = max(1, sample_mov_length(logits, k_len, min_mov_length))
+                m_len = mov_length * generator.unit_length
+                pred, _, _ = generator.generate(
+                    generator.params, jnp.asarray(we), jnp.asarray(po), jnp.asarray(cl),
+                    jnp.asarray([m_len]), mov_length, k_gen)
+                entry = {"motion": np.asarray(pred[0]), "length": m_len,
+                         "caption": caption, "tokens": tokens, "cap_len": int(cl[0])}
+                if r == 0:
+                    self.generated_motion.append(entry)
+                if is_mm:
+                    mm_motions.append({"motion": entry["motion"], "length": m_len})
+            if is_mm:
+                self.mm_generated_motion.append(
+                    {"caption": caption, "tokens": tokens, "cap_len": int(cl[0]),
+                     "mm_motions": mm_motions})
+
+    def __len__(self):
+        return len(self.generated_motion)
+
+    def __getitem__(self, item):
+        d = self.generated_motion[item]
+        return d["caption"], d["motion"], d["length"], d["tokens"], d["cap_len"]
+
+
 def embed_texts(word_vectorizer: WordVectorizer, tokens_list, max_text_len: int = 20):
     """tokens ('word/POS' strings) -> (word_embs, pos_onehots, cap_lens)."""
     B = len(tokens_list)
@@ -152,11 +228,26 @@ def evaluate_matching_and_fid(
     gt_text, gt_motion = co_embed(gt_items)
     gen_text, gen_motion = co_embed(gen_items)
 
+    def pooled_rp_and_matching(text_emb, motion_emb, pool: int = 32):
+        """T2M protocol: R-precision/matching within shuffled 32-candidate
+        pools (chance level 1/32 regardless of the sample count)."""
+        n = (len(text_emb) // pool) * pool
+        if n == 0:
+            n, pool = len(text_emb), len(text_emb)
+        order = np.random.RandomState(0).permutation(len(text_emb))[:n]
+        rp = np.zeros(top_k)
+        match = 0.0
+        for s in range(0, n, pool):
+            sel = order[s : s + pool]
+            rp += metrics.calculate_r_precision(text_emb[sel], motion_emb[sel], top_k, sum_all=True)
+            match += metrics.calculate_matching_score(text_emb[sel], motion_emb[sel], sum_all=True)
+        return rp / n, match / n
+
     out = OrderedDict()
-    out["matching_score_gt"] = float(metrics.calculate_matching_score(gt_text, gt_motion, sum_all=True) / len(gt_items))
-    out["matching_score"] = float(metrics.calculate_matching_score(gen_text, gen_motion, sum_all=True) / len(gen_items))
-    rp_gt = metrics.calculate_r_precision(gt_text, gt_motion, top_k, sum_all=True) / len(gt_items)
-    rp = metrics.calculate_r_precision(gen_text, gen_motion, top_k, sum_all=True) / len(gen_items)
+    rp_gt, match_gt = pooled_rp_and_matching(gt_text, gt_motion)
+    rp, match = pooled_rp_and_matching(gen_text, gen_motion)
+    out["matching_score_gt"] = float(match_gt)
+    out["matching_score"] = float(match)
     for k in range(top_k):
         out[f"R_precision_top_{k+1}_gt"] = float(rp_gt[k])
         out[f"R_precision_top_{k+1}"] = float(rp[k])

@@ -40,14 +40,16 @@ JOINT_MAP = {
     "Right Eye": 25, "Left Ear": 28, "Right Ear": 27,
 }
 # smplx's extra surface joints picked directly from mesh vertices (the public
-# smplx VERTEX_IDS table for the 'smplh' topology): appended after the 24
-# regressed joints to form the 45-joint smplx output.
+# smplx VERTEX_IDS table for the 'smplh' topology), in smplx's
+# VertexJointSelector order: FACE then FEET then HAND TIPS — this ordering
+# defines joints 24..44 of the 45-joint output that JOINT_MAP indexes.
 VERTEX_IDS = {
     "nose": 332, "reye": 6260, "leye": 2800, "rear": 4071, "lear": 583,
-    "rthumb": 6191, "rindex": 5782, "rmiddle": 5905, "rring": 6016,
-    "rpinky": 6133, "lthumb": 2746, "lindex": 2319, "lmiddle": 2445,
-    "lring": 2556, "lpinky": 2673, "LBigToe": 3216, "LSmallToe": 3226,
-    "LHeel": 3387, "RBigToe": 6617, "RSmallToe": 6624, "RHeel": 6787,
+    "LBigToe": 3216, "LSmallToe": 3226, "LHeel": 3387,
+    "RBigToe": 6617, "RSmallToe": 6624, "RHeel": 6787,
+    "lthumb": 2746, "lindex": 2319, "lmiddle": 2445, "lring": 2556,
+    "lpinky": 2673, "rthumb": 6191, "rindex": 5782, "rmiddle": 5905,
+    "rring": 6016, "rpinky": 6133,
 }
 
 JOINT_NAMES = [
@@ -224,8 +226,14 @@ class SMPL:
         pose_mats = jnp.concatenate([global_orient[:, None], body_pose], axis=1)
         verts, joints24 = lbs(self.model, betas, pose_mats)
         n_verts = verts.shape[1]
-        vertex_ids = np.array([v for v in VERTEX_IDS.values() if v < n_verts])
-        surface = verts[:, vertex_ids] if len(vertex_ids) else jnp.zeros((B, 0, 3))
+        full_ids = np.array(list(VERTEX_IDS.values()))
+        if (full_ids < n_verts).all():
+            surface = verts[:, full_ids]
+        else:
+            # synthetic/test meshes are smaller than the real SMPL topology;
+            # clamp so indices stay valid (only jointstype='smpl' is exact
+            # then — the vibe/a2m maps need the full mesh)
+            surface = verts[:, np.minimum(full_ids, n_verts - 1)]
         if self.model.j_regressor_extra is not None:
             extra = jnp.einsum("kv,bvc->bkc", jnp.asarray(self.model.j_regressor_extra), verts)
         else:

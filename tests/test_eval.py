@@ -80,6 +80,42 @@ class TestEvaluatorParity:
         np.testing.assert_allclose(np.asarray(out), g["text_emb"], atol=2e-4)
 
 
+class TestTorchGRUSequenceParity:
+    def test_return_sequence_matches_reference_convention(self):
+        """word_hids convention (modules.py:294-307): pad_packed zeros t>=len,
+        backward half flipped within each valid length."""
+        import jax
+        import torch
+
+        from motionstyle.eval.evaluators import TorchGRU
+
+        B, T, D, H = 3, 7, 5, 4
+        lengths = np.array([7, 5, 3])
+        r = np.random.RandomState(0)
+        x = r.randn(B, T, D).astype(np.float32)
+        gru = TorchGRU(hidden_size=H, bidirectional=True, return_sequence=True)
+        h0 = jnp.zeros((2, B, H))
+        params = gru.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(lengths), h0)
+        out, seq = gru.apply(params, jnp.asarray(x), jnp.asarray(lengths), h0)
+
+        tg = torch.nn.GRU(D, H, batch_first=True, bidirectional=True)
+        tg.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                            for k, v in params["params"].items()})
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            torch.from_numpy(x), torch.from_numpy(lengths), batch_first=True)
+        with torch.no_grad():
+            gru_seq, gru_last = tg(packed)
+        gru_seq = torch.nn.utils.rnn.pad_packed_sequence(gru_seq, batch_first=True)[0]
+        forward = gru_seq[..., :H]
+        backward = gru_seq[..., H:].clone()
+        for i, L in enumerate(lengths):
+            backward[i, :L] = torch.flip(backward[i, :L], dims=[0])
+        ref_seq = torch.cat([forward, backward], dim=-1).numpy()
+        ref_last = torch.cat([gru_last[0], gru_last[1]], dim=-1).numpy()
+        np.testing.assert_allclose(np.asarray(seq), ref_seq, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out), ref_last, atol=1e-5)
+
+
 class TestWordVectorizer:
     def test_fallback_deterministic_and_pos(self):
         wv = WordVectorizer()

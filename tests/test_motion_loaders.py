@@ -60,6 +60,38 @@ class TestGeneratedDataset:
         assert len(ds) <= 8  # one batch past the limit
 
 
+class TestCompV6GeneratedDataset:
+    def test_lengths_from_estimator_and_generation(self):
+        from motionstyle.eval.motion_loaders import CompV6GeneratedDataset, sample_mov_length
+        from motionstyle.eval.t2m_generator import CompV6Generator, LengthEstTrainer
+
+        gen = CompV6Generator(dim_pose=31, dim_z=8, hidden=32, text_hidden=16)
+        est = LengthEstTrainer(output_size=6)
+        loader = _FakeLoader(n_batches=2, batch_size=2, C=31)
+        ds = CompV6GeneratedDataset(gen, est, loader, WordVectorizer(),
+                                    mm_num_samples=2, mm_num_repeats=3,
+                                    min_mov_length=1)
+        assert len(ds) == 4
+        caption, motion, length, tokens, cap_len = ds[0]
+        # generated length is a unit_length multiple from the estimator
+        assert length % gen.unit_length == 0 and 1 <= length <= 6 * gen.unit_length
+        assert motion.shape == (length, 31) and np.isfinite(motion).all()
+        assert len(ds.mm_generated_motion) == 2
+        assert len(ds.mm_generated_motion[0]["mm_motions"]) == 3
+
+    def test_sample_mov_length_redraws(self):
+        from motionstyle.eval.motion_loaders import sample_mov_length
+
+        # distribution concentrated on a short bucket: after 3 draws the last
+        # draw is kept even when below the minimum (reference keeps it too)
+        logits = jnp.log(jnp.asarray([0.999, 1e-4, 1e-4]))
+        vals = {sample_mov_length(logits, jax.random.PRNGKey(i), min_mov_length=2)
+                for i in range(20)}
+        assert 0 in vals  # short draws survive
+        logits_hi = jnp.log(jnp.asarray([1e-4, 1e-4, 0.999]))
+        assert sample_mov_length(logits_hi, jax.random.PRNGKey(0), min_mov_length=2) == 2
+
+
 class TestEvalPipeline:
     def test_metric_suite_runs_and_discriminates(self):
         wv = WordVectorizer()
