@@ -90,10 +90,20 @@ def main(argv=None):
         prior_fn = cfg_model_fn(bundle.denoiser_fn(style=False),
                                 jnp.full((args.num_samples,), 2.5))
         rng_prior = jax.random.fold_in(jax.random.PRNGKey(args.seed), 1)
-        sample_t2m = sampling.sample_loop(
-            sched_full, prior_fn, {"enc_text": enc_text}, rng_prior,
-            shape=(args.num_samples, njoints, nfeats, max_frames), method="ddpm",
-        )
+        prior_shape = (args.num_samples, njoints, nfeats, max_frames)
+        if getattr(args, "parallel_window", 0) > 0:
+            from motionstyle.diffusion.parallel_sampling import parallel_sample_loop
+
+            sample_t2m, sweeps = parallel_sample_loop(
+                sched_full, prior_fn, {"enc_text": enc_text}, rng_prior,
+                shape=prior_shape, method="ddpm", window=args.parallel_window)
+            print(f"  parallel sampler: {int(sweeps)} sweeps for "
+                  f"{sched_full.num_timesteps} steps")
+        else:
+            sample_t2m = sampling.sample_loop(
+                sched_full, prior_fn, {"enc_text": enc_text}, rng_prior,
+                shape=prior_shape, method="ddpm",
+            )
         m_length = style_m_length
     else:
         sample_t2m, m_length = load_clip(args.input_content)

@@ -45,6 +45,10 @@ def main(argv=None):
     parser.add_argument("--mm_num_samples", default=0, type=int)
     parser.add_argument("--mm_num_repeats", default=10, type=int)
     parser.add_argument("--guidance_param", default=2.5, type=float)
+    parser.add_argument("--parallel_window", default=0, type=int,
+                        help="if >0, sample with the parallel-in-time Picard "
+                             "sampler using this window of timesteps per "
+                             "batched forward (diffusion/parallel_sampling.py)")
     parser.add_argument("--seed", default=10, type=int)
     args = parser.parse_args(argv)
 
@@ -62,6 +66,15 @@ def main(argv=None):
             import jax.numpy as jnp
 
             fn = cfg_model_fn(model_fn, jnp.full((shape[0],), args.guidance_param))
+        if args.parallel_window > 0:
+            from motionstyle.diffusion.parallel_sampling import parallel_sample_loop
+
+            sample, sweeps = parallel_sample_loop(
+                sched_full, fn, cond, rng, shape=tuple(shape), method="ddpm",
+                window=args.parallel_window)
+            print(f"  parallel sampler: {int(sweeps)} sweeps for "
+                  f"{sched_full.num_timesteps} steps")
+            return sample
         return sampling.sample_loop(sched_full, fn, cond, rng, shape=tuple(shape),
                                     method="ddpm", remat=False)
 

@@ -24,7 +24,8 @@ def parse_and_load_from_model(parser: ArgumentParser):
         args_to_overwrite += get_args_per_group_name(parser, args, group_name)
     # run-local flags must never be resurrected from a checkpoint's args.json
     args_to_overwrite = [a for a in args_to_overwrite
-                         if a not in ("skip_render", "model_path", "output_dir", "fused")]
+                         if a not in ("skip_render", "model_path", "output_dir", "fused",
+                                      "parallel_window")]
 
     model_path = get_model_path_from_args()
     args_path = os.path.join(os.path.dirname(model_path), "args.json")
@@ -141,6 +142,10 @@ def add_sampling_options(parser):
     group.add_argument("--num_samples", default=1, type=int)
     group.add_argument("--num_repetitions", default=1, type=int)
     group.add_argument("--guidance_param", default=2.5, type=float)
+    group.add_argument("--parallel_window", default=0, type=int,
+                       help="if >0, full-schedule prior sampling uses the "
+                            "parallel-in-time Picard sampler with this many "
+                            "timesteps per batched forward")
     group.add_argument("--skip_render", action="store_true")
     return group
 

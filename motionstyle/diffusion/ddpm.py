@@ -160,7 +160,10 @@ def cfg_model_fn(model_fn: ModelFn, scale: jax.Array) -> ModelFn:
         cond2["enc_text"] = jnp.concatenate([enc, jnp.zeros_like(enc)], axis=0)
         out = model_fn(x2, t2, cond2)
         out_cond, out_uncond = jnp.split(out, 2, axis=0)
-        s = scale.reshape((-1,) + (1,) * (x.ndim - 1))
+        # tile the per-clip scale when the batch is a multiple of it (the
+        # parallel-in-time sampler folds its time window into the batch dim)
+        s = jnp.tile(scale, x.shape[0] // scale.shape[0])
+        s = s.reshape((-1,) + (1,) * (x.ndim - 1))
         return out_uncond + s * (out_cond - out_uncond)
 
     return wrapped
