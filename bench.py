@@ -312,6 +312,56 @@ def bench_humanml_prior_fk(batch: int = 8, reps: int = 2) -> float:
     return batch / float(np.median(times))
 
 
+def bench_parallel_in_time(batch: int = 1, window: int = 32, reps: int = 3) -> dict:
+    """Latency of 1000-step DDPM single-clip sampling via the parallel-in-time
+    Picard sampler vs the sequential scan (diffusion/parallel_sampling.py).
+    Returns {seq_s, par_s, sweeps, speedup}."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionstyle.diffusion import sampling
+    from motionstyle.diffusion.parallel_sampling import parallel_sample_loop
+    from motionstyle.diffusion.schedule import make_schedule
+    from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+
+    cfg = MDMConfig(njoints=C, nfeats=1, dtype="bfloat16", fused=True)
+    model = StyleDiffusion(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((batch, C, 1, T_FRAMES)),
+                        jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)))
+    sched = make_schedule("cosine", DDPM_STEPS)
+    enc_text = jnp.zeros((batch, 512))
+
+    def model_fn(x, t, c):
+        return model.apply(params, x, t, c["enc_text"])
+
+    @jax.jit
+    def run_seq(rng):
+        return sampling.sample_loop(sched, model_fn, {"enc_text": enc_text}, rng,
+                                    shape=(batch, C, 1, T_FRAMES), method="ddpm",
+                                    remat=False)
+
+    @jax.jit
+    def run_par(rng):
+        return parallel_sample_loop(sched, model_fn, {"enc_text": enc_text}, rng,
+                                    shape=(batch, C, 1, T_FRAMES), method="ddpm",
+                                    window=window)
+
+    def timed(fn):
+        jax.block_until_ready(fn(jax.random.PRNGKey(1)))
+        ts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            out = fn(jax.random.PRNGKey(2 + i))
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)), out
+
+    seq_s, _ = timed(run_seq)
+    par_s, (_, sweeps) = timed(run_par)
+    return {"seq_s": round(seq_s, 4), "par_s": round(par_s, 4),
+            "sweeps": int(sweeps), "speedup": round(seq_s / par_s, 2)}
+
+
 def main_full():
     """All five BASELINE.json benchmark configs, one JSON line each."""
     for name, fn, unit in (
@@ -323,6 +373,9 @@ def main_full():
     ):
         v = fn()
         print(json.dumps({"metric": name, "value": round(float(v), 3), "unit": unit}))
+    r = bench_parallel_in_time()
+    print(json.dumps({"metric": "parallel_in_time_ddpm1000_b1_w32", "unit": "x-vs-sequential",
+                      "value": r["speedup"], **r}))
 
 
 def main():
