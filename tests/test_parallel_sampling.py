@@ -81,6 +81,31 @@ class TestParallelSampling:
                                       tol=0.02, tol_floor=2e-3)
         np.testing.assert_allclose(np.asarray(par), np.asarray(seq), atol=5e-2)
 
+    def test_runs_under_data_sharded_mesh(self):
+        """Picard window batching composes with SPMD data sharding: the
+        (W*B) model batch splits over the data axis like any other batch."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        sched = make_schedule("cosine", 20)
+        B = 8
+        shape = (B, 6, 1, 8)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+        noise0 = jax.random.normal(jax.random.PRNGKey(1), shape)
+        noise0 = jax.device_put(noise0, NamedSharding(mesh, P("data")))
+        cond = {"enc_text": jax.device_put(
+            jnp.zeros((B, 4)), NamedSharding(mesh, P("data")))}
+
+        @jax.jit
+        def run(noise0):
+            return parallel_sample_loop(sched, _model_fn, cond,
+                                        jax.random.PRNGKey(0), noise=noise0,
+                                        method="ddpm", window=5)
+
+        with mesh:
+            out, sweeps = run(noise0)
+        assert out.shape == shape and np.isfinite(np.asarray(out)).all()
+        assert int(sweeps) >= 1
+
     def test_tighter_tolerance_is_closer(self):
         sched = make_schedule("cosine", 40)
         Z = _pinned_noise(sched)
