@@ -172,3 +172,18 @@ def dumpkvs():
 
 def log(*args):
     get_current().log(*args)
+
+
+def log_loss_dict(num_timesteps, ts, losses):
+    """Per-term mean plus quartile-bucketed per-timestep means
+    ({key}_q{0..3} by 4*t/T); parity: training_loop.py:385-390 (the generic
+    prior-training logger; the style finetune path logs plain means, :392)."""
+    import numpy as np
+
+    ts = np.asarray(ts)
+    for key, values in losses.items():
+        values = np.asarray(values)
+        logkv_mean(key, float(values.mean()))
+        for sub_t, sub_loss in zip(ts.reshape(-1), values.reshape(-1)):
+            quartile = int(4 * sub_t / num_timesteps)
+            logkv_mean(f"{key}_q{quartile}", float(sub_loss))

@@ -158,3 +158,21 @@ class TestGraftEntry:
         fn, args = ge.entry()
         out = jax.jit(fn)(*args)
         assert out.shape == (2, 181, 1, 76)
+
+
+class TestKVLogger:
+    def test_logkv_mean_and_quartiles(self, tmp_path):
+        from motionstyle.train import logging as logger
+
+        logger.configure(str(tmp_path), format_strs=("csv",))
+        losses = {"loss": np.array([1.0, 3.0, 5.0, 7.0])}
+        ts = np.array([0, 249, 500, 999])  # quartiles 0, 0, 2, 3 for T=1000
+        logger.log_loss_dict(1000, ts, losses)
+        kvs = dict(logger.get_current().name2val)
+        assert kvs["loss"] == pytest.approx(4.0)
+        assert kvs["loss_q0"] == pytest.approx(2.0)  # mean of 1, 3
+        assert kvs["loss_q2"] == pytest.approx(5.0)
+        assert kvs["loss_q3"] == pytest.approx(7.0)
+        assert "loss_q1" not in kvs
+        logger.dumpkvs()
+        assert (tmp_path / "progress.csv").exists()
