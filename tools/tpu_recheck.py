@@ -1,0 +1,61 @@
+"""On-chip recheck queue: run after the TPU tunnel returns.
+
+Usage:  python tools/tpu_recheck.py [--quick]
+
+Runs, in order:
+  1. headline bench (bench.py main) — confirm clips/sec/chip
+  2. parallel-in-time window sweep (latency-bound B=1 case)
+  3. one real finetune step on-chip (compile + execute sanity)
+Prints one JSON line per result so the output is grep-able.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def probe():
+    import jax
+
+    ds = jax.devices()
+    print(json.dumps({"metric": "devices", "value": len(ds),
+                      "platform": ds[0].platform}))
+    return ds[0].platform
+
+
+def window_sweep(windows=(8, 16, 32, 64)):
+    import bench
+
+    for w in windows:
+        r = bench.bench_parallel_in_time(batch=1, window=w, reps=2)
+        print(json.dumps({"metric": f"parallel_w{w}", **r}))
+
+
+def finetune_step():
+    import bench
+
+    v = bench.bench_finetune_steps(steps=8)
+    print(json.dumps({"metric": "finetune_steps_per_sec", "value": round(v, 3)}))
+
+
+def main():
+    quick = "--quick" in sys.argv
+    platform = probe()
+    if platform not in ("tpu", "axon"):
+        print(json.dumps({"metric": "abort", "reason": f"not on TPU ({platform})"}))
+        return
+    t0 = time.perf_counter()
+    import bench
+
+    bench.main()
+    if not quick:
+        window_sweep()
+        finetune_step()
+    print(json.dumps({"metric": "recheck_wall_s", "value": round(time.perf_counter() - t0, 1)}))
+
+
+if __name__ == "__main__":
+    main()
