@@ -31,11 +31,18 @@ class ShardedSampler:
     """
 
     def __init__(self, mesh: Mesh, sched: DiffusionSchedule, model_fn_builder: Callable,
-                 params, **sample_kwargs):
-        """model_fn_builder(params) -> model_fn(x, t_orig, cond)."""
+                 params, parallel_window: int = 0, **sample_kwargs):
+        """model_fn_builder(params) -> model_fn(x, t_orig, cond).
+
+        parallel_window > 0 serves through the parallel-in-time Picard
+        sampler (diffusion/parallel_sampling.py): each sweep is one
+        (window*B)-batch forward sharded over the mesh — the latency play for
+        small per-request batches where the chips are otherwise step-bound.
+        """
         self.mesh = mesh
         self.sched = sched
         self.params = shard_params(params, mesh)
+        self.parallel_window = parallel_window
         self.sample_kwargs = sample_kwargs
         self.model_fn_builder = model_fn_builder
         self._compiled = {}
@@ -49,6 +56,16 @@ class ShardedSampler:
         if key not in self._compiled:
             def run(params, init_image, cond, inpainting, rng):
                 model_fn = self.model_fn_builder(params)
+                if self.parallel_window > 0:
+                    from motionstyle.diffusion.parallel_sampling import parallel_sample_loop
+
+                    kw = {k: v for k, v in self.sample_kwargs.items() if k != "remat"}
+                    sample, _ = parallel_sample_loop(
+                        self.sched, model_fn, cond, rng,
+                        shape=shape, init_image=init_image,
+                        inpainting=inpainting, window=self.parallel_window, **kw,
+                    )
+                    return sample
                 return sampling.sample_loop(
                     self.sched, model_fn, cond, rng,
                     shape=shape, init_image=init_image,

@@ -93,3 +93,28 @@ class TestShardedSampling:
         sampler2 = ShardedSampler(mesh_dp, sched, builder, params, method="ddim", skip_timesteps=14)
         out_dp = sampler2({"init_image": jnp.asarray(content), "cond": cond}, jax.random.PRNGKey(2))
         np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_dp), atol=1e-4)
+
+
+class TestShardedParallelInTime:
+    def test_parallel_window_serving_matches_sequential(self, tiny_model):
+        """ShardedSampler(parallel_window=N) draws the same clips as the
+        sequential scan when the sampler is deterministic (DDIM eta=0)."""
+        model, params = tiny_model
+        sched = make_schedule("cosine", 1000, "ddim20")
+        B = 8
+        cond = {"enc_text": np.zeros((B, 16), np.float32)}
+
+        def builder(p):
+            return lambda x, t, c: model.apply(p, x, t, c["enc_text"])
+
+        content = np.random.RandomState(1).randn(B, 16, 1, 8).astype(np.float32)
+        mesh = make_mesh(8, model_parallel=1)
+        seq = ShardedSampler(mesh, sched, builder, params, method="ddim",
+                             skip_timesteps=14)
+        par = ShardedSampler(mesh, sched, builder, params, method="ddim",
+                             skip_timesteps=14, parallel_window=4)
+        out_seq = seq({"init_image": jnp.asarray(content), "cond": cond},
+                      jax.random.PRNGKey(2))
+        out_par = par({"init_image": jnp.asarray(content), "cond": cond},
+                      jax.random.PRNGKey(2))
+        np.testing.assert_allclose(np.asarray(out_par), np.asarray(out_seq), atol=5e-3)
