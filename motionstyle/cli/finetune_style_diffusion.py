@@ -176,6 +176,7 @@ def main(argv=None):
         semantic_guidance=bool(args.semantic_guidance), ls_weight=args.Ls,
         cond_mask_prob=args.cond_mask_prob,
         resume_checkpoint=args.resume_checkpoint, seed=args.seed,
+        parallel_unroll=bool(getattr(args, "parallel_finetune", 0)),
     )
     trainer = StyleFinetuneTrainer(ft_cfg, bundle.model, bundle.params, sched, platform)
     print("Total params: %.2fM trainable" % (

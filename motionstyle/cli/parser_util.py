@@ -115,6 +115,10 @@ def add_finetune_options(parser):
     group.add_argument("--log_interval", default=1, type=int)
     group.add_argument("--save_interval", default=100, type=int)
     group.add_argument("--num_steps", default=24, type=int)
+    group.add_argument("--parallel_finetune", default=0, type=int,
+                       help="1 = Picard-parallel DDIM unroll in the finetune "
+                            "loss (same gradients, batched sweeps instead of "
+                            "sequential denoiser calls)")
     group.add_argument("--num_frames", default=60, type=int)
     group.add_argument("--resume_checkpoint", default="", type=str)
     group.add_argument("--skip_render", action="store_true",

@@ -66,6 +66,7 @@ def few_shot_style_finetune_loss(
     motion_enc_fn: Optional[Callable[[jax.Array, dict], jax.Array]] = None,
     text_features: Optional[jax.Array] = None,
     ls_weight: float = 10.0,
+    parallel_unroll: bool = False,
 ) -> dict:
     """Compute the few-shot style finetune loss terms.
 
@@ -100,21 +101,28 @@ def few_shot_style_finetune_loss(
         method = "ddpm"
         skip = skip_steps
 
-    xstarts = sampling.sample_loop(
-        sched,
-        model_fn,
-        cond_style,
-        rng_loop,
-        shape=x_content_start.shape,
-        init_image=x_content_start,
-        method=method,
-        skip_timesteps=skip,
-        clip_denoised=False,
-        inpainting=inpainting_style,
-        dump_all_xstart=True,
-        differentiable=True,
-        remat=True,
-    )  # (S, B, C, 1, T)
+    if parallel_unroll:
+        xstarts = _parallel_unroll_xstarts(
+            sched, model_fn, cond_style, rng_loop,
+            init_image=x_content_start, method=method, skip=skip,
+            inpainting=inpainting_style,
+        )
+    else:
+        xstarts = sampling.sample_loop(
+            sched,
+            model_fn,
+            cond_style,
+            rng_loop,
+            shape=x_content_start.shape,
+            init_image=x_content_start,
+            method=method,
+            skip_timesteps=skip,
+            clip_denoised=False,
+            inpainting=inpainting_style,
+            dump_all_xstart=True,
+            differentiable=True,
+            remat=True,
+        )  # (S, B, C, 1, T)
 
     num_step = xstarts.shape[0]
     target = jnp.broadcast_to(x_style_start[None], xstarts.shape)
@@ -127,3 +135,61 @@ def few_shot_style_finetune_loss(
         loss = loss + terms["text_cosine"] * ls_weight
     terms["loss"] = loss
     return terms
+
+
+def _parallel_unroll_xstarts(
+    sched: DiffusionSchedule,
+    model_fn: ModelFn,
+    cond: dict,
+    rng: jax.Array,
+    *,
+    init_image: jax.Array,
+    method: str,
+    skip: int,
+    inpainting: Optional[Inpainting],
+) -> jax.Array:
+    """Picard-parallel replacement for the differentiable sequential unroll.
+
+    Two phases:
+      1. solve the chain's per-step states with the (gradient-free)
+         parallel-in-time sampler — a few batched sweeps instead of S
+         dependent denoiser calls;
+      2. ONE differentiable batched forward re-evaluates the x0 prediction at
+         every (stop_gradient'ed) state.
+    Because the sequential loop detaches the carried sample between steps
+    (gaussian_diffusion.py:617/:867 semantics), gradients there also flow
+    only through each step's own forward at a detached input — so phase 2
+    reproduces the sequential gradients exactly up to the Picard state
+    tolerance (bit-equal states for deterministic DDIM eta=0, the finetune
+    default).
+
+    Returns x0 predictions (S, B, C, 1, T) in execution order.
+    """
+    from motionstyle.diffusion.parallel_sampling import parallel_sample_loop
+
+    shape = init_image.shape
+    _, _, states = parallel_sample_loop(
+        sched, model_fn, cond, rng, shape=shape, init_image=init_image,
+        method=method, skip_timesteps=skip, inpainting=inpainting,
+        window=min(64, sched.num_timesteps - skip), dump_states=True,
+    )
+    states = jax.lax.stop_gradient(states)
+    S, B = states.shape[0], shape[0]
+
+    idx = jnp.arange(sched.num_timesteps - skip - 1, -1, -1, dtype=jnp.int32)
+    t_flat = jnp.repeat(idx, B)
+    x_flat = states.reshape((S * B,) + shape[1:])
+    cond_tiled = jax.tree.map(
+        lambda a: jnp.tile(jnp.asarray(a), (S,) + (1,) * (jnp.asarray(a).ndim - 1)), cond
+    )
+    inp_tiled = None
+    if inpainting is not None:
+        inp_tiled = Inpainting(
+            jnp.tile(inpainting.mask, (S,) + (1,) * (inpainting.mask.ndim - 1)),
+            jnp.tile(inpainting.motion, (S,) + (1,) * (inpainting.motion.ndim - 1)),
+        )
+    pmv = ddpm.p_mean_variance(
+        sched, model_fn, x_flat, t_flat, cond_tiled,
+        clip_denoised=False, inpainting=inp_tiled,
+    )
+    return pmv.pred_xstart.reshape((S, B) + shape[1:])

@@ -57,6 +57,7 @@ def parallel_sample_loop(
     tol_floor: float = 1e-2,
     max_sweeps: Optional[int] = None,
     step_noise: Optional[jax.Array] = None,
+    dump_states: bool = False,
 ):
     """Sample via windowed Picard iteration; same distribution as
     sampling.sample_loop with the same pinned per-step noises.
@@ -68,6 +69,12 @@ def parallel_sample_loop(
       eta=0, where tol_floor alone sets an absolute threshold).
     step_noise: optional pinned (S, B, *state) noise table (test hook shared
       with sample_loop); default draws z_p = normal(fold_in(rng, p)).
+    dump_states: also return the converged PRE-transition state x_p of every
+      step, (S, B, *state) in execution order (highest t first) — the input
+      each denoiser call saw. Used by the parallel finetune unroll, which
+      re-evaluates x0 predictions at these states in one differentiable
+      batched forward. Returns (final, sweeps, states) instead of
+      (final, sweeps).
     """
     if noise is None:
         assert shape is not None, "need shape when noise is not given"
@@ -134,7 +141,7 @@ def parallel_sample_loop(
     max_it = max_sweeps if max_sweeps is not None else 4 * S + 16
 
     def sweep(carry):
-        X, s, it = carry  # X (W+1, B, *state): X[j] ~ x_{s+j}
+        X, s, it, states = carry  # X (W+1, B, *state): X[j] ~ x_{s+j}
         positions = s + jnp.arange(W)
         nxt = transitions(X[:W], positions)
         delta = nxt - X[:W]
@@ -151,16 +158,24 @@ def parallel_sample_loop(
         k = jnp.argmin(jnp.cumprod(ok.astype(jnp.int32)))  # contiguous prefix
         k = jnp.where(ok.all(), W, k)
         k = jnp.maximum(k, jnp.where(it >= max_it, 1, 0))  # forced progress cap
+        if states is not None:
+            # positions s..s+k-1 retire this sweep with states X_new[0..k-1]
+            j = jnp.arange(W + 1)
+            write_idx = jnp.where(j < k, s + j, S)  # S is OOB -> dropped
+            states = states.at[write_idx].set(X_new, mode="drop")
         # slide: X'[i] = X_new[i+k]; beyond the window reuse the last estimate
         i = jnp.arange(W + 1)
         src = jnp.minimum(i + k, W)
         X_next = X_new[src]
-        return X_next, jnp.minimum(s + k, S), it + 1
+        return X_next, jnp.minimum(s + k, S), it + 1, states
 
     X0 = jnp.broadcast_to(img, (W + 1,) + shape)
-    X, s_final, sweeps = jax.lax.while_loop(
-        lambda c: c[1] < S, sweep, (X0, jnp.asarray(0), jnp.asarray(0))
+    states0 = jnp.zeros((S,) + shape, img.dtype) if dump_states else None
+    X, s_final, sweeps, states = jax.lax.while_loop(
+        lambda c: c[1] < S, sweep, (X0, jnp.asarray(0), jnp.asarray(0), states0)
     )
+    if dump_states:
+        return X[0], sweeps, states
     return X[0], sweeps
 
 

@@ -53,6 +53,10 @@ class FinetuneConfig:
     cond_mask_prob: float = 0.1
     resume_checkpoint: str = ""
     seed: int = 10
+    # Picard-parallel unroll: solve the DDIM chain's states in batched sweeps,
+    # grads through one batched forward (diffusion/losses.py
+    # _parallel_unroll_xstarts) — same gradients, fewer dependent calls
+    parallel_unroll: bool = False
 
 
 def parse_resume_step_from_filename(filename: str) -> int:
@@ -170,6 +174,7 @@ class StyleFinetuneTrainer:
                     motion_enc_fn=motion_enc_fn if cfg.semantic_guidance else None,
                     text_features=batch.get("text_features"),
                     ls_weight=cfg.ls_weight,
+                    parallel_unroll=cfg.parallel_unroll,
                 )
                 return terms["loss"], terms
 

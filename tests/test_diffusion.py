@@ -178,6 +178,40 @@ class TestFinetuneLoss:
         assert np.isfinite(np.asarray(grad)).all()
         assert float(jnp.abs(grad).max()) > 0.0
 
+    def test_parallel_unroll_matches_sequential_grads(self, goldens):
+        """DDIM eta=0 finetune unroll: the Picard-parallel loss and its
+        gradients equal the sequential differentiable scan's (per-step
+        detach semantics reproduced by the batched re-evaluation)."""
+        g = goldens["sampler_toy"]
+        sched = make_schedule("cosine", 1000, "ddim20")
+        C, T = 8, 10
+        mask = jnp.ones((1, 1, 1, T))
+        inp_mask = jnp.asarray(g["mask"])
+        content = jnp.asarray(g["content"])
+        style = jnp.asarray(np.random.RandomState(5).randn(1, C, 1, T).astype(np.float32))
+
+        def loss_of_w(w, parallel):
+            def model_fn(x, t_orig, cond):
+                return jnp.tanh(jnp.einsum("bcft,cd->bdft", x, w))
+
+            terms = losses.few_shot_style_finetune_loss(
+                sched, model_fn, style, jnp.asarray([3], dtype=jnp.int32),
+                content, style, jax.random.PRNGKey(0),
+                mask=mask, cond_style={}, cond_t2m={},
+                inpainting_style=Inpainting(mask=inp_mask, motion=content),
+                inpainting_t2m_mask=inp_mask,
+                skip_steps=700, use_ddim=True, semantic_guidance=False,
+                parallel_unroll=parallel,
+            )
+            return terms["loss"]
+
+        w0 = jnp.asarray(g["W"])
+        v_seq, g_seq = jax.value_and_grad(lambda w: loss_of_w(w, False))(w0)
+        v_par, g_par = jax.value_and_grad(lambda w: loss_of_w(w, True))(w0)
+        np.testing.assert_allclose(float(v_par), float(v_seq), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_par), np.asarray(g_seq),
+                                   atol=1e-4, rtol=1e-3)
+
     def test_masked_l2_normalization(self):
         a = jnp.ones((2, 3, 1, 4))
         b = jnp.zeros((2, 3, 1, 4))
