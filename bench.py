@@ -234,7 +234,7 @@ def bench_bandai_long_batch(batch: int = 16, reps: int = 3) -> float:
     return batch / float(np.median(times))
 
 
-def bench_finetune_steps(steps: int = 32) -> float:
+def bench_finetune_steps(steps: int = 32, parallel: bool = False) -> float:
     """BASELINE config: few-shot finetune (~32 steps). Returns steps/sec
     (steady state, compile excluded)."""
     import tempfile
@@ -255,7 +255,8 @@ def bench_finetune_steps(steps: int = 32) -> float:
                         method=StyleDiffusion.full_init)
     sched = make_schedule("cosine", DDPM_STEPS, "ddim20")
     tr = StyleFinetuneTrainer(
-        FinetuneConfig(save_dir=tempfile.mkdtemp(), num_steps=steps, save_interval=10 ** 9),
+        FinetuneConfig(save_dir=tempfile.mkdtemp(), num_steps=steps, save_interval=10 ** 9,
+                       parallel_unroll=parallel),
         model, params, sched)
     r = np.random.RandomState(0)
     inp = get_inpainting_mask("root_horizontal", (1, C, 1, Tx), dataset="stylexia_posrot").astype(np.float32)

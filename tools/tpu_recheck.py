@@ -39,6 +39,9 @@ def finetune_step():
 
     v = bench.bench_finetune_steps(steps=8)
     print(json.dumps({"metric": "finetune_steps_per_sec", "value": round(v, 3)}))
+    vp = bench.bench_finetune_steps(steps=8, parallel=True)
+    print(json.dumps({"metric": "finetune_steps_per_sec_parallel", "value": round(vp, 3),
+                      "speedup": round(vp / v, 2)}))
 
 
 def main():
