@@ -31,19 +31,20 @@ def _pinned_noise(sched, skip=0):
 
 
 class TestParallelSampling:
-    @pytest.mark.parametrize("method", ["ddpm", "ddim"])
-    def test_matches_sequential_with_pinned_noise(self, method):
+    @pytest.mark.parametrize("method,clip", [("ddpm", False), ("ddim", False),
+                                             ("ddpm", True)])
+    def test_matches_sequential_with_pinned_noise(self, method, clip):
         sched = make_schedule("cosine", 50)
         Z = _pinned_noise(sched)
         rng = jax.random.PRNGKey(0)
         noise0 = jax.random.normal(jax.random.PRNGKey(1), SHAPE)
         seq = sampling.sample_loop(
             sched, _model_fn, _cond(SHAPE[0]), rng, noise=noise0, method=method,
-            step_noise=Z, remat=False,
+            step_noise=Z, remat=False, clip_denoised=clip,
         )
         par, sweeps = parallel_sample_loop(
             sched, _model_fn, _cond(SHAPE[0]), rng, noise=noise0, method=method,
-            step_noise=Z, window=10, tol=0.02, tol_floor=2e-3,
+            step_noise=Z, window=10, tol=0.02, tol_floor=2e-3, clip_denoised=clip,
         )
         assert np.isfinite(np.asarray(par)).all()
         np.testing.assert_allclose(np.asarray(par), np.asarray(seq), atol=5e-2)
