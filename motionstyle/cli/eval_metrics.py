@@ -50,6 +50,9 @@ def main(argv=None):
                              "sampler using this window of timesteps per "
                              "batched forward (diffusion/parallel_sampling.py)")
     parser.add_argument("--seed", default=10, type=int)
+    parser.add_argument("--replication_times", default=1, type=int,
+                        help="T2M protocol replications: re-generate + re-evaluate "
+                             "this many times and report mean and 95%% conf interval")
     args = parser.parse_args(argv)
 
     max_frames = 196 if args.dataset in ("humanml", "bandai-1_posrot", "bandai-2_posrot") else 76
@@ -78,13 +81,6 @@ def main(argv=None):
         return sampling.sample_loop(sched_full, fn, cond, rng, shape=tuple(shape),
                                     method="ddpm", remat=False)
 
-    print("generating evaluation samples ...")
-    gen = GeneratedMotionDataset(
-        sample_batch_fn, loader,
-        mm_num_samples=args.mm_num_samples, mm_num_repeats=args.mm_num_repeats,
-        num_samples_limit=args.num_samples, seed=args.seed,
-    )
-
     wv = WordVectorizer(args.glove_dir or None)
     evaluator = EvaluatorWrapper(args.dataset, checkpoint_path=args.evaluator_checkpoint or None,
                                  dim_pose=bundle.cfg.njoints)
@@ -99,25 +95,41 @@ def main(argv=None):
             return (denormed - ds.mean_for_eval) / ds.std_for_eval
         return motion_td
 
-    gt_items, gen_items = [], []
-    for i, (motion, cond) in enumerate(loader):
-        for b in range(motion.shape[0]):
-            tokens = cond["y"].get("tokens", [""] * motion.shape[0])[b].split("_")
-            gt_items.append((cond["y"]["text"][b], to_eval_space(motion[b, :, 0, :].T),
-                             int(cond["y"]["lengths"][b]), tokens))
-        if len(gt_items) >= len(gen):
-            break
-    for i in range(len(gen)):
-        caption, motion, length, tokens, _ = gen[i]
-        gen_items.append((caption, motion, length, tokens))
+    def one_replication(rep: int) -> dict:
+        print(f"generating evaluation samples (replication {rep}) ...")
+        gen = GeneratedMotionDataset(
+            sample_batch_fn, loader,
+            mm_num_samples=args.mm_num_samples, mm_num_repeats=args.mm_num_repeats,
+            num_samples_limit=args.num_samples, seed=args.seed + rep,
+        )
+        gt_items, gen_items = [], []
+        for motion, cond in loader:
+            for b in range(motion.shape[0]):
+                tokens = cond["y"].get("tokens", [""] * motion.shape[0])[b].split("_")
+                gt_items.append((cond["y"]["text"][b], to_eval_space(motion[b, :, 0, :].T),
+                                 int(cond["y"]["lengths"][b]), tokens))
+            if len(gt_items) >= len(gen):
+                break
+        for i in range(len(gen)):
+            caption, motion, length, tokens, _ = gen[i]
+            gen_items.append((caption, motion, length, tokens))
 
-    n = min(len(gt_items), len(gen_items))
-    metrics = evaluate_matching_and_fid(evaluator, wv, gt_items[:n], gen_items[:n],
-                                        diversity_times=min(300, n - 1))
-    if gen.mm_generated_motion:
-        metrics["multimodality"] = evaluate_multimodality(
-            evaluator, gen.mm_generated_motion, mm_num_times=min(10, args.mm_num_repeats - 1))
-    out = {k: round(float(v), 4) for k, v in metrics.items()}
+        n = min(len(gt_items), len(gen_items))
+        metrics = evaluate_matching_and_fid(evaluator, wv, gt_items[:n], gen_items[:n],
+                                            diversity_times=min(300, n - 1), seed=rep)
+        if gen.mm_generated_motion:
+            metrics["multimodality"] = evaluate_multimodality(
+                evaluator, gen.mm_generated_motion,
+                mm_num_times=min(10, args.mm_num_repeats - 1))
+        return {k: float(v) for k, v in metrics.items()}
+
+    reps = [one_replication(r) for r in range(max(1, args.replication_times))]
+    out = {k: round(float(np.mean([r[k] for r in reps])), 4) for k in reps[0]}
+    if len(reps) > 1:
+        # 95% confidence interval over replications (T2M protocol reporting)
+        for k in list(out):
+            vals = np.asarray([r[k] for r in reps])
+            out[f"{k}_conf"] = round(float(1.96 * vals.std() / np.sqrt(len(vals))), 4)
     print(json.dumps(out, indent=2))
     return out
 

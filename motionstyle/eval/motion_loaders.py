@@ -208,6 +208,7 @@ def evaluate_matching_and_fid(
     gen_items: list,
     top_k: int = 3,
     diversity_times: int = 300,
+    seed: int = 0,
 ) -> OrderedDict:
     """Full metric suite over (caption, motion (T, C), length, tokens) items.
 
@@ -234,7 +235,7 @@ def evaluate_matching_and_fid(
         n = (len(text_emb) // pool) * pool
         if n == 0:
             n, pool = len(text_emb), len(text_emb)
-        order = np.random.RandomState(0).permutation(len(text_emb))[:n]
+        order = np.random.RandomState(seed).permutation(len(text_emb))[:n]
         rp = np.zeros(top_k)
         match = 0.0
         for s in range(0, n, pool):
@@ -255,8 +256,8 @@ def evaluate_matching_and_fid(
     mu, cov = metrics.calculate_activation_statistics(gen_motion)
     out["FID"] = metrics.calculate_frechet_distance(mu_gt, cov_gt, mu, cov)
     dt = min(diversity_times, len(gen_items) - 1)
-    out["diversity_gt"] = metrics.calculate_diversity(gt_motion, dt, rng=np.random.RandomState(0))
-    out["diversity"] = metrics.calculate_diversity(gen_motion, dt, rng=np.random.RandomState(0))
+    out["diversity_gt"] = metrics.calculate_diversity(gt_motion, dt, rng=np.random.RandomState(seed))
+    out["diversity"] = metrics.calculate_diversity(gen_motion, dt, rng=np.random.RandomState(seed))
     return out
 
 
