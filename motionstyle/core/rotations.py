@@ -211,25 +211,40 @@ def euler_to_quaternion(e: jax.Array, order: str = "zyx") -> jax.Array:
     return q
 
 
-def quaternion_to_euler(q: jax.Array, order: str = "zyx") -> jax.Array:
-    """Quaternion -> intrinsic euler angles (radians) for supported orders."""
-    m = quaternion_to_matrix(q)
-    if order == "zyx":
-        y = jnp.arcsin(jnp.clip(-m[..., 2, 0], -1.0, 1.0))
-        z = jnp.arctan2(m[..., 1, 0], m[..., 0, 0])
-        x = jnp.arctan2(m[..., 2, 1], m[..., 2, 2])
-        return jnp.stack([z, y, x], axis=-1)
+def quaternion_to_euler(q: jax.Array, order: str = "zyx", epsilon: float = 0.0) -> jax.Array:
+    """Quaternion -> intrinsic euler angles (radians), all six orders.
+
+    Closed forms match quaternion.py:102-148 (qeuler) exactly; the one
+    convention difference is the RETURN LAYOUT: the reference always stacks
+    (x, y, z) while we stack angles in order-string sequence, consistent with
+    euler_to_quaternion's reading of e[..., i] as the angle about order[i]
+    (so quaternion_to_euler inverts euler_to_quaternion for every order).
+    epsilon shrinks the asin clamp to (-1+eps, 1-eps) as the reference does.
+    """
+    w, x, y, z = (q[..., i] for i in range(4))
+    asin = lambda v: jnp.arcsin(jnp.clip(2.0 * v, -1.0 + epsilon, 1.0 - epsilon))
+    at = lambda a, b: jnp.arctan2(2.0 * a, 1.0 - 2.0 * b)
     if order == "xyz":
-        y = jnp.arcsin(jnp.clip(m[..., 0, 2], -1.0, 1.0))
-        x = jnp.arctan2(-m[..., 1, 2], m[..., 2, 2])
-        z = jnp.arctan2(-m[..., 0, 1], m[..., 0, 0])
-        return jnp.stack([x, y, z], axis=-1)
-    if order == "zxy":
-        x = jnp.arcsin(jnp.clip(m[..., 2, 1], -1.0, 1.0))
-        z = jnp.arctan2(-m[..., 0, 1], m[..., 1, 1])
-        y = jnp.arctan2(-m[..., 2, 0], m[..., 2, 2])
-        return jnp.stack([z, x, y], axis=-1)
-    raise NotImplementedError(f"euler order {order!r}")
+        e = {"x": at(w * x - y * z, x * x + y * y), "y": asin(x * z + w * y),
+             "z": at(w * z - x * y, y * y + z * z)}
+    elif order == "yzx":
+        e = {"x": at(w * x - y * z, x * x + z * z), "y": at(w * y - x * z, y * y + z * z),
+             "z": asin(x * y + w * z)}
+    elif order == "zxy":
+        e = {"x": asin(w * x + y * z), "y": at(w * y - x * z, x * x + y * y),
+             "z": at(w * z - x * y, x * x + z * z)}
+    elif order == "xzy":
+        e = {"x": at(w * x + y * z, x * x + z * z), "y": at(w * y + x * z, y * y + z * z),
+             "z": asin(w * z - x * y)}
+    elif order == "yxz":
+        e = {"x": asin(w * x - y * z), "y": at(x * z + w * y, x * x + y * y),
+             "z": at(x * y + w * z, x * x + z * z)}
+    elif order == "zyx":
+        e = {"x": at(w * x + y * z, x * x + y * y), "y": asin(w * y - x * z),
+             "z": at(w * z + x * y, y * y + z * z)}
+    else:
+        raise NotImplementedError(f"euler order {order!r}")
+    return jnp.stack([e[c] for c in order], axis=-1)
 
 
 def remove_quat_discontinuities(rotations: jax.Array) -> jax.Array:

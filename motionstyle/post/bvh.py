@@ -49,24 +49,21 @@ class Anim:
         self.pos = self.pos[sl]
 
 
-def _euler_zyx_to_quat(e_deg: np.ndarray) -> np.ndarray:
-    """(..., 3) (z, y, x) degrees -> quaternion, R = Rz Ry Rx."""
-    e = np.radians(e_deg)
-    return np.asarray(rot.euler_to_quaternion(jnp.asarray(e), "zyx"))
-
-
-def _quat_to_euler_zyx(q: np.ndarray) -> np.ndarray:
-    return np.degrees(np.asarray(rot.quaternion_to_euler(jnp.asarray(q), "zyx")))
-
-
-def read_bvh(filename: str, start=None, end=None, end_sites: bool = False) -> Anim:
+def read_bvh(filename: str, start=None, end=None, end_sites: bool = False,
+             order: Optional[str] = None) -> Anim:
     """Parse a BVH file into an Anim. end_sites=True keeps End Site joints as
-    'End Site' named bones (reference behavior with end_sites flag)."""
+    'End Site' named bones (reference behavior with end_sites flag).
+
+    Channel handling is PER JOINT (a superset of bvh_utils.py:84-295, which
+    locks the rotation order from the first CHANNELS line): each joint's
+    position/rotation columns and euler order come from its own CHANNELS
+    declaration, so files mixing e.g. zyx roots with xyz limbs parse
+    correctly. `order` (reference API) overrides the declared rotation order
+    for every joint."""
     names: List[str] = []
     offsets: List[list] = []
     parents: List[int] = []
-    channels_per_joint: List[int] = []
-    channel_order: List[str] = []
+    joint_channels: List[List[str]] = []
     end_offsets = {}
     active = -1
     frames = None
@@ -95,7 +92,7 @@ def read_bvh(filename: str, start=None, end=None, end_sites: bool = False) -> An
             if m := re.match(r"\s*(ROOT|JOINT)\s+(\S+)", line):
                 names.append(m.group(2))
                 offsets.append([0.0, 0.0, 0.0])
-                channels_per_joint.append(0)
+                joint_channels.append([])
                 parents.append(active)
                 active = len(parents) - 1
                 continue
@@ -104,7 +101,7 @@ def read_bvh(filename: str, start=None, end=None, end_sites: bool = False) -> An
                 if end_sites:
                     names.append("End Site")
                     offsets.append([0.0, 0.0, 0.0])
-                    channels_per_joint.append(0)
+                    joint_channels.append([])
                     parents.append(active)
                     active = len(parents) - 1
                 continue
@@ -117,11 +114,7 @@ def read_bvh(filename: str, start=None, end=None, end_sites: bool = False) -> An
                 continue
             if m := re.match(r"\s*CHANNELS\s+(\d+)\s+(.*)", line):
                 n = int(m.group(1))
-                channels_per_joint[active] = n
-                chans = m.group(2).split()
-                rot_chans = [c for c in chans if c.endswith("rotation")]
-                if rot_chans and not channel_order:
-                    channel_order = [CHANNEL_AXIS[c] for c in rot_chans]
+                joint_channels[active] = m.group(2).split()[:n]
                 continue
             if "{" in line:
                 if pending_end and not end_sites:
@@ -145,22 +138,21 @@ def read_bvh(filename: str, start=None, end=None, end_sites: bool = False) -> An
     quats[..., 0] = 1.0
     pos = np.tile(offsets[None], (T, 1, 1)).astype(np.float32)
     col = 0
-    order = "".join(channel_order) or "zyx"
     for j in range(J):
-        nch = channels_per_joint[j]
-        if nch == 0:
+        chans = joint_channels[j]
+        if not chans:
             continue
-        block = motion[:, col : col + nch]
-        col += nch
-        if nch >= 6:
-            pos[:, j] = block[:, :3]
-            e = block[:, 3:6]
-        elif nch == 3:
-            e = block
-        else:
-            continue
-        q = np.asarray(rot.euler_to_quaternion(jnp.asarray(np.radians(e.astype(np.float64))), order))
-        quats[:, j] = q
+        block = motion[:, col : col + len(chans)]
+        col += len(chans)
+        rot_idx = [i for i, c in enumerate(chans) if c in CHANNEL_AXIS]
+        for i, c in enumerate(chans):  # name-mapped, any declaration order
+            if c in ("Xposition", "Yposition", "Zposition"):
+                pos[:, j, "XYZ".index(c[0])] = block[:, i]
+        if len(rot_idx) == 3:
+            jorder = order or "".join(CHANNEL_AXIS[chans[i]] for i in rot_idx)
+            e = block[:, rot_idx]
+            quats[:, j] = np.asarray(rot.euler_to_quaternion(
+                jnp.asarray(np.radians(e.astype(np.float64))), jorder))
 
     anim = Anim(quats, pos, offsets, parents, names, end_offsets or None, frametime)
     if start is not None or end is not None:
@@ -190,15 +182,18 @@ def resample_anim(anim: Anim, rate: float) -> Anim:
 
 
 def save_bvh(filename: str, anim: Anim, frametime: float = 1.0 / 20.0,
-             order: str = "zyx", positions: bool = False) -> None:
+             order="zyx", positions: bool = False) -> None:
     """Write an Anim as BVH: 6 channels on the root (+all joints when
     positions=True), 3 rotation channels elsewhere, End Sites from
-    anim.end_offsets (zero end sites added to leaves otherwise)."""
+    anim.end_offsets (zero end sites added to leaves otherwise).
+    `order` is one euler order string, or a length-J sequence of per-joint
+    order strings (mirrors read_bvh's per-joint channel support)."""
     J = anim.quats.shape[1]
+    orders = [order] * J if isinstance(order, str) else list(order)
+    assert len(orders) == J, (len(orders), J)
     children = [[] for _ in range(J)]
     for j in range(1, J):
         children[anim.parents[j]].append(j)
-    rot_chans = " ".join(AXIS_CHANNEL[a] for a in order)
     end_offsets = anim.end_offsets or {}
 
     lines = ["HIERARCHY"]
@@ -213,6 +208,7 @@ def save_bvh(filename: str, anim: Anim, frametime: float = 1.0 / 20.0,
         t2 = "\t" * (depth + 1)
         o = anim.offsets[j]
         lines.append(f"{t2}OFFSET {o[0]:.6f} {o[1]:.6f} {o[2]:.6f}")
+        rot_chans = " ".join(AXIS_CHANNEL[a] for a in orders[j])
         if depth == 0 or positions:
             lines.append(f"{t2}CHANNELS 6 Xposition Yposition Zposition {rot_chans}")
         else:
@@ -234,9 +230,12 @@ def save_bvh(filename: str, anim: Anim, frametime: float = 1.0 / 20.0,
     lines.append(f"Frames: {T}")
     lines.append(f"Frame Time: {frametime:.6f}")
 
-    eul = _quat_to_euler_zyx(anim.quats) if order == "zyx" else np.degrees(
-        np.asarray(rot.quaternion_to_euler(jnp.asarray(anim.quats), order))
-    )
+    eul = np.zeros((T, J, 3), dtype=np.float64)
+    for o in sorted(set(orders)):  # one vectorized convert per unique order
+        js = [j for j in range(J) if orders[j] == o]
+        eul[:, js] = np.degrees(
+            np.asarray(rot.quaternion_to_euler(jnp.asarray(anim.quats[:, js]), o))
+        )
     rows = []
     for f_i in range(T):
         vals = []

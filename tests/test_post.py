@@ -76,6 +76,33 @@ class TestBVH:
         d = np.abs(np.sum(anim2.quats[:, perm] * anim.quats, axis=-1))
         np.testing.assert_allclose(d, 1.0, atol=1e-4)
 
+    def test_round_trip_per_joint_orders(self, tmp_path):
+        """Writing mixed per-joint euler orders and reading them back must
+        recover the same rotations (per-joint CHANNELS parsing — superset of
+        the reference's single global order, bvh_utils.py:84-295)."""
+        anim = self._make_anim()
+        J = anim.quats.shape[1]
+        all_orders = ["zyx", "xyz", "zxy", "xzy", "yxz", "yzx"]
+        orders = [all_orders[j % len(all_orders)] for j in range(J)]
+        path = str(tmp_path / "mixed.bvh")
+        save_bvh(path, anim, 1 / 20, order=orders)
+        anim2 = read_bvh(path)
+        perm = [anim2.bones.index(n) for n in anim.bones]
+        d = np.abs(np.sum(anim2.quats[:, perm] * anim.quats, axis=-1))
+        np.testing.assert_allclose(d, 1.0, atol=1e-4)
+        # the declared orders actually differ per joint in the file
+        chans = [l for l in open(path) if "CHANNELS" in l]
+        assert len({l.split("CHANNELS")[1].strip() for l in chans}) > 2
+
+    def test_read_bvh_order_override(self, tmp_path):
+        """The reference-API `order` argument overrides declared channels."""
+        anim = self._make_anim()
+        path = str(tmp_path / "o.bvh")
+        save_bvh(path, anim, 1 / 20, order="xyz")
+        a_auto = read_bvh(path)
+        a_forced = read_bvh(path, order="xyz")
+        np.testing.assert_allclose(a_auto.quats, a_forced.quats, atol=1e-6)
+
     def test_fk_consistency_after_round_trip(self, tmp_path):
         anim = self._make_anim()
         path = str(tmp_path / "t.bvh")

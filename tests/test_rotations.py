@@ -56,7 +56,7 @@ class TestIdentities:
         )
 
     def test_euler_round_trip(self):
-        for order in ["zyx", "xyz", "zxy"]:
+        for order in ["zyx", "xyz", "zxy", "xzy", "yxz", "yzx"]:
             e = (np.random.RandomState(7).rand(32, 3).astype(np.float32) - 0.5) * 2.0
             q = rot.euler_to_quaternion(jnp.asarray(e), order)
             e2 = rot.quaternion_to_euler(q, order)
@@ -70,6 +70,19 @@ class TestGoldens:
         g = goldens["quaternion"]
         out = rot.qmul(jnp.asarray(g["q1"]), jnp.asarray(g["q2"]))
         np.testing.assert_allclose(np.asarray(out), g["qmul"], atol=1e-5)
+
+    def test_qeuler_all_orders(self, goldens):
+        """quaternion_to_euler vs reference qeuler (quaternion.py:102-148).
+
+        Convention bridge: the reference returns DEGREES stacked (x, y, z);
+        ours returns radians stacked in order-string sequence."""
+        g = goldens["quaternion"]
+        q = jnp.asarray(g["q1"])
+        for order in ("xyz", "yzx", "zxy", "xzy", "yxz", "zyx"):
+            ours = np.degrees(np.asarray(rot.quaternion_to_euler(q, order)))
+            ours_xyz = ours[..., [order.index(c) for c in "xyz"]]
+            np.testing.assert_allclose(
+                ours_xyz, g[f"qeuler_{order}"], atol=2e-3, err_msg=order)
 
     def test_qrot(self, goldens):
         g = goldens["quaternion"]

@@ -56,6 +56,10 @@ save(
     q2mat=Q.quaternion_to_matrix_np(q1),
     q2cont6d=Q.quaternion_to_cont6d_np(q1),
     cont6d2mat=Q.cont6d_to_matrix_np(c6),
+    # qeuler (quaternion.py:102-148) for all six orders; reference returns
+    # DEGREES stacked (x, y, z) regardless of order string
+    **{f"qeuler_{o}": Q.qeuler_np(q1, o)
+       for o in ("xyz", "yzx", "zxy", "xzy", "yxz", "zyx")},
 )
 
 from utils import rotation as R  # noqa: E402
