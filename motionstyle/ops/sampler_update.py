@@ -31,6 +31,17 @@ import numpy as np
 _TWO_PI = 6.283185307179586
 
 
+def box_muller(bits1: jax.Array, bits2: jax.Array) -> jax.Array:
+    """int32 random bits x2 -> standard normal draws (Box–Muller).
+
+    Pure jnp so the transform math is unit-testable on CPU with injected
+    bits (tests/test_sampler_update.py); the kernel feeds it hardware PRNG
+    output. u1 lands in (0, 1] (log-safe), u2 in [0, 1)."""
+    u1 = (bits1.astype(jnp.float32) + 2147483648.0 + 1.0) / 4294967296.0
+    u2 = (bits2.astype(jnp.float32) + 2147483648.0) / 4294967296.0
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+
+
 def _update_kernel(x_ref, x0_ref, mask_ref, motion_ref, scal_ref, seed_ref,
                    out_ref, xstart_ref):
     """Blocks (R, L); scal = [c1, c2, sigma, nonzero] in SMEM; seed scalar."""
@@ -39,12 +50,7 @@ def _update_kernel(x_ref, x0_ref, mask_ref, motion_ref, scal_ref, seed_ref,
 
     pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     shape = x_ref.shape
-    bits1 = pltpu.prng_random_bits(shape)
-    bits2 = pltpu.prng_random_bits(shape)
-    # Box–Muller on uniforms in (0, 1]
-    u1 = (bits1.astype(jnp.float32) + 2147483648.0 + 1.0) / 4294967296.0
-    u2 = (bits2.astype(jnp.float32) + 2147483648.0) / 4294967296.0
-    z = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(_TWO_PI * u2)
+    z = box_muller(pltpu.prng_random_bits(shape), pltpu.prng_random_bits(shape))
 
     c1 = scal_ref[0]
     c2 = scal_ref[1]

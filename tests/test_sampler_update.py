@@ -13,7 +13,33 @@ requires_tpu_prng = pytest.mark.skipif(
 from motionstyle.diffusion import sampling
 from motionstyle.diffusion.ddpm import Inpainting
 from motionstyle.diffusion.schedule import make_schedule
-from motionstyle.ops.sampler_update import fused_ddpm_update
+from motionstyle.ops.sampler_update import box_muller, fused_ddpm_update
+
+
+class TestBoxMuller:
+    """The uniform->normal transform validated on CPU with injected bits;
+    only the hardware PRNG draw itself remains TPU-only."""
+
+    def test_distribution_from_injected_bits(self):
+        r = np.random.RandomState(0)
+        bits = r.randint(-(2 ** 31), 2 ** 31, size=(2, 1 << 18), dtype=np.int64)
+        z = np.asarray(box_muller(jnp.asarray(bits[0], jnp.int32),
+                                  jnp.asarray(bits[1], jnp.int32)))
+        assert np.isfinite(z).all()
+        assert abs(z.mean()) < 0.01
+        assert abs(z.std() - 1.0) < 0.01
+        assert abs((z < 0).mean() - 0.5) < 0.01
+        # tail mass matches a standard normal (P(|z|>2) ~ 0.0455)
+        assert abs((np.abs(z) > 2).mean() - 0.0455) < 0.005
+
+    def test_log_safe_at_extreme_bits(self):
+        """bits1 = INT32_MIN maps u1 to the smallest positive value, never 0
+        (log-safe); INT32_MAX maps to exactly 1."""
+        lo = jnp.full((4,), -(2 ** 31), jnp.int32)
+        hi = jnp.full((4,), 2 ** 31 - 1, jnp.int32)
+        for b1 in (lo, hi):
+            for b2 in (lo, hi):
+                assert np.isfinite(np.asarray(box_muller(b1, b2))).all()
 
 
 class TestFusedUpdate:
