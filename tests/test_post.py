@@ -167,6 +167,63 @@ class TestIK:
 
 
 class TestRender:
+    def test_pyrender_path_with_stub(self, tmp_path, monkeypatch):
+        """Exercise the opt-in pyrender mesh renderer against a minimal stub
+        of the pyrender/trimesh API (the real packages are not installed);
+        catches call-signature drift in _render_mesh_frames_pyrender."""
+        import sys
+        import types
+
+        calls = {"render": 0, "deleted": 0}
+
+        class _Obj:
+            def __init__(self, *a, **k):
+                pass
+
+        class _Scene(_Obj):
+            def add(self, obj, pose=None):
+                pass
+
+        class _Mesh(_Obj):
+            @staticmethod
+            def from_trimesh(tri, material=None, smooth=True):
+                return _Obj()
+
+        class _Renderer:
+            def __init__(self, w, h):
+                self.w, self.h = w, h
+
+            def render(self, scene, flags=0):
+                calls["render"] += 1
+                return (np.zeros((self.h, self.w, 4), np.uint8), None)
+
+            def delete(self):
+                calls["deleted"] += 1
+
+        pyrender = types.ModuleType("pyrender")
+        pyrender.OffscreenRenderer = _Renderer
+        pyrender.MetallicRoughnessMaterial = _Obj
+        pyrender.Scene = _Scene
+        pyrender.Mesh = _Mesh
+        pyrender.DirectionalLight = _Obj
+        pyrender.PerspectiveCamera = _Obj
+        constants = types.ModuleType("pyrender.constants")
+        constants.RenderFlags = types.SimpleNamespace(RGBA=2048)
+        pyrender.constants = constants
+        trimesh_mod = types.ModuleType("trimesh")
+        trimesh_mod.Trimesh = _Obj
+        monkeypatch.setitem(sys.modules, "pyrender", pyrender)
+        monkeypatch.setitem(sys.modules, "pyrender.constants", constants)
+        monkeypatch.setitem(sys.modules, "trimesh", trimesh_mod)
+
+        from motionstyle.post.render import render_mesh_frames
+
+        verts = np.random.RandomState(0).randn(50, 3, 4).astype(np.float32)
+        out = render_mesh_frames(verts, faces=np.zeros((2, 3), int),
+                                 save_path=str(tmp_path / "mesh.mp4"))
+        assert calls["render"] == 4 and calls["deleted"] == 1
+        assert out.endswith(".gif") and os.path.exists(out)
+
     def test_plot_3d_motion_writes_video(self, goldens, tmp_path):
         g = goldens["features"]
         joints = g["rec_ric"][0][:5]
