@@ -16,6 +16,8 @@ and the fp32 number.
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -23,6 +25,53 @@ import numpy as np
 C, T_FRAMES = 181, 196
 DDPM_STEPS = 1000
 LATENT, LAYERS, HEADS, FF = 512, 8, 4, 1024
+V5E_BF16_PEAK_TFLOPS = 197.0  # TPU v5e MXU peak, bf16
+
+NORTH_STAR = "clips/sec/chip (1000-step DDPM, Xia 196-frame)"
+
+
+def probe_backend(retries: int = 3, wait_s: float = 20.0):
+    """Probe jax backend initialization in a SUBPROCESS with bounded retries
+    (the TPU tunnel flaps; in-process init failures are cached by jax, so the
+    probe must be out-of-process). Returns None on success or an error string
+    after the final attempt."""
+    err = None
+    for attempt in range(retries):
+        if attempt:
+            time.sleep(wait_s)
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=150,
+            )
+            if out.returncode == 0:
+                return None
+            err = (out.stderr.strip().splitlines() or ["unknown"])[-1][:300]
+        except subprocess.TimeoutExpired:
+            err = "backend probe timed out after 150s"
+    return f"jax backend unavailable after {retries} attempts: {err}"
+
+
+def emit_error(metric: str, err: str, unit: str = "clips/s") -> None:
+    """One parseable JSON line on failure (never a raw traceback)."""
+    print(json.dumps({"metric": metric, "value": None, "unit": unit,
+                      "vs_baseline": None, "error": err}))
+
+
+def denoiser_flops_per_clip_step(n_feats: int = C, n_frames: int = T_FRAMES) -> float:
+    """Matmul FLOPs of ONE denoiser forward for ONE clip (fwd only, 2*M*N*K
+    per matmul): 8-layer post-LN encoder at d=512/ff=1024 over L = frames + 1
+    cond token, plus the input/output feature projections."""
+    L = n_frames + 1
+    d, ff = LATENT, FF
+    per_layer = (
+        8 * L * d * d        # qkv (3) + attention output (1) projections
+        + 4 * L * L * d      # scores (QK^T) + attention-weighted V
+        + 4 * L * d * ff     # FFN linear1 + linear2
+    )
+    io = 4 * n_frames * n_feats * d  # InputProcess + OutputProcess linears
+    return float(LAYERS * per_layer + io)
 
 
 def bench_ours(batch: int, dtype: str, reps: int = 3) -> float:
@@ -137,7 +186,10 @@ def bench_torch_cpu_baseline(measure_steps: int = 30) -> float:
             return self.out(self.enc(seq)[1:]).permute(1, 2, 0)[:, :, None, :]
 
     model = TorchDenoiser().eval()
-    betas = np.linspace(1e-4, 0.02, DDPM_STEPS)
+    # cosine schedule, same as our sampler (gaussian_diffusion.py:36-66 math)
+    ts = np.arange(DDPM_STEPS + 1) / DDPM_STEPS
+    abar = np.cos((ts + 0.008) / 1.008 * np.pi / 2) ** 2
+    betas = np.clip(1.0 - abar[1:] / abar[:-1], 0.0, 0.999)
     alphas_cumprod = np.cumprod(1 - betas)
     x = torch.randn(1, C, 1, T_FRAMES)
     with torch.no_grad():
@@ -364,7 +416,7 @@ def bench_parallel_in_time(batch: int = 1, window: int = 32, reps: int = 3) -> d
 
 
 def main_full():
-    """All five BASELINE.json benchmark configs, one JSON line each."""
+    """All BASELINE.json benchmark configs, one JSON line each."""
     for name, fn, unit in (
         ("xia_demo_p50_latency_ms", lambda: bench_transfer_latency() * 1e3, "ms"),
         ("few_shot_finetune_steps_per_sec", bench_finetune_steps, "steps/s"),
@@ -372,19 +424,28 @@ def main_full():
         ("bandai_long_batch_clips_per_sec", bench_bandai_long_batch, "clips/s"),
         ("humanml_prior_fk_clips_per_sec", bench_humanml_prior_fk, "clips/s"),
     ):
-        v = fn()
-        print(json.dumps({"metric": name, "value": round(float(v), 3), "unit": unit}))
-    r = bench_parallel_in_time()
-    print(json.dumps({"metric": "parallel_in_time_ddpm1000_b1_w32", "unit": "x-vs-sequential",
-                      "value": r["speedup"], **r}))
+        try:
+            v = fn()
+            print(json.dumps({"metric": name, "value": round(float(v), 3), "unit": unit}))
+        except Exception as e:  # keep the remaining configs running
+            emit_error(name, f"{type(e).__name__}: {e}"[:300], unit)
+    try:
+        r = bench_parallel_in_time()
+        print(json.dumps({"metric": "parallel_in_time_ddpm1000_b1_w32",
+                          "unit": "x-vs-sequential", "value": r["speedup"], **r}))
+    except Exception as e:
+        emit_error("parallel_in_time_ddpm1000_b1_w32",
+                   f"{type(e).__name__}: {e}"[:300], "x-vs-sequential")
 
 
 def main():
-    torch_clips_per_sec = bench_torch_cpu_baseline()
-
+    # Our jitted benches run FIRST (after a subprocess backend probe with
+    # retries) so a flaky tunnel can't waste minutes in the torch baseline
+    # before dying — and failures print a parseable error JSON line.
     best = (0.0, None, None)
     results = {}
-    for dtype, batches in (("bf16_fused", (1, 32, 64)), ("bf16", (32,)), ("f32", (32,))):
+    for dtype, batches in (("bf16_fused", (1, 32, 64, 128, 256)),
+                           ("bf16", (64,)), ("f32", (64,))):
         for batch in batches:
             cps = bench_ours(batch, dtype)
             results[f"{dtype}_b{batch}"] = round(cps, 3)
@@ -392,8 +453,12 @@ def main():
                 best = (cps, batch, dtype)
 
     p50 = bench_transfer_latency()
+    torch_clips_per_sec = bench_torch_cpu_baseline()
+
+    flops_per_clip = denoiser_flops_per_clip_step() * DDPM_STEPS
+    achieved_tflops = best[0] * flops_per_clip / 1e12
     out = {
-        "metric": "clips/sec/chip (1000-step DDPM, Xia 196-frame)",
+        "metric": NORTH_STAR,
         "value": round(best[0], 3),
         "unit": "clips/s",
         "vs_baseline": round(best[0] / torch_clips_per_sec, 2),
@@ -401,15 +466,22 @@ def main():
         "best_dtype": best[2],
         "torch_cpu_baseline_clips_per_sec": round(torch_clips_per_sec, 4),
         "p50_transfer_latency_ms_ddim20_skip14": round(p50 * 1e3, 2),
+        "achieved_tflops_per_sec": round(achieved_tflops, 1),
+        "mfu_pct_v5e_bf16": round(100.0 * achieved_tflops / V5E_BF16_PEAK_TFLOPS, 1),
         "sweep": results,
     }
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    import sys
-
-    if "--full" in sys.argv:
-        main_full()
-    else:
-        main()
+    err = probe_backend()
+    if err:
+        emit_error(NORTH_STAR, err)
+        sys.exit(0)  # the error line IS the parseable result
+    try:
+        if "--full" in sys.argv:
+            main_full()
+        else:
+            main()
+    except Exception as e:
+        emit_error(NORTH_STAR, f"{type(e).__name__}: {e}"[:300])
