@@ -415,6 +415,46 @@ def bench_parallel_in_time(batch: int = 1, window: int = 32, reps: int = 3) -> d
             "sweeps": int(sweeps), "speedup": round(seq_s / par_s, 2)}
 
 
+def bench_forecast(batch: int = 64, strides=(2, 4), reps: int = 3) -> dict:
+    """Throughput of the north-star config with multistep x0 forecasting
+    (diffusion/forecast_sampling.py): denoiser called every stride-th step.
+    Returns clips/s per stride plus the exact (stride 1) reference."""
+    import jax
+    import jax.numpy as jnp
+
+    from motionstyle.diffusion.forecast_sampling import forecast_sample_loop
+    from motionstyle.diffusion.schedule import make_schedule
+    from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+
+    cfg = MDMConfig(njoints=C, nfeats=1, dtype="bfloat16", fused=True)
+    model = StyleDiffusion(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((batch, C, 1, T_FRAMES)),
+                        jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)))
+    sched = make_schedule("cosine", DDPM_STEPS)
+    enc_text = jnp.zeros((batch, 512))
+
+    def model_fn(x, t, c):
+        return model.apply(params, x, t, c["enc_text"])
+
+    out = {}
+    for stride in (1,) + tuple(strides):
+        run = jax.jit(lambda rng, s=stride: forecast_sample_loop(
+            sched, model_fn, {"enc_text": enc_text}, rng,
+            shape=(batch, C, 1, T_FRAMES), method="ddpm", stride=s))
+        jax.block_until_ready(run(jax.random.PRNGKey(1)))
+        ts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(jax.random.PRNGKey(2 + i)))
+            ts.append(time.perf_counter() - t0)
+        out[f"stride{stride}_clips_per_sec"] = round(batch / float(np.median(ts)), 3)
+    base = out["stride1_clips_per_sec"]
+    for stride in strides:
+        out[f"stride{stride}_speedup"] = round(
+            out[f"stride{stride}_clips_per_sec"] / base, 2)
+    return out
+
+
 def main_full():
     """All BASELINE.json benchmark configs, one JSON line each."""
     for name, fn, unit in (
@@ -436,6 +476,13 @@ def main_full():
     except Exception as e:
         emit_error("parallel_in_time_ddpm1000_b1_w32",
                    f"{type(e).__name__}: {e}"[:300], "x-vs-sequential")
+    try:
+        r = bench_forecast()
+        print(json.dumps({"metric": "forecast_sampling_ddpm1000_b64",
+                          "unit": "x-vs-exact", "value": r["stride2_speedup"], **r}))
+    except Exception as e:
+        emit_error("forecast_sampling_ddpm1000_b64",
+                   f"{type(e).__name__}: {e}"[:300], "x-vs-exact")
 
 
 def main():

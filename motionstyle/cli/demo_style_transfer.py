@@ -99,6 +99,14 @@ def main(argv=None):
                 shape=prior_shape, method="ddpm", window=args.parallel_window)
             print(f"  parallel sampler: {int(sweeps)} sweeps for "
                   f"{sched_full.num_timesteps} steps")
+        elif getattr(args, "forecast_stride", 1) > 1:
+            from motionstyle.diffusion.forecast_sampling import forecast_sample_loop
+
+            sample_t2m = forecast_sample_loop(
+                sched_full, prior_fn, {"enc_text": enc_text}, rng_prior,
+                shape=prior_shape, method="ddpm", stride=args.forecast_stride)
+            print(f"  forecast sampler: denoiser called every "
+                  f"{args.forecast_stride} steps")
         else:
             sample_t2m = sampling.sample_loop(
                 sched_full, prior_fn, {"enc_text": enc_text}, rng_prior,

@@ -49,6 +49,11 @@ def main(argv=None):
                         help="if >0, sample with the parallel-in-time Picard "
                              "sampler using this window of timesteps per "
                              "batched forward (diffusion/parallel_sampling.py)")
+    parser.add_argument("--forecast_stride", default=1, type=int,
+                        help="if >1, call the denoiser every Nth step and "
+                             "forecast its x0 in between (~Nx faster, "
+                             "approximate; lets the eval stack QUANTIFY the "
+                             "quality cost via FID/R-precision deltas)")
     parser.add_argument("--seed", default=10, type=int)
     parser.add_argument("--replication_times", default=1, type=int,
                         help="T2M protocol replications: re-generate + re-evaluate "
@@ -78,6 +83,12 @@ def main(argv=None):
             print(f"  parallel sampler: {int(sweeps)} sweeps for "
                   f"{sched_full.num_timesteps} steps")
             return sample
+        if args.forecast_stride > 1:
+            from motionstyle.diffusion.forecast_sampling import forecast_sample_loop
+
+            return forecast_sample_loop(sched_full, fn, cond, rng,
+                                        shape=tuple(shape), method="ddpm",
+                                        stride=args.forecast_stride)
         return sampling.sample_loop(sched_full, fn, cond, rng, shape=tuple(shape),
                                     method="ddpm", remat=False)
 

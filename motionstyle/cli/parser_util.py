@@ -25,7 +25,7 @@ def parse_and_load_from_model(parser: ArgumentParser):
     # run-local flags must never be resurrected from a checkpoint's args.json
     args_to_overwrite = [a for a in args_to_overwrite
                          if a not in ("skip_render", "model_path", "output_dir", "fused",
-                                      "parallel_window")]
+                                      "parallel_window", "forecast_stride")]
 
     model_path = get_model_path_from_args()
     args_path = os.path.join(os.path.dirname(model_path), "args.json")
@@ -150,6 +150,11 @@ def add_sampling_options(parser):
                        help="if >0, full-schedule prior sampling uses the "
                             "parallel-in-time Picard sampler with this many "
                             "timesteps per batched forward")
+    group.add_argument("--forecast_stride", default=1, type=int,
+                       help="if >1, full-schedule prior sampling calls the "
+                            "denoiser every Nth step and linearly forecasts "
+                            "its x0 prediction in between (~Nx faster, "
+                            "approximate; diffusion/forecast_sampling.py)")
     group.add_argument("--skip_render", action="store_true")
     return group
 

@@ -80,6 +80,34 @@ class TestCLIPipeline:
         assert results["lengths"][0] == 64
         assert np.isfinite(results["motion"]).all()
 
+    def test_humanml_demo_forecast_stride(self, tmp_path):
+        """--forecast_stride > 1 drives prior sampling through the multistep
+        output-forecasting sampler end to end."""
+        from motionstyle.cli.demo_style_transfer import main as demo_main
+
+        root = tmp_path / "hml"
+        (root / "new_joint_vecs").mkdir(parents=True)
+        r = np.random.RandomState(0)
+        np.save(root / "new_joint_vecs" / "000001.npy",
+                (r.randn(64, 263) * 0.5).astype(np.float32))
+        np.save(root / "Mean.npy", (r.randn(263) * 0.1).astype(np.float32))
+        np.save(root / "Std.npy", (np.abs(r.randn(263)) + 0.5).astype(np.float32))
+        save_dir = tmp_path / "ft" / "010happy_jumping"
+        save_dir.mkdir(parents=True)
+        with open(save_dir / "args.json", "w") as f:
+            json.dump({"dataset": "humanml", "layers": 1, "latent_dim": 64,
+                       "diffusion_steps": 40, "skip_steps": 28}, f)
+        out = demo_main([
+            "--model_path", str(save_dir / "model000000001.pt"),
+            "--input_content", "happy_jumping.npy",
+            "--style_example", "000001.npy",
+            "--data_dir", str(root), "--skip_render",
+            "--forecast_stride", "4",
+        ])
+        results = np.load(os.path.join(out, "results.npy"), allow_pickle=True).item()
+        assert results["motion"].shape == (1, 22, 3, 196)
+        assert np.isfinite(results["motion"]).all()
+
     def test_demo_args_json_roundtrip(self, xia_root, tmp_path):
         """args.json written by finetune governs the demo's model config."""
         from motionstyle.cli.parser_util import eval_inpainting_style_args
