@@ -30,6 +30,13 @@ import numpy as np
 
 _NEG = -1e9
 
+# Sequence (row/sublane) padding granularity. Rows only need bf16 sublane
+# alignment (16), not lane alignment (128): padding 197 -> 208 instead of
+# -> 256 cuts ~19% of issued FLOPs in the qkv/out/FFN matmuls (the attention
+# scores' key/lane dim still tiles to 128 inside the MXU, which is fine).
+# Set back to 128 if a Mosaic version rejects non-128 score lanes.
+SEQ_ALIGN = 16
+
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
@@ -115,7 +122,7 @@ def fused_encoder_layer(
     from jax.experimental import pallas as pl
 
     B, S, D = x.shape
-    Sp = _round_up(S, 128)
+    Sp = _round_up(S, SEQ_ALIGN)
 
     p = layer_params
     wqkv = p["self_attn"]["in_proj"]["kernel"].astype(jnp.bfloat16)
