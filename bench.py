@@ -83,9 +83,11 @@ def bench_ours(batch: int, dtype: str, reps: int = 3) -> float:
     from motionstyle.diffusion.schedule import make_schedule
     from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
 
+    is_int8 = dtype.startswith("int8")
     cfg = MDMConfig(njoints=C, nfeats=1, latent_dim=LATENT, ff_size=FF, num_layers=LAYERS,
-                    num_heads=HEADS, dtype="bfloat16" if dtype.startswith("bf16") else "float32",
-                    fused=dtype.endswith("fused"))
+                    num_heads=HEADS,
+                    dtype="float32" if dtype == "f32" else "bfloat16",
+                    fused=dtype.endswith("fused"), quant_int8=is_int8)
     model = StyleDiffusion(cfg)
     x0 = jnp.zeros((batch, C, 1, T_FRAMES), dtype=jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)))
@@ -492,11 +494,14 @@ def main():
     best = (0.0, None, None)
     results = {}
     for dtype, batches in (("bf16_fused", (1, 32, 64, 128, 256)),
-                           ("bf16", (64,)), ("f32", (64,))):
+                           ("bf16", (64,)), ("f32", (64,)),
+                           ("int8_fused", (64, 128))):
         for batch in batches:
             cps = bench_ours(batch, dtype)
             results[f"{dtype}_b{batch}"] = round(cps, 3)
-            if cps > best[0]:
+            # int8 is an opt-in accuracy/throughput trade (quant_int8);
+            # the headline number stays on the numerics-preserving dtypes
+            if cps > best[0] and not dtype.startswith("int8"):
                 best = (cps, batch, dtype)
 
     p50 = bench_transfer_latency()

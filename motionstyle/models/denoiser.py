@@ -74,6 +74,11 @@ class MDMConfig:
     # route encoder stacks through the fused Pallas layer kernel at inference
     # (ops/fused_encoder.py; measured 1.37x over the XLA encoder on v5e)
     fused: bool = False
+    # opt-in int8 quantized serving (requires fused=True): the four large
+    # matmuls per layer run int8xint8->int32 on the MXU at 2x bf16 peak with
+    # per-channel weight / per-token activation scales; attention stays bf16.
+    # An accuracy/throughput trade for serving — OFF for parity paths.
+    quant_int8: bool = False
 
     @property
     def input_feats(self) -> int:
@@ -157,6 +162,7 @@ class MDM(nn.Module):
             out = self.seqTransEncoder(
                 xseq, deterministic=deterministic,
                 use_fused=self.cfg.fused and deterministic,
+                use_int8=self.cfg.quant_int8,
             )[:, 1:]
         elif self.cfg.arch == "trans_dec":
             if self.cfg.emb_trans_dec:
@@ -231,6 +237,7 @@ class StyleDiffusion(nn.Module):
         out = self.style_encoder(
             xseq, deterministic=deterministic,
             use_fused=self.cfg.fused and deterministic,
+                use_int8=self.cfg.quant_int8,
         )[:, 1:]
         return self.mdm._tokens_to_frames(self.mdm.output_process(out)).astype(jnp.float32)
 

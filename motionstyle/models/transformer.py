@@ -183,7 +183,8 @@ class TransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, key_padding_mask: Optional[jax.Array] = None,
-                 deterministic: bool = True, use_fused: bool = False) -> jax.Array:
+                 deterministic: bool = True, use_fused: bool = False,
+                 use_int8: bool = False) -> jax.Array:
         # parameters must be materialized by the layer modules during init;
         # the fused Pallas path reads them back out of this module's scope.
         if use_fused and deterministic and not self.is_initializing():
@@ -191,7 +192,8 @@ class TransformerEncoder(nn.Module):
 
             params = self.variables["params"]
             return fused_encoder(
-                x, params, self.num_layers, self.nhead, key_padding_mask
+                x, params, self.num_layers, self.nhead, key_padding_mask,
+                int8=use_int8,
             ).astype(x.dtype)
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(

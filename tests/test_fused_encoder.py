@@ -6,7 +6,8 @@ import pytest
 
 from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
 from motionstyle.models.transformer import TransformerEncoder
-from motionstyle.ops.fused_encoder import fused_encoder, fused_encoder_layer
+from motionstyle.ops.fused_encoder import (
+    fused_encoder, fused_encoder_layer, quantize_weight)
 
 
 class TestFusedEncoder:
@@ -34,6 +35,44 @@ class TestFusedEncoder:
         a = fused_encoder(x, params["params"], 1, H, jnp.asarray(kpm))
         b = fused_encoder(x2, params["params"], 1, H, jnp.asarray(kpm))
         np.testing.assert_allclose(np.asarray(a[1, :6]), np.asarray(b[1, :6]), atol=2e-2)
+
+    def test_quantize_weight_round_trip(self):
+        w = jax.random.normal(jax.random.PRNGKey(0), (64, 128)) * 0.3
+        wq, s = quantize_weight(w)
+        assert wq.dtype == jnp.int8
+        deq = wq.astype(jnp.float32) * s
+        rel = np.abs(np.asarray(deq - w)).max() / np.abs(np.asarray(w)).max()
+        assert rel < 1.0 / 127  # per-channel symmetric quant error bound
+
+    def test_int8_matches_xla_encoder(self):
+        """Int8 quantized serving path tracks the fp32 encoder within the
+        expected per-channel/per-token quantization tolerance."""
+        B, S, D, L, H = 2, 13, 128, 2, 4
+        enc = TransformerEncoder(L, D, H, 256, 0.1)
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, S, D)) * 0.5
+        params = enc.init(jax.random.PRNGKey(1), x)
+        ref = np.asarray(enc.apply(params, x))
+        got = np.asarray(fused_encoder(x, params["params"], L, H, int8=True))
+        corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+        assert corr > 0.999, corr
+        rel = np.abs(got - ref).mean() / np.abs(ref).mean()
+        assert rel < 0.05, rel
+
+    def test_model_level_int8_flag(self):
+        cfg = MDMConfig(njoints=16, nfeats=1, latent_dim=128, ff_size=256, num_layers=2,
+                        num_heads=4, clip_dim=16)
+        cfg_q = MDMConfig(njoints=16, nfeats=1, latent_dim=128, ff_size=256, num_layers=2,
+                          num_heads=4, clip_dim=16, fused=True, quant_int8=True)
+        model = StyleDiffusion(cfg)
+        model_q = StyleDiffusion(cfg_q)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 1, 8)) * 0.3
+        t = jnp.asarray([5, 50])
+        enc = jnp.ones((2, 16))
+        params = model.init(jax.random.PRNGKey(1), x, t, enc)
+        out = np.asarray(model.apply(params, x, t, enc))
+        out_q = np.asarray(model_q.apply(params, x, t, enc))
+        corr = np.corrcoef(out_q.ravel(), out.ravel())[0, 1]
+        assert corr > 0.995, corr
 
     def test_model_level_fused_flag(self):
         cfg = MDMConfig(njoints=16, nfeats=1, latent_dim=128, ff_size=256, num_layers=2,
