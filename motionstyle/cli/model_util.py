@@ -62,6 +62,7 @@ def get_transfer_config(args) -> MDMConfig:
         arch=arch,
         emb_trans_dec=bool(getattr(args, "emb_trans_dec", False)),
         fused=bool(getattr(args, "fused", 0)),
+        quant_int8=bool(getattr(args, "quant_int8", 0)),
     )
 
 

@@ -25,7 +25,7 @@ def parse_and_load_from_model(parser: ArgumentParser):
     # run-local flags must never be resurrected from a checkpoint's args.json
     args_to_overwrite = [a for a in args_to_overwrite
                          if a not in ("skip_render", "model_path", "output_dir", "fused",
-                                      "parallel_window", "forecast_stride")]
+                                      "parallel_window", "forecast_stride", "quant_int8")]
 
     model_path = get_model_path_from_args()
     args_path = os.path.join(os.path.dirname(model_path), "args.json")
@@ -93,6 +93,10 @@ def add_model_options(parser):
     group.add_argument("--fused", default=0, type=int,
                        help="route inference through the fused Pallas encoder kernel "
                             "(bf16 matmuls; ~1.5x sampling throughput on TPU)")
+    group.add_argument("--quant_int8", default=0, type=int,
+                       help="opt-in int8 quantized serving (requires --fused 1): "
+                            "the large matmuls run int8 on the MXU; ~1.13x over "
+                            "bf16 at ~2.6%% output deviation")
 
 
 def add_data_options(parser):
