@@ -31,18 +31,25 @@ class ShardedSampler:
     """
 
     def __init__(self, mesh: Mesh, sched: DiffusionSchedule, model_fn_builder: Callable,
-                 params, parallel_window: int = 0, **sample_kwargs):
+                 params, parallel_window: int = 0, forecast_stride: int = 1,
+                 **sample_kwargs):
         """model_fn_builder(params) -> model_fn(x, t_orig, cond).
 
         parallel_window > 0 serves through the parallel-in-time Picard
         sampler (diffusion/parallel_sampling.py): each sweep is one
         (window*B)-batch forward sharded over the mesh — the latency play for
         small per-request batches where the chips are otherwise step-bound.
+        forecast_stride > 1 serves through the multistep output-forecasting
+        sampler (diffusion/forecast_sampling.py): denoiser calls on every
+        stride-th step, ~stride× throughput, bounded approximation.
         """
+        assert not (parallel_window > 0 and forecast_stride > 1), \
+            "parallel_window and forecast_stride are mutually exclusive"
         self.mesh = mesh
         self.sched = sched
         self.params = shard_params(params, mesh)
         self.parallel_window = parallel_window
+        self.forecast_stride = forecast_stride
         self.sample_kwargs = sample_kwargs
         self.model_fn_builder = model_fn_builder
         self._compiled = {}
@@ -66,6 +73,15 @@ class ShardedSampler:
                         inpainting=inpainting, window=self.parallel_window, **kw,
                     )
                     return sample
+                if self.forecast_stride > 1:
+                    from motionstyle.diffusion.forecast_sampling import forecast_sample_loop
+
+                    kw = {k: v for k, v in self.sample_kwargs.items() if k != "remat"}
+                    return forecast_sample_loop(
+                        self.sched, model_fn, cond, rng,
+                        shape=shape, init_image=init_image,
+                        inpainting=inpainting, stride=self.forecast_stride, **kw,
+                    )
                 return sampling.sample_loop(
                     self.sched, model_fn, cond, rng,
                     shape=shape, init_image=init_image,
