@@ -16,11 +16,27 @@ and the fp32 number.
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def enable_compile_cache():
+    """Persistent XLA compilation cache (repo-local, works with the axon
+    remote-compile relay — verified across processes). Cuts driver bench
+    reruns from ~minutes of recompiles to cache hits."""
+    import jax
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization, never a hard dependency
 
 C, T_FRAMES = 181, 196
 DDPM_STEPS = 1000
@@ -493,9 +509,11 @@ def main():
     # before dying — and failures print a parseable error JSON line.
     best = (0.0, None, None)
     results = {}
-    for dtype, batches in (("bf16_fused", (1, 32, 64, 128, 256)),
+    # b32/b256 measured once and recorded in BASELINE.md (interior maximum at
+    # b64-b128); kept out of the default sweep to bound driver wall-clock
+    for dtype, batches in (("bf16_fused", (1, 64, 128)),
                            ("bf16", (64,)), ("f32", (64,)),
-                           ("int8_fused", (64, 128))):
+                           ("int8_fused", (128,))):
         for batch in batches:
             cps = bench_ours(batch, dtype)
             results[f"{dtype}_b{batch}"] = round(cps, 3)
@@ -530,6 +548,7 @@ if __name__ == "__main__":
     if err:
         emit_error(NORTH_STAR, err)
         sys.exit(0)  # the error line IS the parseable result
+    enable_compile_cache()
     try:
         if "--full" in sys.argv:
             main_full()
