@@ -25,18 +25,9 @@ import numpy as np
 
 
 def enable_compile_cache():
-    """Persistent XLA compilation cache (repo-local, works with the axon
-    remote-compile relay — verified across processes). Cuts driver bench
-    reruns from ~minutes of recompiles to cache hits."""
-    import jax
+    from motionstyle.utils import enable_compile_cache as _ecc
 
-    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        os.makedirs(d, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # cache is an optimization, never a hard dependency
+    _ecc()
 
 C, T_FRAMES = 181, 196
 DDPM_STEPS = 1000
@@ -103,7 +94,7 @@ def bench_ours(batch: int, dtype: str, reps: int = 3) -> float:
     cfg = MDMConfig(njoints=C, nfeats=1, latent_dim=LATENT, ff_size=FF, num_layers=LAYERS,
                     num_heads=HEADS,
                     dtype="float32" if dtype == "f32" else "bfloat16",
-                    fused=dtype.endswith("fused"), quant_int8=is_int8)
+                    fused=dtype.endswith("fused") or is_int8, quant_int8=is_int8)
     model = StyleDiffusion(cfg)
     x0 = jnp.zeros((batch, C, 1, T_FRAMES), dtype=jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)))

@@ -61,7 +61,9 @@ def get_transfer_config(args) -> MDMConfig:
         cond_mask_prob=args.cond_mask_prob,
         arch=arch,
         emb_trans_dec=bool(getattr(args, "emb_trans_dec", False)),
-        fused=bool(getattr(args, "fused", 0)),
+        # int8 runs inside the fused kernel; requesting it implies fused so
+        # --quant_int8 alone can never silently serve the unquantized path
+        fused=bool(getattr(args, "fused", 0)) or bool(getattr(args, "quant_int8", 0)),
         quant_int8=bool(getattr(args, "quant_int8", 0)),
     )
 

@@ -103,7 +103,7 @@ def forecast_sample_loop(
     def blended(x0, x):
         if inpainting is not None:
             x0 = x0 * (1.0 - inpainting.mask) + inpainting.motion * inpainting.mask
-        return jnp.clip(x0, -1.0, 1.0) if clip_denoised else x0
+        return x0
 
     def step(carry, xs):
         t_scalar, evalp, off, injected = xs
@@ -118,6 +118,10 @@ def forecast_sample_loop(
             return x0_last + slope * off
 
         x0 = jax.lax.cond(evalp, evaluate, forecast, None)
+        if clip_denoised:
+            # clip AFTER the cond so forecast steps obey the same [-1, 1]
+            # contract as evaluated steps (sample_loop clips every step)
+            x0 = jnp.clip(x0, -1.0, 1.0)
         # per-step slope from the last two evaluations (spaced `stride`);
         # `hist` gates it to zero at the FIRST evaluation (no prior point to
         # difference against -> zero-order hold until the second eval)

@@ -161,7 +161,7 @@ class MDM(nn.Module):
             xseq = self._apply_pe(xseq, deterministic)
             out = self.seqTransEncoder(
                 xseq, deterministic=deterministic,
-                use_fused=self.cfg.fused and deterministic,
+                use_fused=(self.cfg.fused or self.cfg.quant_int8) and deterministic,
                 use_int8=self.cfg.quant_int8,
             )[:, 1:]
         elif self.cfg.arch == "trans_dec":
@@ -236,7 +236,7 @@ class StyleDiffusion(nn.Module):
         xseq = self.mdm._apply_pe(xseq, deterministic)
         out = self.style_encoder(
             xseq, deterministic=deterministic,
-            use_fused=self.cfg.fused and deterministic,
+            use_fused=(self.cfg.fused or self.cfg.quant_int8) and deterministic,
                 use_int8=self.cfg.quant_int8,
         )[:, 1:]
         return self.mdm._tokens_to_frames(self.mdm.output_process(out)).astype(jnp.float32)

@@ -42,22 +42,23 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _layer_kernel(num_heads, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-                  ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                  ln2s_ref, ln2b_ref, o_ref):
-    x = x_ref[0]  # (S, D) bf16
-    S, D = x.shape
-    dh = D // num_heads
-    scale = 1.0 / (dh ** 0.5)
-
-    qkv = jax.lax.dot_general(
-        x, wqkv_ref[...],
+def _bf16_dot(h, w_ref, bias_ref):
+    """bf16-in / fp32-accum matmul + bias (the MXU-native precision pair)."""
+    return jax.lax.dot_general(
+        h.astype(jnp.bfloat16), w_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bqkv_ref[0]  # (S, 3D) fp32
+    ) + bias_ref[0]
 
-    mask = mask_ref[0]  # (1, S) additive fp32
-    attn_cols = []
+
+def _attention(qkv, mask, num_heads):
+    """Per-head softmax attention over packed (S, 3D) qkv: bf16 score/prob
+    matmuls with fp32 softmax stats. Shared by the bf16 and int8 kernels so
+    mask/softmax semantics can never diverge between them."""
+    D = qkv.shape[1] // 3
+    dh = D // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    cols = []
     for h in range(num_heads):
         q = qkv[:, h * dh:(h + 1) * dh]
         k = qkv[:, D + h * dh: D + (h + 1) * dh]
@@ -70,44 +71,39 @@ def _layer_kernel(num_heads, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
-        attn_cols.append(
+        cols.append(
             jax.lax.dot_general(
                 p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         )
-    attn = jnp.concatenate(attn_cols, axis=-1)  # (S, D) fp32
+    return jnp.concatenate(cols, axis=-1)  # (S, D) fp32
 
-    proj = jax.lax.dot_general(
-        attn.astype(jnp.bfloat16), wo_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bo_ref[0]
 
-    h1 = x.astype(jnp.float32) + proj
-    mu = jnp.mean(h1, axis=-1, keepdims=True)
-    var = jnp.mean((h1 - mu) ** 2, axis=-1, keepdims=True)
-    h1 = (h1 - mu) * jax.lax.rsqrt(var + 1e-5) * ln1s_ref[0] + ln1b_ref[0]
+def _layernorm(h, scale_ref, bias_ref):
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.mean((h - mu) ** 2, axis=-1, keepdims=True)
+    return (h - mu) * jax.lax.rsqrt(var + 1e-5) * scale_ref[0] + bias_ref[0]
 
-    ff = jax.lax.dot_general(
-        h1.astype(jnp.bfloat16), w1_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b1_ref[0]
+
+def _gelu_tanh(ff):
     # tanh-approx gelu (erf is not lowered in Pallas TPU; max deviation from
     # the exact gelu is ~1e-3 absolute, inside bf16 sampling tolerance)
-    ff = 0.5 * ff * (1.0 + jnp.tanh(0.7978845608028654 * (ff + 0.044715 * ff ** 3)))
-    ff = jax.lax.dot_general(
-        ff.astype(jnp.bfloat16), w2_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b2_ref[0]
+    return 0.5 * ff * (1.0 + jnp.tanh(0.7978845608028654 * (ff + 0.044715 * ff ** 3)))
 
-    h2 = h1 + ff
-    mu = jnp.mean(h2, axis=-1, keepdims=True)
-    var = jnp.mean((h2 - mu) ** 2, axis=-1, keepdims=True)
-    h2 = (h2 - mu) * jax.lax.rsqrt(var + 1e-5) * ln2s_ref[0] + ln2b_ref[0]
+
+def _layer_kernel(num_heads, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                  ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  ln2s_ref, ln2b_ref, o_ref):
+    x = x_ref[0]  # (S, D) bf16
+    qkv = _bf16_dot(x, wqkv_ref, bqkv_ref)  # (S, 3D) fp32
+    attn = _attention(qkv, mask_ref[0], num_heads)
+    proj = _bf16_dot(attn, wo_ref, bo_ref)
+    h1 = _layernorm(x.astype(jnp.float32) + proj, ln1s_ref, ln1b_ref)
+    ff = _gelu_tanh(_bf16_dot(h1, w1_ref, b1_ref))
+    ff = _bf16_dot(ff, w2_ref, b2_ref)
+    h2 = _layernorm(h1 + ff, ln2s_ref, ln2b_ref)
     o_ref[0] = h2.astype(o_ref.dtype)
 
 
@@ -144,52 +140,16 @@ def _layer_kernel_int8(num_heads, x_ref, mask_ref, wqkv_ref, sqkv_ref, bqkv_ref,
     """Int8 variant of _layer_kernel: the four large matmuls (qkv, attn-out,
     FFN x2 — ~89% of layer FLOPs) run int8 x int8 -> int32 on the MXU at 2x
     bf16 peak; attention scores/probs stay bf16 (score accuracy matters and
-    they are ~11% of FLOPs). Weights are pre-quantized per output channel."""
+    they are ~11% of FLOPs). Weights are pre-quantized per output channel.
+    The attention/LN/gelu math is the SAME shared helpers as _layer_kernel."""
     x = x_ref[0]  # (S, D) bf16
-    S, D = x.shape
-    dh = D // num_heads
-    scale = 1.0 / (dh ** 0.5)
-
     qkv = _int8_dot(x.astype(jnp.float32), wqkv_ref, sqkv_ref, bqkv_ref)
-
-    mask = mask_ref[0]
-    attn_cols = []
-    for h in range(num_heads):
-        q = qkv[:, h * dh:(h + 1) * dh]
-        k = qkv[:, D + h * dh: D + (h + 1) * dh]
-        v = qkv[:, 2 * D + h * dh: 2 * D + (h + 1) * dh]
-        scores = jax.lax.dot_general(
-            (q * scale).astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + mask
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
-        attn_cols.append(
-            jax.lax.dot_general(
-                p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )
-    attn = jnp.concatenate(attn_cols, axis=-1)
-
+    attn = _attention(qkv, mask_ref[0], num_heads)
     proj = _int8_dot(attn, wo_ref, so_ref, bo_ref)
-
-    h1 = x.astype(jnp.float32) + proj
-    mu = jnp.mean(h1, axis=-1, keepdims=True)
-    var = jnp.mean((h1 - mu) ** 2, axis=-1, keepdims=True)
-    h1 = (h1 - mu) * jax.lax.rsqrt(var + 1e-5) * ln1s_ref[0] + ln1b_ref[0]
-
-    ff = _int8_dot(h1, w1_ref, s1_ref, b1_ref)
-    ff = 0.5 * ff * (1.0 + jnp.tanh(0.7978845608028654 * (ff + 0.044715 * ff ** 3)))
+    h1 = _layernorm(x.astype(jnp.float32) + proj, ln1s_ref, ln1b_ref)
+    ff = _gelu_tanh(_int8_dot(h1, w1_ref, s1_ref, b1_ref))
     ff = _int8_dot(ff, w2_ref, s2_ref, b2_ref)
-
-    h2 = h1 + ff
-    mu = jnp.mean(h2, axis=-1, keepdims=True)
-    var = jnp.mean((h2 - mu) ** 2, axis=-1, keepdims=True)
-    h2 = (h2 - mu) * jax.lax.rsqrt(var + 1e-5) * ln2s_ref[0] + ln2b_ref[0]
+    h2 = _layernorm(h1 + ff, ln2s_ref, ln2b_ref)
     o_ref[0] = h2.astype(o_ref.dtype)
 
 
@@ -198,6 +158,29 @@ def quantize_weight(w: jax.Array):
     s = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
     s = jnp.maximum(s, 1e-8)
     return jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8), s.astype(jnp.float32)
+
+
+def _shared_layer_inputs(x, Sp, layer_params, key_padding_mask):
+    """Host-side prep common to both precisions: fp32 biases + LN params,
+    bf16 padded tokens, additive key mask. One implementation so padding and
+    mask semantics can never diverge between the bf16 and int8 wrappers."""
+    B, S, _ = x.shape
+    p = layer_params
+    f32row = lambda a: a.astype(jnp.float32)[None]
+    scalars = (
+        f32row(p["self_attn"]["in_proj"]["bias"]),
+        f32row(p["self_attn"]["out_proj"]["bias"]),
+        f32row(p["norm1"]["scale"]), f32row(p["norm1"]["bias"]),
+        f32row(p["linear1"]["bias"]), f32row(p["linear2"]["bias"]),
+        f32row(p["norm2"]["scale"]), f32row(p["norm2"]["bias"]),
+    )
+    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, Sp - S), (0, 0)))
+    key_mask = jnp.full((B, Sp), _NEG, dtype=jnp.float32).at[:, :S].set(0.0)
+    if key_padding_mask is not None:
+        key_mask = key_mask.at[:, :S].set(
+            jnp.where(key_padding_mask.astype(bool), 0.0, _NEG)
+        )
+    return xp, key_mask[:, None, :], scalars  # mask (B, 1, Sp)
 
 
 def fused_encoder_layer(
@@ -212,28 +195,13 @@ def fused_encoder_layer(
 
     B, S, D = x.shape
     Sp = _round_up(S, SEQ_ALIGN)
-
     p = layer_params
     wqkv = p["self_attn"]["in_proj"]["kernel"].astype(jnp.bfloat16)
-    bqkv = p["self_attn"]["in_proj"]["bias"].astype(jnp.float32)[None]
     wo = p["self_attn"]["out_proj"]["kernel"].astype(jnp.bfloat16)
-    bo = p["self_attn"]["out_proj"]["bias"].astype(jnp.float32)[None]
     w1 = p["linear1"]["kernel"].astype(jnp.bfloat16)
-    b1 = p["linear1"]["bias"].astype(jnp.float32)[None]
     w2 = p["linear2"]["kernel"].astype(jnp.bfloat16)
-    b2 = p["linear2"]["bias"].astype(jnp.float32)[None]
-    ln1s = p["norm1"]["scale"].astype(jnp.float32)[None]
-    ln1b = p["norm1"]["bias"].astype(jnp.float32)[None]
-    ln2s = p["norm2"]["scale"].astype(jnp.float32)[None]
-    ln2b = p["norm2"]["bias"].astype(jnp.float32)[None]
-
-    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, Sp - S), (0, 0)))
-    key_mask = jnp.full((B, Sp), _NEG, dtype=jnp.float32).at[:, :S].set(0.0)
-    if key_padding_mask is not None:
-        key_mask = key_mask.at[:, :S].set(
-            jnp.where(key_padding_mask.astype(bool), 0.0, _NEG)
-        )
-    key_mask = key_mask[:, None, :]  # (B, 1, Sp)
+    xp, key_mask, (bqkv, bo, ln1s, ln1b, b1, b2, ln2s, ln2b) = \
+        _shared_layer_inputs(x, Sp, p, key_padding_mask)
 
     F = w1.shape[1]
     row = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
@@ -270,28 +238,13 @@ def fused_encoder_layer_int8(
 
     B, S, D = x.shape
     Sp = _round_up(S, INT8_SEQ_ALIGN)
-
     p = layer_params
     wqkv, sqkv = quantize_weight(p["self_attn"]["in_proj"]["kernel"])
-    bqkv = p["self_attn"]["in_proj"]["bias"].astype(jnp.float32)[None]
     wo, so = quantize_weight(p["self_attn"]["out_proj"]["kernel"])
-    bo = p["self_attn"]["out_proj"]["bias"].astype(jnp.float32)[None]
     w1, s1 = quantize_weight(p["linear1"]["kernel"])
-    b1 = p["linear1"]["bias"].astype(jnp.float32)[None]
     w2, s2 = quantize_weight(p["linear2"]["kernel"])
-    b2 = p["linear2"]["bias"].astype(jnp.float32)[None]
-    ln1s = p["norm1"]["scale"].astype(jnp.float32)[None]
-    ln1b = p["norm1"]["bias"].astype(jnp.float32)[None]
-    ln2s = p["norm2"]["scale"].astype(jnp.float32)[None]
-    ln2b = p["norm2"]["bias"].astype(jnp.float32)[None]
-
-    xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, Sp - S), (0, 0)))
-    key_mask = jnp.full((B, Sp), _NEG, dtype=jnp.float32).at[:, :S].set(0.0)
-    if key_padding_mask is not None:
-        key_mask = key_mask.at[:, :S].set(
-            jnp.where(key_padding_mask.astype(bool), 0.0, _NEG)
-        )
-    key_mask = key_mask[:, None, :]
+    xp, key_mask, (bqkv, bo, ln1s, ln1b, b1, b2, ln2s, ln2b) = \
+        _shared_layer_inputs(x, Sp, p, key_padding_mask)
 
     F = w1.shape[1]
     row = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))

@@ -45,6 +45,17 @@ class ShardedSampler:
         """
         assert not (parallel_window > 0 and forecast_stride > 1), \
             "parallel_window and forecast_stride are mutually exclusive"
+        if forecast_stride > 1:
+            # fail at construction, not first call: the forecast sampler
+            # supports a subset of sample_loop's kwargs
+            supported = {"method", "skip_timesteps", "stop_timesteps",
+                         "clip_denoised", "eta", "sigma_small", "order",
+                         "step_noise", "remat"}
+            unsupported = set(sample_kwargs) - supported
+            if unsupported:
+                raise ValueError(
+                    f"forecast_stride does not support kwargs {sorted(unsupported)}"
+                )
         self.mesh = mesh
         self.sched = sched
         self.params = shard_params(params, mesh)

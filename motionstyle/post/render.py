@@ -226,7 +226,9 @@ def render_mesh_frames(vertices: "np.ndarray", faces=None, save_path: str = "mes
         have_pyrender = True
     except ImportError:
         have_pyrender = False
-    if have_pyrender:
+    # mesh rendering needs faces; a faces-less call is a point cloud and
+    # must take the matplotlib scatter path even when pyrender is installed
+    if have_pyrender and faces is not None:
         return _render_mesh_frames_pyrender(np.asarray(vertices), faces, save_path, fps)
     import matplotlib
 

@@ -71,3 +71,26 @@ class Throughput:
     def report(self) -> dict:
         dt = max(time.perf_counter() - self.t0, 1e-9)
         return {"steps_per_sec": self.steps / dt, "items_per_sec": self.items / dt, "elapsed_s": dt}
+
+
+def enable_compile_cache(cache_dir: "str | None" = None) -> None:
+    """Enable jax's persistent XLA compilation cache (repo-local default).
+
+    Shared by bench.py, __graft_entry__.entry and tests/conftest.py. Verified
+    effective for CPU compiles across processes; the axon TPU relay bypasses
+    it (first TPU compiles stay slow). Never a hard dependency: any failure
+    leaves compilation uncached.
+    """
+    import os
+
+    import jax
+
+    d = cache_dir or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -17,13 +17,9 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: reruns of the suite hit cached executables
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
-try:
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-except Exception:
-    pass
+from motionstyle.utils import enable_compile_cache
+
+enable_compile_cache()
 
 import numpy as np
 import pytest

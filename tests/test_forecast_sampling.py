@@ -88,23 +88,22 @@ class TestForecastSampling:
         np.testing.assert_array_equal(out[:, :3], motion[:, :3])
 
     def test_denoiser_called_on_stride_schedule(self):
-        """The compiled program evaluates the model S//stride (+final) times:
-        count via a jax.pure_callback-free proxy — run with a model whose
-        output flips sign with a counter is overkill; instead check the plan
-        arrays directly."""
-        import motionstyle.diffusion.forecast_sampling as fs
+        """The compiled loop actually evaluates the model only on the stride
+        schedule (+ the forced final step): count real runtime invocations
+        with a debug callback inside the model_fn."""
+        calls = []
+        W = jnp.eye(self.C) * 0.1
 
-        S, stride = 17, 4
-        do_eval = np.zeros(S, dtype=bool)
-        do_eval[::stride] = True
-        do_eval[-1] = True
-        # the module builds the same plan: evaluate ceil(S/stride) + forced
-        # final -> here positions 0,4,8,12,16 (16 is both stride-hit and last)
-        assert do_eval.sum() == 5
-        offs = np.zeros(S, np.float32)
-        last = 0
-        for i in range(S):
-            if do_eval[i]:
-                last = i
-            offs[i] = i - last
-        assert offs.max() == stride - 1
+        def counting_model(x, t, cond):
+            jax.debug.callback(lambda: calls.append(1))
+            return jnp.einsum("bcft,cd->bdft", x, W)
+
+        sched = make_schedule("cosine", 17)
+        out = forecast_sample_loop(
+            sched, counting_model, {}, jax.random.PRNGKey(0),
+            shape=(1, self.C, 1, self.T), stride=4)
+        jax.block_until_ready(out)
+        jax.effects_barrier()
+        # S=17, stride 4 -> evals at steps 0,4,8,12,16 (16 is also the
+        # forced final eval); forecast on the other 12 steps
+        assert len(calls) == 5, len(calls)
