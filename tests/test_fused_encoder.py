@@ -74,6 +74,33 @@ class TestFusedEncoder:
         corr = np.corrcoef(out_q.ravel(), out.ravel())[0, 1]
         assert corr > 0.995, corr
 
+    def test_int8_sampling_chain_bounded_deviation(self):
+        """Quantization error stays bounded through a full DDIM chain (the
+        serving configuration), not just a single forward."""
+        from motionstyle.diffusion import sampling
+        from motionstyle.diffusion.schedule import make_schedule
+
+        cfg = MDMConfig(njoints=16, nfeats=1, latent_dim=128, ff_size=256,
+                        num_layers=2, num_heads=4, clip_dim=16)
+        cfg_q = MDMConfig(njoints=16, nfeats=1, latent_dim=128, ff_size=256,
+                          num_layers=2, num_heads=4, clip_dim=16, quant_int8=True)
+        model, model_q = StyleDiffusion(cfg), StyleDiffusion(cfg_q)
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 1, 8)) * 0.3
+        params = model.init(jax.random.PRNGKey(1), x0, jnp.zeros((1,), jnp.int32),
+                            jnp.zeros((1, 16)))
+        sched = make_schedule("cosine", 100, "ddim10")
+        cond = {"enc_text": jnp.ones((1, 16))}
+
+        def run(m):
+            return np.asarray(sampling.sample_loop(
+                sched, lambda x, t, c: m.apply(params, x, t, c["enc_text"]),
+                cond, jax.random.PRNGKey(2), shape=(1, 16, 1, 8), method="ddim",
+                remat=False))
+
+        exact, quant = run(model), run(model_q)
+        rel = np.abs(quant - exact).mean() / (np.abs(exact).mean() + 1e-8)
+        assert rel < 0.1, rel
+
     def test_model_level_fused_flag(self):
         cfg = MDMConfig(njoints=16, nfeats=1, latent_dim=128, ff_size=256, num_layers=2,
                         num_heads=4, clip_dim=16)
