@@ -207,6 +207,46 @@ class TestShardedTraining:
                                        rtol=5e-3, atol=1e-5)
 
 
+class TestCollectiveStructure:
+    """Structural proofs of the scaling story from the optimized HLO:
+    pure data-parallel inference must compile to ZERO cross-device
+    collectives (linear scaling over 'data'); Megatron tensor-parallel must
+    introduce the expected reduction collectives over 'model'."""
+
+    def _compiled_hlo(self, model, params, mesh, B):
+        sched = make_schedule("cosine", 100, "ddim10")
+        cond = {"enc_text": jnp.zeros((B, 16))}
+        params_s = shard_params(params, mesh)
+
+        def run(p, c, rng):
+            from motionstyle.diffusion import sampling
+
+            return sampling.sample_loop(
+                sched, lambda x, t, cc: model.apply(p, x, t, cc["enc_text"]),
+                c, rng, shape=(B, 16, 1, 8), method="ddim", remat=False)
+
+        shardings = jax.tree_util.tree_map(lambda a: a.sharding, params_s)
+        with mesh:
+            lowered = jax.jit(run, in_shardings=(
+                shardings,
+                jax.tree_util.tree_map(lambda a: NamedSharding(mesh, batch_spec(a.ndim)), cond),
+                NamedSharding(mesh, P()),
+            )).lower(params_s, cond, jax.random.PRNGKey(0))
+            return lowered.compile().as_text()
+
+    def test_dp_inference_compiles_to_zero_collectives(self, tiny_model):
+        model, params = tiny_model
+        hlo = self._compiled_hlo(model, params, make_mesh(8, model_parallel=1), B=8)
+        for op in ("all-reduce", "all-gather", "reduce-scatter", "collective-permute"):
+            assert op not in hlo, f"unexpected {op} in pure-DP inference HLO"
+
+    def test_tp_inference_compiles_with_reductions(self, tiny_model):
+        model, params = tiny_model
+        hlo = self._compiled_hlo(model, params, make_mesh(8, model_parallel=2), B=8)
+        assert ("all-reduce" in hlo) or ("reduce-scatter" in hlo) or (
+            "all-gather" in hlo), "expected Megatron TP to require collectives"
+
+
 class TestShardedParallelInTime:
     def test_parallel_window_serving_matches_sequential(self, tiny_model):
         """ShardedSampler(parallel_window=N) draws the same clips as the
