@@ -178,7 +178,22 @@ def main(argv=None):
         resume_checkpoint=args.resume_checkpoint, seed=args.seed,
         parallel_unroll=bool(getattr(args, "parallel_finetune", 0)),
     )
-    trainer = StyleFinetuneTrainer(ft_cfg, bundle.model, bundle.params, sched, platform)
+    mesh = None
+    if getattr(args, "data_parallel", 0):
+        import math
+
+        from motionstyle.parallel.mesh import make_mesh
+
+        # data axis must divide the batch; use the largest common divisor
+        dp = math.gcd(len(jax.devices()), max(1, args.batch_size))
+        if dp > 1:
+            mesh = make_mesh(dp)
+            print(f"data-parallel finetune over {dp} devices")
+        else:
+            print("--data_parallel: batch size shares no divisor with the "
+                  "device count; running single-device")
+    trainer = StyleFinetuneTrainer(ft_cfg, bundle.model, bundle.params, sched, platform,
+                                   mesh=mesh)
     print("Total params: %.2fM trainable" % (
         sum(np.size(x) for x in jax.tree_util.tree_leaves(trainer.params["style_encoder"])) / 1e6))
 

@@ -123,6 +123,11 @@ def add_finetune_options(parser):
                        help="1 = Picard-parallel DDIM unroll in the finetune "
                             "loss (same gradients, batched sweeps instead of "
                             "sequential denoiser calls)")
+    group.add_argument("--data_parallel", default=0, type=int,
+                       help="1 = shard the finetune step over ALL visible "
+                            "devices (('data','model') mesh, batch over "
+                            "'data'); identical numerics to single-device, "
+                            "tests/test_parallel.py")
     group.add_argument("--num_frames", default=60, type=int)
     group.add_argument("--resume_checkpoint", default="", type=str)
     group.add_argument("--skip_render", action="store_true",

@@ -118,7 +118,26 @@ class StyleFinetuneTrainer:
             },
             jax.tree_util.tree_map_with_path(label, self.params),
         )
-        self.opt_state = self.tx.init(self.params)
+        if mesh is not None:
+            # distributed training by placement: params live sharded on the
+            # ('data','model') mesh (parallel/mesh.py rules); optimizer
+            # moments inherit the shardings via zeros_like; grad sync is the
+            # psum XLA derives from the data-sharded batch loss (the jax
+            # analogue of DDP allreduce — tests/test_parallel.py proves
+            # per-leaf gradient equality vs single-device).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from motionstyle.parallel.mesh import shard_params
+
+            self.params = shard_params(self.params, mesh)
+            self.opt_state = self.tx.init(self.params)
+            self.opt_state = jax.tree_util.tree_map(
+                lambda a: a if getattr(a, "ndim", 1) > 0
+                else jax.device_put(a, NamedSharding(mesh, P())),
+                self.opt_state,
+            )
+        else:
+            self.opt_state = self.tx.init(self.params)
         if self.resume_step:
             self._load_optimizer_state()
 
@@ -190,6 +209,27 @@ class StyleFinetuneTrainer:
         self.rng, sub, tsub = jax.random.split(self.rng, 3)
         t, _ = self.sampler.sample(tsub, batch["x_start"].shape[0], data_range=self.t_range)
         batch = dict(batch, t=t)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from motionstyle.parallel.mesh import batch_spec
+
+            dp = self.mesh.shape["data"]
+            B = batch["x_start"].shape[0]
+            if B % dp != 0:
+                raise ValueError(
+                    f"batch size {B} is not divisible by the mesh data axis "
+                    f"{dp}; pick a batch divisible by the device count")
+
+            def place(v):
+                # the finetune batch mixes sizes (dataset batch alongside the
+                # B=1 style/neutral pair): shard what divides, replicate the rest
+                arr = np.asarray(v) if not isinstance(v, jax.Array) else v
+                if arr.ndim and arr.shape[0] % dp == 0:
+                    return jax.device_put(arr, NamedSharding(self.mesh, batch_spec(arr.ndim)))
+                return jax.device_put(arr, NamedSharding(self.mesh, P()))
+
+            batch = {k: place(v) for k, v in batch.items() if v is not None}
         self.params, self.opt_state, terms = self._train_step(self.params, self.opt_state, sub, batch)
         self._log_terms(terms)
         self.step += 1

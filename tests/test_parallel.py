@@ -207,6 +207,45 @@ class TestShardedTraining:
                                        rtol=5e-3, atol=1e-5)
 
 
+class TestShardedTrainer:
+    def test_trainer_mesh_matches_single_device(self, tmp_path):
+        """StyleFinetuneTrainer(mesh=...) runs the SAME numerical steps as the
+        unsharded trainer (same rng stream, same loss terms)."""
+        from motionstyle.train.finetune import FinetuneConfig, StyleFinetuneTrainer
+
+        def make(mesh, d):
+            cfg_m = MDMConfig(njoints=16, nfeats=1, latent_dim=32, ff_size=64,
+                              num_layers=2, clip_dim=16)
+            model = StyleDiffusion(cfg_m)
+            params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 1, 8)),
+                                jnp.zeros((1,), jnp.int32), jnp.zeros((1, 16)),
+                                method=StyleDiffusion.full_init)
+            sched = make_schedule("cosine", 100, "ddim10")
+            cfg = FinetuneConfig(save_dir=str(d), num_steps=2, save_interval=10 ** 9,
+                                 skip_steps=70, diffusion_steps=100)
+            return StyleFinetuneTrainer(cfg, model, params, sched, mesh=mesh)
+
+        B, C, T = 8, 16, 8
+        r = np.random.RandomState(0)
+        inp = np.concatenate([np.ones((B, 4, 1, T)), np.zeros((B, C - 4, 1, T))],
+                             axis=1).astype(np.float32)
+        batch = dict(
+            x_start=r.randn(B, C, 1, T).astype(np.float32),
+            content=r.randn(B, C, 1, T).astype(np.float32),
+            style_target=r.randn(B, C, 1, T).astype(np.float32),
+            mask=np.ones((B, 1, 1, T), np.float32), inp_mask=inp,
+            enc_text_style=r.randn(B, 16).astype(np.float32),
+            enc_text_t2m=r.randn(B, 16).astype(np.float32), inp_mask_t2m=inp,
+            text_features=r.randn(B, 32).astype(np.float32),
+        )
+        tr_single = make(None, tmp_path / "a")
+        tr_mesh = make(make_mesh(8, model_parallel=2), tmp_path / "b")
+        for _ in range(2):
+            t1 = tr_single.run_step(dict(batch))
+            t2 = tr_mesh.run_step(dict(batch))
+            assert np.isclose(t1["loss"], t2["loss"], rtol=1e-4), (t1, t2)
+
+
 class TestCollectiveStructure:
     """Structural proofs of the scaling story from the optimized HLO:
     pure data-parallel inference must compile to ZERO cross-device
