@@ -196,11 +196,12 @@ def main(argv=None):
                                    mesh=mesh)
     print("Total params: %.2fM trainable" % (
         sum(np.size(x) for x in jax.tree_util.tree_leaves(trainer.params["style_encoder"])) / 1e6))
+    trainer.install_preemption_handler()
 
     step = 0
-    while step < args.num_steps:
+    while step < args.num_steps and not trainer.preempted:
         for motion, cond in data:
-            if step >= args.num_steps:
+            if step >= args.num_steps or trainer.preempted:
                 break
             # inject mask + style word into the dataset captions (semantic
             # guidance; parity f_s_d.py:259-295 InpaintingDataLoader)

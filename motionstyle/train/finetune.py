@@ -57,6 +57,10 @@ class FinetuneConfig:
     # grads through one batched forward (diffusion/losses.py
     # _parallel_unroll_xstarts) — same gradients, fewer dependent calls
     parallel_unroll: bool = False
+    # ALSO write orbax checkpoints of the full sharded state (params + opt
+    # moments + step) alongside the torch-interop files; restores onto any
+    # mesh topology (train/checkpoints.py)
+    orbax_checkpoints: bool = False
 
 
 def parse_resume_step_from_filename(filename: str) -> int:
@@ -205,6 +209,24 @@ class StyleFinetuneTrainer:
         return jax.jit(train_step, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
+    def install_preemption_handler(self, signals=None):
+        """Graceful-preemption support (SURVEY §5: the reference has no
+        failure handling; recovery is manual --resume_checkpoint). On
+        SIGTERM/SIGINT the CURRENT step finishes, a checkpoint is written at
+        the step boundary, and `self.preempted` turns True so the caller's
+        loop can exit; resume picks up from the saved step."""
+        import signal as _signal
+
+        self.preempted = False
+
+        def _handler(signum, frame):
+            logger.log(f"signal {signum}: checkpointing at next step boundary")
+            self.preempted = True
+
+        for s in signals or (_signal.SIGTERM, _signal.SIGINT):
+            _signal.signal(s, _handler)
+
+    # ------------------------------------------------------------------
     def run_step(self, batch: dict) -> dict:
         self.rng, sub, tsub = jax.random.split(self.rng, 3)
         t, _ = self.sampler.sample(tsub, batch["x_start"].shape[0], data_range=self.t_range)
@@ -235,6 +257,8 @@ class StyleFinetuneTrainer:
         self.step += 1
         if (self.step - 1 + self.resume_step) % self.cfg.save_interval == 0:
             self.save()
+        elif getattr(self, "preempted", False):
+            self.save()  # step boundary save on SIGTERM/SIGINT
         return {k: float(np.asarray(v).mean()) for k, v in terms.items()}
 
     def finish(self):
@@ -268,6 +292,11 @@ class StyleFinetuneTrainer:
         opt_path = os.path.join(self.cfg.save_dir, f"opt{self.step + self.resume_step:09d}.pt")
         flat, _ = jax.tree_util.tree_flatten(self.opt_state)
         torch.save([np.asarray(x) for x in flat], opt_path)
+        if self.cfg.orbax_checkpoints:
+            from motionstyle.train.checkpoints import save_sharded
+
+            save_sharded(self.cfg.save_dir, self.step + self.resume_step,
+                         self.params, self.opt_state)
         logger.log(f"saved checkpoint {path}")
 
     def _load_checkpoint(self, path: str):
