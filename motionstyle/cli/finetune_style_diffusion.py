@@ -177,6 +177,7 @@ def main(argv=None):
         cond_mask_prob=args.cond_mask_prob,
         resume_checkpoint=args.resume_checkpoint, seed=args.seed,
         parallel_unroll=bool(getattr(args, "parallel_finetune", 0)),
+        orbax_checkpoints=bool(getattr(args, "orbax_checkpoints", 0)),
     )
     mesh = None
     if getattr(args, "data_parallel", 0):

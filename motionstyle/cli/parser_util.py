@@ -128,6 +128,10 @@ def add_finetune_options(parser):
                             "devices (('data','model') mesh, batch over "
                             "'data'); identical numerics to single-device, "
                             "tests/test_parallel.py")
+    group.add_argument("--orbax_checkpoints", default=0, type=int,
+                       help="1 = ALSO write orbax checkpoints of the full "
+                            "sharded state (cross-topology restore; "
+                            "train/checkpoints.py) next to the torch files")
     group.add_argument("--num_frames", default=60, type=int)
     group.add_argument("--resume_checkpoint", default="", type=str)
     group.add_argument("--skip_render", action="store_true",
