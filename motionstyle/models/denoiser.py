@@ -260,6 +260,25 @@ class StyleDiffusion(nn.Module):
         out = self.motion_enc_encoder(xseq, key_padding_mask=kpm, deterministic=deterministic)
         return out[:, 0]  # mu
 
+    def denoise_with_motion_code(self, noised_x, timesteps, input_x,
+                                 frame_mask=None, uncond=False,
+                                 deterministic=True):
+        """Semantic-discriminator TRAINING forward: condition the frozen
+        prior on the motion code mu of `input_x` instead of CLIP text.
+
+        Parity: MotionEncoder.finetune_forward (mdm_forstyledataset.py
+        :136-180) — mu from the discriminator encoder over input_x, zeroed
+        when uncond (mask_cond force_mask), fed through embed_text as the
+        condition for the denoiser on noised_x. Note this method has NO
+        callers in the reference either (dead training code); it is provided
+        so the discriminator can be trained within this framework.
+        """
+        mu = self.encode_motion(input_x, frame_mask, deterministic=deterministic)
+        if uncond:
+            mu = jnp.zeros_like(mu)
+        return self.denoise_prior(noised_x, timesteps, mu,
+                                  deterministic=deterministic)
+
 
 class DiffuseTransfer(nn.Module):
     """humanml variant: condition = CLIP text + (style_code - content_code).

@@ -51,6 +51,29 @@ class TestMDMParity:
         )
         np.testing.assert_allclose(np.asarray(mu), g["mu"], atol=2e-4)
 
+    def test_denoise_with_motion_code_composition(self, goldens):
+        """finetune_forward parity (mdm_forstyledataset.py:136-180): the
+        discriminator-training forward equals denoise_prior conditioned on
+        encode_motion's mu; uncond zeroes the code (mask_cond force_mask)."""
+        sd, g = _golden_sd(goldens)
+        model = StyleDiffusion(CFG)
+        x = jnp.asarray(g["x"])
+        t = jnp.asarray(g["t"])
+        params = model.init(jax.random.PRNGKey(0), x, t, jnp.asarray(g["enc_text"]),
+                            method=StyleDiffusion.full_init)["params"]
+        params["mdm"] = convert_mdm(sd, CFG)
+        fm = jnp.asarray(g["frame_mask"])
+        out = model.apply({"params": params}, x, t, x, fm,
+                          method=StyleDiffusion.denoise_with_motion_code)
+        mu = model.apply({"params": params}, x, fm, method=StyleDiffusion.encode_motion)
+        ref = model.apply({"params": params}, x, t, mu, method=StyleDiffusion.denoise_prior)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+        out_u = model.apply({"params": params}, x, t, x, fm, True,
+                            method=StyleDiffusion.denoise_with_motion_code)
+        ref_u = model.apply({"params": params}, x, t, jnp.zeros_like(mu),
+                            method=StyleDiffusion.denoise_prior)
+        np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref_u), atol=1e-6)
+
     def test_style_forward_uses_style_encoder(self, goldens):
         sd, g = _golden_sd(goldens)
         model = StyleDiffusion(CFG)
