@@ -226,8 +226,14 @@ def main(argv=None):
             logger.dumpkvs()
             step += 1
     trainer.finish()
+    trainer.restore_signal_handlers()  # later signals kill normally again
     bundle = bundle._replace(params={"params": trainer.params})
     platform.close()
+    if trainer.preempted:
+        # don't burn the preemption grace period on eval/render — the
+        # checkpoint is saved; resume with --resume_checkpoint
+        print(f"[Preempted] checkpoint saved in {args.save_dir}; exiting")
+        return args.save_dir
 
     # ---- final eval: resample the style example reconstruction ----
     rng, sub = jax.random.split(rng)

@@ -262,20 +262,27 @@ class StyleDiffusion(nn.Module):
 
     def denoise_with_motion_code(self, noised_x, timesteps, input_x,
                                  frame_mask=None, uncond=False,
-                                 deterministic=True):
+                                 deterministic=True, cond_mask_prob=0.0,
+                                 dropout_rng=None):
         """Semantic-discriminator TRAINING forward: condition the frozen
         prior on the motion code mu of `input_x` instead of CLIP text.
 
         Parity: MotionEncoder.finetune_forward (mdm_forstyledataset.py
-        :136-180) — mu from the discriminator encoder over input_x, zeroed
-        when uncond (mask_cond force_mask), fed through embed_text as the
-        condition for the denoiser on noised_x. Note this method has NO
-        callers in the reference either (dead training code); it is provided
-        so the discriminator can be trained within this framework.
+        :136-180) — mu from the discriminator encoder over input_x, fed
+        through embed_text as the condition for the denoiser on noised_x.
+        mask_cond semantics (:126-134): uncond=True zeroes mu (force_mask);
+        in training (deterministic=False) pass cond_mask_prob + dropout_rng
+        for the per-sample Bernoulli condition dropout the CFG recipe needs.
+        Note this method has NO callers in the reference either (dead
+        training code); it is provided so the discriminator can be trained
+        within this framework.
         """
         mu = self.encode_motion(input_x, frame_mask, deterministic=deterministic)
         if uncond:
             mu = jnp.zeros_like(mu)
+        elif not deterministic and cond_mask_prob > 0.0:
+            assert dropout_rng is not None, "cond dropout needs dropout_rng"
+            mu = mask_cond(dropout_rng, mu, cond_mask_prob)
         return self.denoise_prior(noised_x, timesteps, mu,
                                   deterministic=deterministic)
 

@@ -65,10 +65,18 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place a batch pytree with leading-axis 'data' sharding."""
+def shard_batch(batch, mesh: Mesh, replicate_indivisible: bool = False):
+    """Place a batch pytree with leading-axis 'data' sharding.
+
+    replicate_indivisible: leaves whose leading axis does not divide the
+    'data' axis (e.g. the B=1 style/neutral pair next to a dataset batch in
+    the finetune step) are fully replicated instead of raising."""
+    dp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+
     def place(leaf):
         arr = np.asarray(leaf) if not isinstance(leaf, jax.Array) else leaf
+        if replicate_indivisible and (arr.ndim == 0 or arr.shape[0] % dp != 0):
+            return jax.device_put(arr, NamedSharding(mesh, P()))
         return jax.device_put(arr, NamedSharding(mesh, batch_spec(arr.ndim)))
 
     return jax.tree_util.tree_map(place, batch)

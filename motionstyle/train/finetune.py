@@ -103,6 +103,7 @@ class StyleFinetuneTrainer:
         self.mesh = mesh
         self.step = 0
         self.resume_step = 0
+        self.preempted = False
         self.rng = jax.random.PRNGKey(cfg.seed)
 
         if cfg.resume_checkpoint:
@@ -214,17 +215,27 @@ class StyleFinetuneTrainer:
         failure handling; recovery is manual --resume_checkpoint). On
         SIGTERM/SIGINT the CURRENT step finishes, a checkpoint is written at
         the step boundary, and `self.preempted` turns True so the caller's
-        loop can exit; resume picks up from the saved step."""
+        loop can exit; resume picks up from the saved step. Call
+        restore_signal_handlers() once the loop exits so later signals kill
+        the process normally again."""
         import signal as _signal
 
         self.preempted = False
+        self._old_handlers = {}
 
         def _handler(signum, frame):
             logger.log(f"signal {signum}: checkpointing at next step boundary")
             self.preempted = True
 
         for s in signals or (_signal.SIGTERM, _signal.SIGINT):
-            _signal.signal(s, _handler)
+            self._old_handlers[s] = _signal.signal(s, _handler)
+
+    def restore_signal_handlers(self):
+        import signal as _signal
+
+        for s, h in getattr(self, "_old_handlers", {}).items():
+            _signal.signal(s, h)
+        self._old_handlers = {}
 
     # ------------------------------------------------------------------
     def run_step(self, batch: dict) -> dict:
@@ -232,9 +243,7 @@ class StyleFinetuneTrainer:
         t, _ = self.sampler.sample(tsub, batch["x_start"].shape[0], data_range=self.t_range)
         batch = dict(batch, t=t)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from motionstyle.parallel.mesh import batch_spec
+            from motionstyle.parallel.mesh import shard_batch
 
             dp = self.mesh.shape["data"]
             B = batch["x_start"].shape[0]
@@ -242,16 +251,10 @@ class StyleFinetuneTrainer:
                 raise ValueError(
                     f"batch size {B} is not divisible by the mesh data axis "
                     f"{dp}; pick a batch divisible by the device count")
-
-            def place(v):
-                # the finetune batch mixes sizes (dataset batch alongside the
-                # B=1 style/neutral pair): shard what divides, replicate the rest
-                arr = np.asarray(v) if not isinstance(v, jax.Array) else v
-                if arr.ndim and arr.shape[0] % dp == 0:
-                    return jax.device_put(arr, NamedSharding(self.mesh, batch_spec(arr.ndim)))
-                return jax.device_put(arr, NamedSharding(self.mesh, P()))
-
-            batch = {k: place(v) for k, v in batch.items() if v is not None}
+            # mixed sizes (dataset batch alongside the B=1 style/neutral
+            # pair): shard what divides, replicate the rest
+            batch = shard_batch({k: v for k, v in batch.items() if v is not None},
+                                self.mesh, replicate_indivisible=True)
         self.params, self.opt_state, terms = self._train_step(self.params, self.opt_state, sub, batch)
         self._log_terms(terms)
         self.step += 1
@@ -262,7 +265,7 @@ class StyleFinetuneTrainer:
         return {k: float(np.asarray(v).mean()) for k, v in terms.items()}
 
     def finish(self):
-        if (self.step - 1 + self.resume_step) % self.cfg.save_interval != 0:
+        if getattr(self, "_last_saved_step", None) != self.step + self.resume_step:
             self.save()
 
     def _log_terms(self, terms):
@@ -297,6 +300,7 @@ class StyleFinetuneTrainer:
 
             save_sharded(self.cfg.save_dir, self.step + self.resume_step,
                          self.params, self.opt_state)
+        self._last_saved_step = self.step + self.resume_step
         logger.log(f"saved checkpoint {path}")
 
     def _load_checkpoint(self, path: str):
@@ -325,7 +329,13 @@ class StyleFinetuneTrainer:
         try:
             flat = torch.load(opt_path, map_location="cpu", weights_only=False)
             _, treedef = jax.tree_util.tree_flatten(self.opt_state)
-            self.opt_state = jax.tree_util.tree_unflatten(treedef, [jnp.asarray(x) for x in flat])
+            # preserve the existing leaves' shardings (mesh training: the
+            # moments were placed per the param rules in __init__)
+            shardings = [getattr(a, "sharding", None)
+                         for a in jax.tree_util.tree_leaves(self.opt_state)]
+            leaves = [jax.device_put(jnp.asarray(x), s) if s is not None else jnp.asarray(x)
+                      for x, s in zip(flat, shardings)]
+            self.opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
             logger.log(f"loaded optimizer state from {opt_path}")
         except Exception as e:  # mirror the reference's tolerant load (:138-141)
             logger.log(f"could not load optimizer state: {e}")
