@@ -11,10 +11,15 @@ Prints one JSON line per result so the output is grep-able.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# `python tools/tpu_recheck.py` puts tools/ first on sys.path; bench.py
+# lives at the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def probe():
