@@ -236,11 +236,16 @@ def evaluate_matching_and_fid(
         if n == 0:
             n, pool = len(text_emb), len(text_emb)
         order = np.random.RandomState(seed).permutation(len(text_emb))[:n]
+        # a pool smaller than top_k (tiny smoke runs) can only rank pool
+        # candidates; beyond that the cumulative hit-rate is saturated
+        k_eff = min(top_k, pool)
         rp = np.zeros(top_k)
         match = 0.0
         for s in range(0, n, pool):
             sel = order[s : s + pool]
-            rp += metrics.calculate_r_precision(text_emb[sel], motion_emb[sel], top_k, sum_all=True)
+            rp_part = metrics.calculate_r_precision(
+                text_emb[sel], motion_emb[sel], k_eff, sum_all=True)
+            rp += np.concatenate([rp_part, np.full(top_k - k_eff, rp_part[-1])])
             match += metrics.calculate_matching_score(text_emb[sel], motion_emb[sel], sum_all=True)
         return rp / n, match / n
 

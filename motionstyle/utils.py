@@ -89,6 +89,10 @@ def enable_compile_cache(cache_dir: "str | None" = None) -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
     )
     try:
+        # per-platform subdir: CPU-forced and TPU-process runs detect host
+        # features differently, and loading the other's CPU-AOT entries spams
+        # machine-feature-mismatch warnings
+        d = os.path.join(d, jax.default_backend())
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
