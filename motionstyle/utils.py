@@ -85,16 +85,21 @@ def enable_compile_cache(cache_dir: "str | None" = None) -> None:
 
     import jax
 
-    d = cache_dir or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
-    )
     try:
-        # per-platform subdir: CPU-forced and TPU-process runs detect host
-        # features differently, and loading the other's CPU-AOT entries spams
-        # machine-feature-mismatch warnings
-        d = os.path.join(d, jax.default_backend())
-        os.makedirs(d, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", d)
+        if cache_dir is None:
+            # per-platform subdir under the repo-local default: CPU-forced and
+            # TPU-process runs detect host features differently, and loading
+            # the other's CPU-AOT entries spams machine-feature-mismatch
+            # warnings. Platform tag comes from CONFIG/ENV only — calling
+            # jax.default_backend() here would initialize and lock the
+            # backend as a side effect.
+            tag = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS") or "default"
+            cache_dir = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".jax_cache", tag.split(",")[0],
+            )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

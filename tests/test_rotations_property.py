@@ -3,8 +3,11 @@ invariants that must hold for ALL inputs, complementing the golden tests'
 fixed-seed parity checks."""
 import jax.numpy as jnp
 import numpy as np
-from hypothesis import given, settings, strategies as st
-from hypothesis.extra import numpy as hnp
+import pytest
+
+pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
+from hypothesis.extra import numpy as hnp  # noqa: E402
 
 from motionstyle.core import rotations as rot
 
