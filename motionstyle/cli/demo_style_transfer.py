@@ -104,7 +104,8 @@ def main(argv=None):
 
             sample_t2m = forecast_sample_loop(
                 sched_full, prior_fn, {"enc_text": enc_text}, rng_prior,
-                shape=prior_shape, method="ddpm", stride=args.forecast_stride)
+                shape=prior_shape, method="ddpm", stride=args.forecast_stride,
+                order=getattr(args, "forecast_order", 1))
             print(f"  forecast sampler: denoiser called every "
                   f"{args.forecast_stride} steps")
         else:

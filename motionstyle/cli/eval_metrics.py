@@ -54,11 +54,17 @@ def main(argv=None):
                              "forecast its x0 in between (~Nx faster, "
                              "approximate; lets the eval stack QUANTIFY the "
                              "quality cost via FID/R-precision deltas)")
+    parser.add_argument("--forecast_order", default=1, type=int, choices=[0, 1, 2],
+                        help="forecast extrapolation order (0 hold / 1 linear "
+                             "/ 2 quadratic)")
     parser.add_argument("--seed", default=10, type=int)
     parser.add_argument("--replication_times", default=1, type=int,
                         help="T2M protocol replications: re-generate + re-evaluate "
                              "this many times and report mean and 95%% conf interval")
     args = parser.parse_args(argv)
+    from motionstyle.cli.parser_util import validate_sampling_args
+
+    validate_sampling_args(args)
 
     max_frames = 196 if args.dataset in ("humanml", "bandai-1_posrot", "bandai-2_posrot") else 76
     loader = get_dataset_loader(args.dataset, args.batch_size, max_frames, split="test",
@@ -88,7 +94,8 @@ def main(argv=None):
 
             return forecast_sample_loop(sched_full, fn, cond, rng,
                                         shape=tuple(shape), method="ddpm",
-                                        stride=args.forecast_stride)
+                                        stride=args.forecast_stride,
+                                        order=args.forecast_order)
         return sampling.sample_loop(sched_full, fn, cond, rng, shape=tuple(shape),
                                     method="ddpm", remat=False)
 

@@ -104,6 +104,7 @@ def main(argv=None):
         raise FileExistsError(f"save_dir [{args.save_dir}] already exists.")
     args.save_dir = pjoin(args.save_dir, args.style_example[:-4])
     os.makedirs(args.save_dir, exist_ok=True)
+    model_util.warn_if_clip_fallback(args)  # sets args.clip_fallback
     with open(pjoin(args.save_dir, "args.json"), "w") as fw:
         json.dump(vars(args), fw, indent=4, sort_keys=True)
     logger.configure(args.save_dir, format_strs=("stdout", "csv"))

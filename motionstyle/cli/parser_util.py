@@ -25,7 +25,8 @@ def parse_and_load_from_model(parser: ArgumentParser):
     # run-local flags must never be resurrected from a checkpoint's args.json
     args_to_overwrite = [a for a in args_to_overwrite
                          if a not in ("skip_render", "model_path", "output_dir", "fused",
-                                      "parallel_window", "forecast_stride", "quant_int8")]
+                                      "parallel_window", "forecast_stride",
+                                      "forecast_order", "quant_int8")]
 
     model_path = get_model_path_from_args()
     args_path = os.path.join(os.path.dirname(model_path), "args.json")
@@ -165,11 +166,26 @@ def add_sampling_options(parser):
                             "timesteps per batched forward")
     group.add_argument("--forecast_stride", default=1, type=int,
                        help="if >1, full-schedule prior sampling calls the "
-                            "denoiser every Nth step and linearly forecasts "
-                            "its x0 prediction in between (~Nx faster, "
-                            "approximate; diffusion/forecast_sampling.py)")
+                            "denoiser every Nth step and forecasts its x0 "
+                            "prediction in between (~Nx faster, approximate; "
+                            "diffusion/forecast_sampling.py)")
+    group.add_argument("--forecast_order", default=1, type=int, choices=[0, 1, 2],
+                       help="forecast extrapolation order: 0 zero-order hold, "
+                            "1 linear (default), 2 quadratic backward-"
+                            "difference (only used when --forecast_stride >1)")
     group.add_argument("--skip_render", action="store_true")
     return group
+
+
+def validate_sampling_args(args):
+    """Fail loudly on contradictory sampler opt-ins — the same contract
+    ShardedSampler enforces at construction (parallel/inference.py:46), so a
+    misconfigured eval/demo run can't silently drop one flag (ADVICE r2)."""
+    if getattr(args, "parallel_window", 0) > 0 and getattr(args, "forecast_stride", 1) > 1:
+        raise SystemExit(
+            "--parallel_window and --forecast_stride are mutually exclusive "
+            "sampler opt-ins; pass at most one")
+    return args
 
 
 def add_generate_options(parser):
@@ -216,5 +232,5 @@ def eval_inpainting_style_args(argv=None):
             args = parse_and_load_from_model(parser)
         finally:
             sys.argv = old
-        return args
-    return parse_and_load_from_model(parser)
+        return validate_sampling_args(args)
+    return validate_sampling_args(parse_and_load_from_model(parser))

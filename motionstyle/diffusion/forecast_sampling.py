@@ -56,9 +56,12 @@ def forecast_sample_loop(
     """Reverse diffusion with denoiser calls on every stride-th step and
     x0 forecasting in between. stride=1 delegates to sample_loop.
 
-    order: 1 = linear extrapolation from the last two evaluations (the
-    paper's multistep forecast — best for smooth trained denoisers);
-    0 = zero-order hold (more robust to noisy x0 predictions)."""
+    order: 2 = quadratic (Newton backward-difference / Adams–Bashforth-2
+    style) extrapolation from the last three evaluations; 1 = linear from
+    the last two (the paper's multistep forecast — best for smooth trained
+    denoisers); 0 = zero-order hold (most robust to noisy x0 predictions).
+    Higher orders warm up through the lower ones: the k-th difference is
+    held at zero until k+1 evaluations exist."""
     if stride <= 1:
         return sampling.sample_loop(
             sched, model_fn, cond, rng, shape=shape, noise=noise,
@@ -94,9 +97,11 @@ def forecast_sample_loop(
     do_eval[::stride] = True
     do_eval[-1] = True
     offsets = np.zeros(S, dtype=np.float32)  # steps since last evaluation
-    last = 0
-    for i in range(S):
-        if do_eval[i]:
+    gaps = np.ones(S, dtype=np.float32)  # at eval steps: distance from the
+    last = 0                             # PREVIOUS eval (== stride except the
+    for i in range(S):                   # forced final eval, which may be
+        if do_eval[i]:                   # closer — ADVICE r2 slope fix)
+            gaps[i] = max(i - last, 1)
             last = i
         offsets[i] = i - last
 
@@ -106,8 +111,8 @@ def forecast_sample_loop(
         return x0
 
     def step(carry, xs):
-        t_scalar, evalp, off, injected = xs
-        x, step_rng, x0_last, slope, hist = carry
+        t_scalar, evalp, off, gap, injected = xs
+        x, step_rng, x0_last, slope, curv, nevals = carry
         step_rng, sub = jax.random.split(step_rng)
         t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
 
@@ -115,20 +120,33 @@ def forecast_sample_loop(
             return blended(model_fn(x, sched.timestep_map[t], cond), x)
 
         def forecast(_):
-            return x0_last + slope * off
+            # Newton backward-difference extrapolation off the last evals:
+            # linear term (order>=1) + quadratic term (order==2). The
+            # quadratic term's node spacing is `stride` (interior evals are
+            # uniformly spaced; the only non-uniform gap is the forced final
+            # eval, after which nothing is forecast).
+            y = x0_last + slope * off
+            if order >= 2:
+                y = y + curv * (off * (off + float(stride)) * 0.5)
+            return y
 
         x0 = jax.lax.cond(evalp, evaluate, forecast, None)
         if clip_denoised:
             # clip AFTER the cond so forecast steps obey the same [-1, 1]
             # contract as evaluated steps (sample_loop clips every step)
             x0 = jnp.clip(x0, -1.0, 1.0)
-        # per-step slope from the last two evaluations (spaced `stride`);
-        # `hist` gates it to zero at the FIRST evaluation (no prior point to
-        # difference against -> zero-order hold until the second eval)
+        # backward differences over the evaluation sequence, gated by how
+        # many prior evaluations exist: the first difference (slope) needs
+        # one, the second (curv) needs two — each warms up through the
+        # lower order until its stencil is full
+        raw_slope = (x0 - x0_last) / gap
         new_slope = jnp.where(
-            evalp, (x0 - x0_last) / float(stride) * hist * float(order), slope)
-        new_hist = jnp.where(evalp, 1.0, hist)
+            evalp, raw_slope * (nevals >= 1.0) * float(min(order, 1)), slope)
         new_x0_last = jnp.where(evalp, x0, x0_last)
+        if order >= 2:
+            raw_curv = (raw_slope - slope) / gap
+            curv = jnp.where(evalp, raw_curv * (nevals >= 2.0), curv)
+        new_nevals = nevals + jnp.where(evalp, 1.0, 0.0)
 
         mean = ddpm.q_posterior_mean(sched, x0, x, t)
         if sigma_small:
@@ -144,18 +162,22 @@ def forecast_sample_loop(
             nxt = sampling._ddim_update(sched, pmv, x, t, noise_step, inpainting, eta)
         else:
             nxt = sampling._ddpm_update(sched, pmv, x, t, noise_step, inpainting)
-        return (nxt, step_rng, new_x0_last, new_slope, new_hist), None
+        return (nxt, step_rng, new_x0_last, new_slope, curv, new_nevals), None
 
     t_vals = jnp.asarray(idx, dtype=jnp.int32)
     xs = (
         t_vals,
         jnp.asarray(do_eval),
         jnp.asarray(offsets),
+        jnp.asarray(gaps),
         step_noise if inject_noise else jnp.zeros((S, 0)),
     )
     zeros = jnp.zeros(shape, dtype=img.dtype)
-    # hist starts at 0: the first evaluation's slope is held at zero
-    # (zero-order hold) until a second evaluation defines a finite difference
-    carry0 = (img, rng, zeros, zeros, jnp.asarray(0.0))
-    (final, _, _, _, _), _ = jax.lax.scan(step, carry0, xs)
+    # nevals starts at 0: differences warm up one order per evaluation
+    # (ZOH until the 2nd eval, linear until the 3rd, then quadratic).
+    # curv rides the carry only at order 2 — a scalar 0 otherwise keeps the
+    # scan carry slim for the common order<=1 case.
+    curv0 = zeros if order >= 2 else jnp.asarray(0.0)
+    carry0 = (img, rng, zeros, zeros, curv0, jnp.asarray(0.0))
+    (final, _, _, _, _, _), _ = jax.lax.scan(step, carry0, xs)
     return final

@@ -237,7 +237,7 @@ class StyleDiffusion(nn.Module):
         out = self.style_encoder(
             xseq, deterministic=deterministic,
             use_fused=(self.cfg.fused or self.cfg.quant_int8) and deterministic,
-                use_int8=self.cfg.quant_int8,
+            use_int8=self.cfg.quant_int8,
         )[:, 1:]
         return self.mdm._tokens_to_frames(self.mdm.output_process(out)).astype(jnp.float32)
 

