@@ -129,6 +129,40 @@ def main(argv=None):
     if args.dataset == "humanml" and args.guidance_param not in (0, 1):
         model_fn = cfg_model_fn(model_fn, jnp.full((args.num_samples,), args.guidance_param))
 
+    dump_all_xstart = args.dataset != "humanml"  # :240-243
+    skip = int(args.skip_steps / args.diffusion_steps * sched_ddim.num_timesteps)
+    sharded_sampler = None
+    if getattr(args, "model_parallel", 1) > 1:
+        # tensor-parallel serving: Megatron-shard the transformer over a
+        # 'model' axis, batch over whatever 'data' axis the sample count
+        # supports, and serve through the compile-once ShardedSampler
+        import math
+
+        from motionstyle.parallel.inference import ShardedSampler
+        from motionstyle.parallel.mesh import make_mesh
+
+        mp = args.model_parallel
+        ndev = len(jax.devices())
+        if ndev % mp != 0:
+            raise ValueError(
+                f"--model_parallel {mp} does not divide the visible device "
+                f"count {ndev}")
+        dp = math.gcd(ndev // mp, max(1, args.num_samples))
+        mesh = make_mesh(dp * mp, model_parallel=mp)
+        print(f"serving over a ({dp} data x {mp} model) mesh")
+
+        def _builder(params):
+            def fn(x, t_orig, cond):
+                return bundle.model.apply(params, x, t_orig, cond.get("enc_text"))
+
+            if args.dataset == "humanml" and args.guidance_param not in (0, 1):
+                return cfg_model_fn(fn, jnp.full((args.num_samples,), args.guidance_param))
+            return fn
+
+        sharded_sampler = ShardedSampler(
+            mesh, sched_ddim, _builder, bundle.params,
+            method="ddim", skip_timesteps=skip, dump_all_xstart=dump_all_xstart)
+
     content_denorm = ds.inv_transform(np.asarray(sample_t2m)[0, :, 0, :].T)
     content_joints = np.asarray(recover_from_ric(jnp.asarray(content_denorm, dtype=jnp.float32), joint_num))
     style_denorm = ds.inv_transform(np.asarray(input_motions)[0, :, 0, :].T)
@@ -143,16 +177,19 @@ def main(argv=None):
 
         profile_ctx = profile_trace(args.profile)
         profile_ctx.__enter__()
-    skip = int(args.skip_steps / args.diffusion_steps * sched_ddim.num_timesteps)
     for rep_i in range(args.num_repetitions):
         print(f"### Start sampling [repetitions #{rep_i}]")
         rng, sub = jax.random.split(rng)
-        dump_all_xstart = args.dataset != "humanml"  # :240-243
-        result = sampling.sample_loop(
-            sched_ddim, model_fn, {"enc_text": enc_text}, sub,
-            shape=tuple(sample_t2m.shape), init_image=sample_t2m, method="ddim",
-            skip_timesteps=skip, inpainting=inpainting, dump_all_xstart=dump_all_xstart,
-        )
+        if sharded_sampler is not None:
+            result = sharded_sampler(
+                {"init_image": sample_t2m, "cond": {"enc_text": enc_text},
+                 "inpainting": inpainting}, sub)
+        else:
+            result = sampling.sample_loop(
+                sched_ddim, model_fn, {"enc_text": enc_text}, sub,
+                shape=tuple(sample_t2m.shape), init_image=sample_t2m, method="ddim",
+                skip_timesteps=skip, inpainting=inpainting, dump_all_xstart=dump_all_xstart,
+            )
         # posrot datasets take the x0 prediction 5 steps early (an intentional
         # under-denoise, :259-260); humanml takes the final sample
         sample = result[-5] if dump_all_xstart else result
@@ -177,6 +214,11 @@ def main(argv=None):
     np.save(npy_path, {
         "motion": all_motions, "text": all_text, "lengths": all_lengths,
         "num_samples": args.num_samples, "num_repetitions": args.num_repetitions,
+        # extra key over the reference schema (:286-288): the denormalized
+        # hml_vec outputs, so feature-space quality analysis
+        # (eval/style_metrics.py, tools/quality_protocol.py) can run on the
+        # artifact without re-deriving features from joints
+        "hml": all_hml,
     })
 
     if args.skip_render:

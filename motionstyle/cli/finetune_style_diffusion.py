@@ -181,16 +181,24 @@ def main(argv=None):
         orbax_checkpoints=bool(getattr(args, "orbax_checkpoints", 0)),
     )
     mesh = None
-    if getattr(args, "data_parallel", 0):
+    mp = max(1, getattr(args, "model_parallel", 1))
+    if getattr(args, "data_parallel", 0) or mp > 1:
         import math
 
         from motionstyle.parallel.mesh import make_mesh
 
+        ndev = len(jax.devices())
+        if ndev % mp != 0:
+            raise ValueError(
+                f"--model_parallel {mp} does not divide the visible device "
+                f"count {ndev}")
         # data axis must divide the batch; use the largest common divisor
-        dp = math.gcd(len(jax.devices()), max(1, args.batch_size))
-        if dp > 1:
-            mesh = make_mesh(dp)
-            print(f"data-parallel finetune over {dp} devices")
+        # of the devices left after the model axis takes its share
+        dp = (math.gcd(ndev // mp, max(1, args.batch_size))
+              if getattr(args, "data_parallel", 0) else 1)
+        if dp * mp > 1:
+            mesh = make_mesh(dp * mp, model_parallel=mp)
+            print(f"finetune sharded over a ({dp} data x {mp} model) mesh")
         else:
             print("--data_parallel: batch size shares no divisor with the "
                   "device count; running single-device")

@@ -26,7 +26,7 @@ def parse_and_load_from_model(parser: ArgumentParser):
     args_to_overwrite = [a for a in args_to_overwrite
                          if a not in ("skip_render", "model_path", "output_dir", "fused",
                                       "parallel_window", "forecast_stride",
-                                      "forecast_order", "quant_int8")]
+                                      "forecast_order", "model_parallel", "quant_int8")]
 
     model_path = get_model_path_from_args()
     args_path = os.path.join(os.path.dirname(model_path), "args.json")
@@ -129,6 +129,13 @@ def add_finetune_options(parser):
                             "devices (('data','model') mesh, batch over "
                             "'data'); identical numerics to single-device, "
                             "tests/test_parallel.py")
+    group.add_argument("--model_parallel", default=1, type=int,
+                       help="tensor-parallel degree: shard the transformer "
+                            "FFN/attention projections over a 'model' mesh "
+                            "axis of this size (Megatron-style, parallel/"
+                            "mesh.py); composes with --data_parallel into a "
+                            "(data x model) mesh. Identical numerics to "
+                            "single-device")
     group.add_argument("--orbax_checkpoints", default=0, type=int,
                        help="1 = ALSO write orbax checkpoints of the full "
                             "sharded state (cross-topology restore; "
@@ -173,6 +180,11 @@ def add_sampling_options(parser):
                        help="forecast extrapolation order: 0 zero-order hold, "
                             "1 linear (default), 2 quadratic backward-"
                             "difference (only used when --forecast_stride >1)")
+    group.add_argument("--model_parallel", default=1, type=int,
+                       help="tensor-parallel serving degree: run the style "
+                            "transfer sampling through ShardedSampler on a "
+                            "(data x model) mesh with the transformer "
+                            "Megatron-sharded over this many devices")
     group.add_argument("--skip_render", action="store_true")
     return group
 
