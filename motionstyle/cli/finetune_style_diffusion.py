@@ -209,6 +209,7 @@ def main(argv=None):
     trainer.install_preemption_handler()
 
     step = 0
+    caption_enc = model_util.CaptionEncoder(bundle, args.dataset)
     while step < args.num_steps and not trainer.preempted:
         for motion, cond in data:
             if step >= args.num_steps or trainer.preempted:
@@ -224,7 +225,7 @@ def main(argv=None):
                 "mask": mask.astype(np.float32),
                 "inp_mask": np.asarray(inp_mask, dtype=np.float32),
                 "enc_text_style": np.asarray(enc_neutral, dtype=np.float32),
-                "enc_text_t2m": np.asarray(bundle.encode_text(texts, args.dataset), dtype=np.float32),
+                "enc_text_t2m": caption_enc(texts),
                 "inp_mask_t2m": t2m_inp_mask.astype(np.float32),
                 "frame_mask_t2m": cond["y"]["mask"][:, 0, 0, :].astype(bool),
                 "text_features": np.asarray(enc_t2m, dtype=np.float32),

@@ -97,6 +97,31 @@ class ModelBundle(NamedTuple):
         return clip_text.encode_text(self.clip_params, texts, dataset=dataset)
 
 
+class CaptionEncoder:
+    """Memoizing caption encoder for training loops.
+
+    Dataset captions repeat across batches (caption synthesis yields one
+    caption per clip, data/datasets.py); re-encoding them every step costs a
+    CLIP forward + a relay dispatch per batch. The reference pays this cost
+    every denoiser call (mdm_forstyledataset.py:612 re-encodes per step) —
+    here encodings are computed once per distinct caption.
+    """
+
+    def __init__(self, bundle: "ModelBundle", dataset: str):
+        self.bundle = bundle
+        self.dataset = dataset
+        self._cache: dict = {}
+
+    def __call__(self, texts) -> np.ndarray:
+        missing = [t for t in texts if t not in self._cache]
+        if missing:
+            enc = np.asarray(self.bundle.encode_text(missing, self.dataset),
+                             dtype=np.float32)
+            for t, e in zip(missing, enc):
+                self._cache[t] = e
+        return np.stack([self._cache[t] for t in texts])
+
+
 def clip_fallback_status(args) -> tuple:
     """(weights_fallback, tokenizer_fallback) for the CLIP text tower.
 

@@ -1,0 +1,114 @@
+"""Prior pretraining CLI: train the text-conditioned MDM prior in-framework.
+
+The reference assumes this checkpoint exists (README.md:53 passes
+save_stylexia/inpainting_style_model/model_pretrained.pt to the finetune
+entry; no code in the repo can produce it). This CLI produces both files the
+finetune workflow consumes:
+
+  save_dir/mdm.pt                — the prior, for --mdm_path
+  save_dir/model_pretrained.pt   — encoder warm start, for --resume_checkpoint
+
+Run:  python -m motionstyle.cli.pretrain_prior \
+        --dataset stylexia_posrot --data_dir .../style_xia \
+        --save_dir ./save/prior --num_steps 600 --batch_size 16
+"""
+from __future__ import annotations
+
+import json
+import os
+from argparse import ArgumentParser
+from os.path import join as pjoin
+
+import jax
+import numpy as np
+
+from motionstyle.cli import model_util
+from motionstyle.cli.parser_util import (
+    add_base_options,
+    add_data_options,
+    add_diffusion_options,
+    add_model_options,
+)
+from motionstyle.data.collate import get_dataset_loader
+from motionstyle.train import logging as logger
+from motionstyle.train.pretrain import PretrainConfig, PriorTrainer
+
+
+def main(argv=None):
+    parser = ArgumentParser()
+    add_base_options(parser)
+    add_data_options(parser)
+    add_diffusion_options(parser)
+    add_model_options(parser)
+    parser.add_argument("--save_dir", required=True, type=str)
+    parser.add_argument("--lr", default=1e-4, type=float)
+    parser.add_argument("--weight_decay", default=0.0, type=float)
+    parser.add_argument("--num_steps", default=600, type=int)
+    parser.add_argument("--num_frames", default=60, type=int)
+    parser.add_argument("--log_interval", default=50, type=int)
+    parser.add_argument("--save_interval", default=0, type=int)
+    parser.add_argument("--data_parallel", default=0, type=int)
+    parser.add_argument("--model_parallel", default=1, type=int)
+    args = parser.parse_args(argv)
+    # the factory expects the style-inpainting arg surface
+    args.semantic_discriminator_path = ""
+    args.model_path = ""
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    with open(pjoin(args.save_dir, "args.json"), "w") as fw:
+        json.dump(vars(args), fw, indent=4, sort_keys=True)
+    logger.configure(args.save_dir, format_strs=("stdout", "csv"))
+
+    data = get_dataset_loader(args.dataset, args.batch_size, args.num_frames,
+                              split="train", data_root=args.data_dir or None)
+    bundle, _, sched_full = model_util.creat_serval_diffusion(args)
+
+    mesh = None
+    mp = max(1, args.model_parallel)
+    if args.data_parallel or mp > 1:
+        import math
+
+        from motionstyle.parallel.mesh import make_mesh
+
+        ndev = len(jax.devices())
+        if ndev % mp != 0:
+            raise ValueError(f"--model_parallel {mp} does not divide {ndev} devices")
+        dp = (math.gcd(ndev // mp, max(1, args.batch_size))
+              if args.data_parallel else 1)
+        if dp * mp > 1:
+            mesh = make_mesh(dp * mp, model_parallel=mp)
+            print(f"pretraining sharded over a ({dp} data x {mp} model) mesh")
+
+    cfg = PretrainConfig(save_dir=args.save_dir, lr=args.lr,
+                         weight_decay=args.weight_decay,
+                         num_steps=args.num_steps,
+                         log_interval=args.log_interval,
+                         save_interval=args.save_interval,
+                         cond_mask_prob=args.cond_mask_prob, seed=args.seed)
+    trainer = PriorTrainer(cfg, bundle.model, bundle.params, sched_full, mesh=mesh)
+    print("Total prior params: %.2fM" % (
+        sum(np.size(x) for x in jax.tree_util.tree_leaves(trainer.params["mdm"])) / 1e6))
+
+    step = 0
+    caption_enc = model_util.CaptionEncoder(bundle, args.dataset)
+    while step < args.num_steps:
+        for motion, cond in data:
+            if step >= args.num_steps:
+                break
+            batch = {
+                "x_start": motion.astype(np.float32),
+                "enc_text": caption_enc(list(cond["y"]["text"])),
+                "mask": cond["y"]["mask"][:, :1, :1, :].astype(np.float32),
+            }
+            loss = trainer.run_step(batch)
+            if step % args.log_interval == 0:
+                print(f"prior step[{step}]: loss[{loss:0.5f}]")
+                logger.dumpkvs()
+            step += 1
+    mdm_path, warm_path = trainer.save()
+    print(f"[Done] prior saved: {mdm_path} + {warm_path}")
+    return args.save_dir
+
+
+if __name__ == "__main__":
+    main()

@@ -220,6 +220,15 @@ class ClipTextEncoder(nn.Module):
         return pooled @ proj
 
 
+@functools.lru_cache(maxsize=1)
+def _jitted_apply():
+    """One compiled text-tower forward (per batch shape). Without jit every
+    op of the 12-layer tower dispatches separately — catastrophic through
+    the axon remote-dispatch relay (~2.5 ms/call)."""
+    enc = ClipTextEncoder()
+    return jax.jit(lambda params, ids: enc.apply(params, ids))
+
+
 def encode_text(params, texts, dataset: str = "stylexia_posrot", tokenizer=None) -> jax.Array:
     """Host tokenize + device encode. Mirrors MDM.encode_text :298-313
     (humanml/kit use a 22-token context zero-padded to 77)."""
@@ -232,4 +241,4 @@ def encode_text(params, texts, dataset: str = "stylexia_posrot", tokenizer=None)
         )
     else:
         ids = tokenize(texts, tokenizer=tokenizer)
-    return ClipTextEncoder().apply(params, jnp.asarray(ids))
+    return _jitted_apply()(params, jnp.asarray(ids))

@@ -140,6 +140,29 @@ def assemble_style_diffusion_params(
     return {"params": params}
 
 
+def _export_dense(sd: Dict[str, np.ndarray], key: str, tree: dict):
+    sd[f"{key}.weight"] = np.asarray(tree["kernel"]).T
+    sd[f"{key}.bias"] = np.asarray(tree["bias"])
+
+
+def export_mdm(params: dict, num_layers: int) -> Dict[str, np.ndarray]:
+    """Inverse of convert_mdm: our MDM prior subtree -> reference-layout
+    state dict, torch-loadable as an --mdm_path checkpoint. Enables
+    in-framework prior pretraining (train/pretrain.py) to feed the same
+    checkpoint surgery the reference's externally-trained priors use
+    (utils/model_util.py:9-23)."""
+    tree = params["params"]["mdm"] if "params" in params else params.get("mdm", params)
+    sd: Dict[str, np.ndarray] = {}
+    _export_dense(sd, "input_process.poseEmbedding", tree["input_process"])
+    _export_dense(sd, "embed_timestep.time_embed.0", tree["embed_timestep"]["time_embed_0"])
+    _export_dense(sd, "embed_timestep.time_embed.2", tree["embed_timestep"]["time_embed_2"])
+    _export_dense(sd, "embed_text", tree["embed_text"])
+    _export_dense(sd, "output_process.poseFinal", tree["output_process"])
+    enc = export_style_encoder({"style_encoder": tree["seqTransEncoder"]}, num_layers)
+    sd.update(enc)
+    return sd
+
+
 def export_style_encoder(params: dict, num_layers: int) -> Dict[str, np.ndarray]:
     """Inverse surgery: our style encoder -> reference-layout state dict
     (torch-loadable 'seqTransEncoder.layers.{i}.*' keys), so checkpoints

@@ -1,0 +1,163 @@
+"""In-framework prior pretraining: standard text-conditioned MDM training.
+
+The reference ships NO prior trainer — its workflow consumes externally
+pretrained checkpoints (`model_pretrained.pt`, README.md:53; the training
+loop only implements the few-shot style loss, train/training_loop.py:248-263).
+This module closes that gap so a user can produce every checkpoint the
+pipeline needs without leaving the framework:
+
+  x_t = q_sample(x0, t)                    (diffusion/ddpm.py)
+  loss = masked_l2(x0, model(x_t, t, c))   (predict-x0 / START_X semantics,
+                                            utils/model_util.py:171-201;
+                                            masked_l2 parity
+                                            gaussian_diffusion.py:223)
+  CFG condition dropout per batch           (mdm_forstyledataset.py:288-296)
+
+TPU-first: ONE jitted step (loss + grad + optax update), bf16-capable model,
+optional ('data','model') mesh sharding with the same placement rules as the
+finetune trainer (parallel/mesh.py). Checkpoints are written BOTH as the
+trainable prior in the reference torch layout (mdm.pt, loadable via
+--mdm_path) and as a style-encoder warm start (model_pretrained.pt, loadable
+via --resume_checkpoint) — the two files the reference README's finetune
+invocation expects to exist.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from motionstyle.diffusion import ddpm
+from motionstyle.diffusion.resample import UniformSampler
+from motionstyle.diffusion.schedule import DiffusionSchedule
+from motionstyle.models.denoiser import StyleDiffusion, mask_cond
+from motionstyle.models.torch_import import export_mdm, export_style_encoder
+from motionstyle.train import logging as logger
+
+
+@dataclass
+class PretrainConfig:
+    save_dir: str
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    num_steps: int = 600
+    log_interval: int = 50
+    save_interval: int = 0  # 0 = only final save
+    cond_mask_prob: float = 0.1
+    seed: int = 10
+
+
+class PriorTrainer:
+    """Trains the frozen-in-the-reference MDM prior subtree of a
+    StyleDiffusion model with the standard denoising objective."""
+
+    def __init__(self, cfg: PretrainConfig, model: StyleDiffusion, params: dict,
+                 sched: DiffusionSchedule, mesh=None):
+        self.cfg = cfg
+        self.model = model
+        self.params = params["params"] if "params" in params else params
+        self.sched = sched
+        self.mesh = mesh
+        self.step = 0
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.sampler = UniformSampler(sched.num_timesteps)
+
+        def label(path, _):
+            return "trainable" if str(path[0].key) == "mdm" else "frozen"
+
+        self.tx = optax.multi_transform(
+            {"trainable": optax.adamw(cfg.lr, weight_decay=cfg.weight_decay),
+             "frozen": optax.set_to_zero()},
+            jax.tree_util.tree_map_with_path(label, self.params),
+        )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from motionstyle.parallel.mesh import shard_params
+
+            self.params = shard_params(self.params, mesh)
+            self.opt_state = self.tx.init(self.params)
+            self.opt_state = jax.tree_util.tree_map(
+                lambda a: a if getattr(a, "ndim", 1) > 0
+                else jax.device_put(a, NamedSharding(mesh, P())),
+                self.opt_state,
+            )
+        else:
+            self.opt_state = self.tx.init(self.params)
+        self._train_step = self._build_train_step()
+
+    def _build_train_step(self):
+        cfg, model, sched = self.cfg, self.model, self.sched
+
+        def train_step(params, opt_state, rng, batch):
+            """batch: x_start (B,C,F,T), t (B,), enc_text (B,clip), mask
+            (B,1,1,T)."""
+            rng_noise, rng_drop, rng_cond = jax.random.split(rng, 3)
+
+            def loss_fn(p):
+                noise = jax.random.normal(rng_noise, batch["x_start"].shape,
+                                          dtype=jnp.float32)
+                x_t = ddpm.q_sample(sched, batch["x_start"], batch["t"], noise)
+                enc = mask_cond(rng_cond, batch["enc_text"], cfg.cond_mask_prob)
+                out = model.apply(
+                    {"params": p}, x_t, batch["t"], enc,
+                    deterministic=False, rngs={"dropout": rng_drop},
+                    method=StyleDiffusion.denoise_prior,
+                )
+                # masked_l2 parity (gaussian_diffusion.py:223-248): per-entry
+                # SSE / per-sample unmasked-element count
+                mask = batch["mask"]
+                sse = jnp.sum(((out - batch["x_start"]) ** 2) * mask,
+                              axis=(1, 2, 3))
+                n = jnp.maximum(jnp.sum(mask, axis=(1, 2, 3)), 1.0) * (
+                    batch["x_start"].shape[1] * batch["x_start"].shape[2])
+                return jnp.mean(sse / n)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt_state = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt_state, loss
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    def run_step(self, batch: dict) -> float:
+        self.rng, sub, tsub = jax.random.split(self.rng, 3)
+        t, _ = self.sampler.sample(tsub, batch["x_start"].shape[0])
+        batch = dict(batch, t=t)
+        if self.mesh is not None:
+            from motionstyle.parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, self.mesh, replicate_indivisible=True)
+        self.params, self.opt_state, loss = self._train_step(
+            self.params, self.opt_state, sub, batch)
+        self.step += 1
+        loss = float(np.asarray(loss))
+        if self.cfg.log_interval and self.step % self.cfg.log_interval == 0:
+            logger.logkv("prior_step", self.step)
+            logger.logkv("prior_loss", loss)
+        if self.cfg.save_interval and self.step % self.cfg.save_interval == 0:
+            self.save()
+        return loss
+
+    def save(self):
+        """Write mdm.pt (--mdm_path) + model_pretrained.pt
+        (--resume_checkpoint warm start = the prior's encoder), both in the
+        reference torch layout."""
+        import torch
+
+        os.makedirs(self.cfg.save_dir, exist_ok=True)
+        as_torch = lambda sd: {k: torch.from_numpy(np.ascontiguousarray(v))
+                               for k, v in sd.items()}
+        host = jax.tree_util.tree_map(np.asarray, self.params)
+        mdm_path = os.path.join(self.cfg.save_dir, "mdm.pt")
+        torch.save(as_torch(export_mdm({"mdm": host["mdm"]},
+                                       self.model.cfg.num_layers)), mdm_path)
+        warm_path = os.path.join(self.cfg.save_dir, "model_pretrained.pt")
+        torch.save(as_torch(export_style_encoder(
+            {"style_encoder": host["mdm"]["seqTransEncoder"]},
+            self.model.cfg.num_layers)), warm_path)
+        logger.log(f"saved prior checkpoints {mdm_path} / {warm_path}")
+        return mdm_path, warm_path

@@ -1,0 +1,115 @@
+"""Prior pretraining (train/pretrain.py) + MDM checkpoint export round-trip."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motionstyle.diffusion.schedule import make_schedule
+from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+from motionstyle.models.torch_import import (
+    assemble_style_diffusion_params,
+    convert_mdm,
+    export_mdm,
+)
+from motionstyle.train.pretrain import PretrainConfig, PriorTrainer
+
+
+def _tiny_setup(tmp_path, latent=32, layers=1, njoints=16):
+    cfg = MDMConfig(njoints=njoints, nfeats=1, latent_dim=latent, ff_size=64,
+                    num_layers=layers, clip_dim=32)
+    model = StyleDiffusion(cfg)
+    x = jnp.zeros((2, njoints, 1, 8), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,), jnp.int32),
+                        jnp.zeros((2, 32)), method=StyleDiffusion.full_init)
+    sched = make_schedule("cosine", 50)
+    pcfg = PretrainConfig(save_dir=str(tmp_path), num_steps=40, lr=1e-3,
+                          log_interval=0, cond_mask_prob=0.1, seed=3)
+    return cfg, model, params, sched, pcfg
+
+
+class TestPriorTrainer:
+    def test_loss_decreases_and_frozen_subtrees_untouched(self, tmp_path):
+        cfg, model, params, sched, pcfg = _tiny_setup(tmp_path)
+        trainer = PriorTrainer(pcfg, model, params, sched)
+        before = jax.tree_util.tree_map(np.asarray, trainer.params)
+        r = np.random.RandomState(0)
+        batch = {
+            "x_start": r.randn(8, cfg.njoints, 1, 8).astype(np.float32) * 0.5,
+            "enc_text": r.randn(8, 32).astype(np.float32),
+            "mask": np.ones((8, 1, 1, 8), np.float32),
+        }
+        losses = [trainer.run_step(batch) for _ in range(40)]
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, losses[:3] + losses[-3:]
+        after = trainer.params
+        # only the mdm subtree trains; style encoder + discriminator frozen
+        for key in ("style_encoder", "motion_enc_encoder", "mu_query", "sigma_query"):
+            np.testing.assert_array_equal(
+                np.concatenate([np.ravel(l) for l in jax.tree_util.tree_leaves(before[key])]),
+                np.concatenate([np.ravel(np.asarray(l)) for l in jax.tree_util.tree_leaves(after[key])]),
+                err_msg=key)
+        mdm_moved = any(
+            not np.array_equal(a, np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(before["mdm"]),
+                            jax.tree_util.tree_leaves(after["mdm"])))
+        assert mdm_moved
+
+    def test_export_mdm_roundtrip(self, tmp_path):
+        """export_mdm -> convert_mdm reproduces the prior subtree exactly,
+        and the saved mdm.pt feeds assemble_style_diffusion_params."""
+        import torch
+
+        cfg, model, params, sched, pcfg = _tiny_setup(tmp_path)
+        trainer = PriorTrainer(pcfg, model, params, sched)
+        mdm_path, warm_path = trainer.save()
+        assert os.path.exists(mdm_path) and os.path.exists(warm_path)
+
+        sd = {k: v.numpy() for k, v in
+              torch.load(mdm_path, map_location="cpu", weights_only=False).items()}
+        rebuilt = convert_mdm(sd, cfg)
+        flat_orig = jax.tree_util.tree_leaves_with_path(
+            jax.tree_util.tree_map(np.asarray, trainer.params["mdm"]))
+        flat_new = dict(jax.tree_util.tree_leaves_with_path(rebuilt))
+        assert len(flat_orig) == len(flat_new)
+        for path, leaf in flat_orig:
+            np.testing.assert_allclose(leaf, flat_new[path], rtol=0, atol=0,
+                                       err_msg=jax.tree_util.keystr(path))
+
+        # the full factory path accepts the exported prior
+        full = assemble_style_diffusion_params(cfg, mdm_sd=sd,
+                                               rng=jax.random.PRNGKey(1))
+        got = jax.tree_util.tree_leaves(full["params"]["mdm"])
+        want = jax.tree_util.tree_leaves(trainer.params["mdm"])
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    def test_prior_denoises_after_training(self, tmp_path):
+        """After pretraining on a 1-mode dataset the prior's x0 prediction at
+        high t moves toward the data mean — the property neutral-content
+        generation relies on (f_s_d.py:195-211)."""
+        cfg, model, params, sched, pcfg = _tiny_setup(tmp_path)
+        trainer = PriorTrainer(pcfg, model, params, sched)
+        r = np.random.RandomState(1)
+        target = r.randn(1, cfg.njoints, 1, 8).astype(np.float32)
+        batch = {
+            "x_start": np.repeat(target, 8, axis=0),
+            "enc_text": np.zeros((8, 32), np.float32),
+            "mask": np.ones((8, 1, 1, 8), np.float32),
+        }
+        noise = jax.random.normal(jax.random.PRNGKey(2), target.shape)
+        t = jnp.full((1,), 40, jnp.int32)
+        from motionstyle.diffusion import ddpm
+
+        x_t = ddpm.q_sample(sched, jnp.asarray(target), t, noise)
+        # BEFORE training: the init params' buffers are donated by the first
+        # train step (donate_argnums), so the baseline runs first
+        x0_init = model.apply(params, x_t, t, jnp.zeros((1, 32)),
+                              method=StyleDiffusion.denoise_prior)
+        err_init = float(jnp.abs(x0_init - target).mean())
+        for _ in range(150):
+            trainer.run_step(batch)
+        x0 = model.apply({"params": trainer.params}, x_t, t,
+                         jnp.zeros((1, 32)), method=StyleDiffusion.denoise_prior)
+        err_trained = float(jnp.abs(x0 - target).mean())
+        assert err_trained < 0.6 * err_init, (err_trained, err_init)
