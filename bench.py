@@ -120,8 +120,15 @@ def bench_ours(batch: int, dtype: str, reps: int = 3) -> float:
     return batch / float(np.median(times))
 
 
-def bench_transfer_latency(reps: int = 10) -> float:
-    """p50 latency (s) of the demo config: DDIM-20, skip 14, inpainting, B=1."""
+def bench_transfer_latency(reps: int = 10, dtype: str = "bf16",
+                           early_stop: bool = False,
+                           percentile: float = 50.0) -> float:
+    """Latency percentile (s) of the demo config: DDIM-20, skip 14,
+    inpainting, B=1, output = the demo's dump[-5] under-denoise pick.
+
+    early_stop: stop the chain at t=4 (where the dump[-5] x0 lives) — the
+    bit-identical 2-eval serving path (min-latency preset,
+    ShardedSampler.min_latency). dtype 'int8' adds quantized serving."""
     import jax
     import jax.numpy as jnp
 
@@ -132,7 +139,8 @@ def bench_transfer_latency(reps: int = 10) -> float:
     from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
 
     cfg = MDMConfig(njoints=C, nfeats=1, latent_dim=LATENT, ff_size=FF, num_layers=LAYERS,
-                    num_heads=HEADS, dtype="bfloat16", fused=True)
+                    num_heads=HEADS, dtype="bfloat16", fused=True,
+                    quant_int8=dtype == "int8")
     model = StyleDiffusion(cfg)
     Tx = 76
     x0 = jnp.zeros((1, C, 1, Tx), dtype=jnp.float32)
@@ -147,11 +155,13 @@ def bench_transfer_latency(reps: int = 10) -> float:
 
     @jax.jit
     def run(rng):
-        return sampling.sample_loop(
+        xs = sampling.sample_loop(
             sched, model_fn, {"enc_text": enc_text}, rng, shape=(1, C, 1, Tx),
             init_image=content, method="ddim", skip_timesteps=14,
+            stop_timesteps=4 if early_stop else None,
             inpainting=Inpainting(mask, content), dump_all_xstart=True, remat=False,
-        )[-5]
+        )
+        return xs[-1] if early_stop else xs[-5]
 
     jax.block_until_ready(run(jax.random.PRNGKey(2)))
     times = []
@@ -159,7 +169,7 @@ def bench_transfer_latency(reps: int = 10) -> float:
         t0 = time.perf_counter()
         jax.block_until_ready(run(jax.random.PRNGKey(3 + i)))
         times.append(time.perf_counter() - t0)
-    return float(np.percentile(times, 50))
+    return float(np.percentile(times, percentile))
 
 
 def bench_torch_cpu_baseline(measure_steps: int = 30) -> float:
@@ -468,6 +478,11 @@ def main_full():
     """All BASELINE.json benchmark configs, one JSON line each."""
     for name, fn, unit in (
         ("xia_demo_p50_latency_ms", lambda: bench_transfer_latency() * 1e3, "ms"),
+        ("xia_min_latency_preset_p50_ms",
+         lambda: bench_transfer_latency(early_stop=True, dtype="int8") * 1e3, "ms"),
+        ("xia_min_latency_preset_p99_ms",
+         lambda: bench_transfer_latency(reps=30, early_stop=True, dtype="int8",
+                                        percentile=99.0) * 1e3, "ms"),
         ("few_shot_finetune_steps_per_sec", bench_finetune_steps, "steps/s"),
         ("cfg_ddim100_32clip_clips_per_sec", bench_cfg_ddim100_batched, "clips/s"),
         ("bandai_long_batch_clips_per_sec", bench_bandai_long_batch, "clips/s"),
@@ -514,6 +529,7 @@ def main():
                 best = (cps, batch, dtype)
 
     p50 = bench_transfer_latency()
+    p50_min = bench_transfer_latency(early_stop=True, dtype="int8")
     torch_clips_per_sec = bench_torch_cpu_baseline()
 
     flops_per_clip = denoiser_flops_per_clip_step() * DDPM_STEPS
@@ -527,6 +543,9 @@ def main():
         "best_dtype": best[2],
         "torch_cpu_baseline_clips_per_sec": round(torch_clips_per_sec, 4),
         "p50_transfer_latency_ms_ddim20_skip14": round(p50 * 1e3, 2),
+        # min-latency preset: early-stop at the demo's dump[-5] pick (2
+        # denoiser evals, bit-identical output) + int8 serving
+        "p50_min_latency_preset_ms": round(p50_min * 1e3, 2),
         "achieved_tflops_per_sec": round(achieved_tflops, 1),
         "mfu_pct_v5e_bf16": round(100.0 * achieved_tflops / V5E_BF16_PEAK_TFLOPS, 1),
         "sweep": results,

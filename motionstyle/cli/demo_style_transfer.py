@@ -184,15 +184,30 @@ def main(argv=None):
             result = sharded_sampler(
                 {"init_image": sample_t2m, "cond": {"enc_text": enc_text},
                  "inpainting": inpainting}, sub)
+            sample = result[-5] if dump_all_xstart else result
+        elif dump_all_xstart and sched_ddim.num_timesteps - skip >= 5:
+            # the posrot early-stop pick (x0 five steps from the end,
+            # :259-260) is the x0 predicted at t=4 of the respaced chain —
+            # so stop the chain THERE instead of running the remaining
+            # steps whose dump entries are discarded. Bit-identical output
+            # (tests/test_diffusion.py::test_early_stop_equals_dump_pick)
+            # in (S-4)/2 of the denoiser evals: 2 instead of 6 at skip 14.
+            result = sampling.sample_loop(
+                sched_ddim, model_fn, {"enc_text": enc_text}, sub,
+                shape=tuple(sample_t2m.shape), init_image=sample_t2m, method="ddim",
+                skip_timesteps=skip, stop_timesteps=4, inpainting=inpainting,
+                dump_all_xstart=True,
+            )
+            sample = result[-1]
         else:
             result = sampling.sample_loop(
                 sched_ddim, model_fn, {"enc_text": enc_text}, sub,
                 shape=tuple(sample_t2m.shape), init_image=sample_t2m, method="ddim",
                 skip_timesteps=skip, inpainting=inpainting, dump_all_xstart=dump_all_xstart,
             )
-        # posrot datasets take the x0 prediction 5 steps early (an intentional
-        # under-denoise, :259-260); humanml takes the final sample
-        sample = result[-5] if dump_all_xstart else result
+            # posrot datasets take the x0 prediction 5 steps early (an
+            # intentional under-denoise, :259-260); humanml the final sample
+            sample = result[-5] if dump_all_xstart else result
         denorm = ds.inv_transform(np.asarray(sample)[:, :, 0, :].transpose(0, 2, 1))
         all_hml.append(denorm)
         joints = np.asarray(recover_from_ric(jnp.asarray(denorm, dtype=jnp.float32), joint_num))

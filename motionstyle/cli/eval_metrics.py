@@ -58,6 +58,10 @@ def main(argv=None):
                         help="forecast extrapolation order (0 hold / 1 linear "
                              "/ 2 quadratic)")
     parser.add_argument("--seed", default=10, type=int)
+    parser.add_argument("--split", default="test", choices=["test", "train"],
+                        help="dataset split providing captions + ground truth "
+                             "(train is useful for self-contained synthetic "
+                             "corpora whose names are outside the test list)")
     parser.add_argument("--replication_times", default=1, type=int,
                         help="T2M protocol replications: re-generate + re-evaluate "
                              "this many times and report mean and 95%% conf interval")
@@ -67,8 +71,8 @@ def main(argv=None):
     validate_sampling_args(args)
 
     max_frames = 196 if args.dataset in ("humanml", "bandai-1_posrot", "bandai-2_posrot") else 76
-    loader = get_dataset_loader(args.dataset, args.batch_size, max_frames, split="test",
-                                data_root=args.data_dir or None)
+    loader = get_dataset_loader(args.dataset, args.batch_size, max_frames,
+                                split=args.split, data_root=args.data_dir or None)
 
     bundle, _, sched_full = model_util.creat_serval_diffusion(args)
     model_fn = bundle.denoiser_fn(style=False)

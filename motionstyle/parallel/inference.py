@@ -65,6 +65,18 @@ class ShardedSampler:
         self.model_fn_builder = model_fn_builder
         self._compiled = {}
 
+    @classmethod
+    def min_latency(cls, mesh: Mesh, sched: DiffusionSchedule,
+                    model_fn_builder: Callable, params):
+        """Measured minimum-latency single-clip transfer preset (BASELINE.md
+        r3): the demo's DDIM-20/skip-14 inpainting config, early-stopped at
+        t=4 — bit-equal to the demo's dump[-5] under-denoise pick
+        (tests/test_diffusion.py) in 2 denoiser evals instead of 6. Combine
+        with MDMConfig.quant_int8 for the fastest serving path; take [-1]
+        of the returned xstart stack as the transferred clip."""
+        return cls(mesh, sched, model_fn_builder, params, method="ddim",
+                   skip_timesteps=14, stop_timesteps=4, dump_all_xstart=True)
+
     def __call__(self, batch: dict, rng: jax.Array):
         """batch: {'shape': tuple | 'init_image': (B, C, 1, T), 'cond': dict,
         optional 'inpainting': Inpainting}. Returns device-sharded samples."""

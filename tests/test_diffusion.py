@@ -109,6 +109,26 @@ class TestSamplerGoldens:
         assert out.shape == g["ddpm_stack"].shape
         np.testing.assert_allclose(np.asarray(out), g["ddpm_stack"], atol=1e-4)
 
+    def test_early_stop_equals_dump_pick(self, goldens):
+        """The demo's dump[-5] early-stop pick is the x0 predicted at t=4 of
+        the respaced chain: stopping the chain there (stop_timesteps=4, 2
+        denoiser evals at skip 14) yields the SAME array bit-for-bit — the
+        min-latency serving path (demo CLI + ShardedSampler.min_latency)."""
+        g = goldens["sampler_toy"]
+        sched = make_schedule("cosine", 1000, "ddim20")
+        inp = Inpainting(mask=jnp.asarray(g["mask"]), motion=jnp.asarray(g["content"]))
+        kw = dict(noise=jnp.asarray(g["init_noise"]),
+                  init_image=jnp.asarray(g["content"]),
+                  method="ddim", skip_timesteps=14, clip_denoised=False,
+                  inpainting=inp, dump_all_xstart=True)
+        full = sampling.sample_loop(sched, _toy_model_fn(g), {},
+                                    jax.random.PRNGKey(0), **kw)
+        stopped = sampling.sample_loop(sched, _toy_model_fn(g), {},
+                                       jax.random.PRNGKey(0),
+                                       stop_timesteps=4, **kw)
+        assert stopped.shape[0] == 2  # t=5, t=4 only
+        np.testing.assert_array_equal(np.asarray(full[-5]), np.asarray(stopped[-1]))
+
     def test_inpainting_keeps_masked_features(self, goldens):
         g = goldens["sampler_toy"]
         sched = make_schedule("cosine", 1000, "ddim20")
