@@ -163,6 +163,19 @@ def export_mdm(params: dict, num_layers: int) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_semantic_discriminator(params: dict, num_layers: int) -> Dict[str, np.ndarray]:
+    """Inverse surgery for the semantic discriminator: mu/sigma queries +
+    its encoder -> the reference layout assemble_style_diffusion_params
+    consumes as semantic_sd (muQuery / sigmaQuery / seqTransEncoder.*),
+    i.e. a --semantic_discriminator_path checkpoint. Closes the last
+    cannot-produce-this-checkpoint gap (train/semantic.py)."""
+    tree = params["params"] if "params" in params else params
+    sd = export_style_encoder({"style_encoder": tree["motion_enc_encoder"]}, num_layers)
+    sd["muQuery"] = np.asarray(tree["mu_query"])
+    sd["sigmaQuery"] = np.asarray(tree["sigma_query"])
+    return sd
+
+
 def export_style_encoder(params: dict, num_layers: int) -> Dict[str, np.ndarray]:
     """Inverse surgery: our style encoder -> reference-layout state dict
     (torch-loadable 'seqTransEncoder.layers.{i}.*' keys), so checkpoints

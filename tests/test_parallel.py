@@ -96,6 +96,39 @@ class TestShardedSampling:
         out_dp = sampler2({"init_image": jnp.asarray(content), "cond": cond}, jax.random.PRNGKey(2))
         np.testing.assert_allclose(np.asarray(out_tp), np.asarray(out_dp), atol=1e-4)
 
+    def test_min_latency_preset_matches_demo_pick(self, tiny_model):
+        """ShardedSampler.min_latency's [-1] equals the demo's dump[-5]
+        early-stop pick of the full skip-14 chain, on the mesh."""
+        from motionstyle.diffusion import sampling
+
+        model, params = tiny_model
+        sched = make_schedule("cosine", 1000, "ddim20")
+        B = 8
+        cond = {"enc_text": np.zeros((B, 16), np.float32)}
+        content = np.random.RandomState(2).randn(B, 16, 1, 8).astype(np.float32)
+        mask = np.zeros((B, 16, 1, 8), np.float32)
+        mask[:, :3] = 1.0
+        inp = Inpainting(jnp.asarray(mask), jnp.asarray(content))
+
+        def builder(p):
+            return lambda x, t, c: model.apply(p, x, t, c["enc_text"])
+
+        mesh = make_mesh(8, model_parallel=1)
+        sampler = ShardedSampler.min_latency(mesh, sched, builder, params)
+        xs = sampler({"init_image": jnp.asarray(content), "cond": cond,
+                      "inpainting": inp}, jax.random.PRNGKey(3))
+        assert xs.shape[0] == 2  # two denoiser evals: t=5, t=4
+
+        def model_fn(x, t, c):
+            return model.apply(params, x, t, c["enc_text"])
+
+        full = sampling.sample_loop(
+            sched, model_fn, {k: jnp.asarray(v) for k, v in cond.items()},
+            jax.random.PRNGKey(3), shape=(B, 16, 1, 8),
+            init_image=jnp.asarray(content), method="ddim", skip_timesteps=14,
+            inpainting=inp, dump_all_xstart=True)
+        np.testing.assert_allclose(np.asarray(xs[-1]), np.asarray(full[-5]), atol=2e-5)
+
 
 def _finetune_batch(B, C, T, rng_seed=0):
     r = np.random.RandomState(rng_seed)

@@ -127,8 +127,14 @@ def make_corpus(root: str, clips_per_pair: int = 8, seed: int = 0) -> list:
 
 def prepare_assets(work: str, *, prior_steps: int = 500, batch_size: int = 16,
                    diffusion_steps: int = 100, latent_dim: int = 64,
-                   layers: int = 2, seed: int = 10) -> dict:
-    """Stage 1+2: corpus + pretrained prior (reusable across finetune runs)."""
+                   layers: int = 2, seed: int = 10,
+                   semantic_steps: int = 0) -> dict:
+    """Stage 1+2: corpus + pretrained prior (reusable across finetune runs).
+
+    semantic_steps > 0 additionally trains the semantic discriminator
+    against the fresh prior (cli/train_semantic_discriminator.py) so the
+    finetune can run with --semantic_guidance 1 (requires latent_dim=512:
+    the CLIP-cosine term compares the 512-d text embedding with mu)."""
     from motionstyle.cli.pretrain_prior import main as pretrain_main
 
     if os.path.exists(work):
@@ -144,19 +150,47 @@ def prepare_assets(work: str, *, prior_steps: int = 500, batch_size: int = 16,
         "--diffusion_steps", str(diffusion_steps), "--seed", str(seed),
         "--log_interval", "100",
     ])
-    return dict(work=work, data_root=data_root,
-                mdm_path=pjoin(prior_dir, "mdm.pt"),
-                warm_path=pjoin(prior_dir, "model_pretrained.pt"),
-                prior_steps=prior_steps, batch_size=batch_size,
-                diffusion_steps=diffusion_steps, latent_dim=latent_dim,
-                layers=layers, seed=seed)
+    assets = dict(work=work, data_root=data_root,
+                  mdm_path=pjoin(prior_dir, "mdm.pt"),
+                  warm_path=pjoin(prior_dir, "model_pretrained.pt"),
+                  semantic_path="",
+                  prior_steps=prior_steps, batch_size=batch_size,
+                  diffusion_steps=diffusion_steps, latent_dim=latent_dim,
+                  layers=layers, seed=seed)
+    if semantic_steps:
+        from motionstyle.cli.train_semantic_discriminator import main as sem_main
+
+        assets["semantic_path"] = sem_main([
+            "--dataset", "stylexia_posrot", "--data_dir", data_root,
+            "--save_dir", pjoin(work, "semantic"),
+            "--mdm_path", assets["mdm_path"],
+            "--num_steps", str(semantic_steps),
+            "--batch_size", str(batch_size), "--layers", str(layers),
+            "--latent_dim", str(latent_dim),
+            "--diffusion_steps", str(diffusion_steps), "--seed", str(seed),
+        ])
+    return assets
 
 
 def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
                       lr: float = 1e-4, tag: str = "run",
                       style_example: str = "624angry_jumping.npy",
-                      content_clip: str = "600neutral_walking.npy") -> dict:
-    """Stage 3-5: finetune via the CLI, demo pre+post, score."""
+                      content_clip: str = "600neutral_walking.npy",
+                      semantic_guidance: bool = False,
+                      ls_weight: float = 10.0,
+                      save_interval: int = 100,
+                      ladder: bool = False) -> dict:
+    """Stage 3-5: finetune via the CLI, demo pre+post, score.
+
+    semantic_guidance requires assets prepared with semantic_steps > 0 and
+    latent_dim=512 (the full reference loss incl. the CLIP-cosine Ls term).
+
+    ladder=True scores EVERY saved checkpoint (save_interval governs how
+    many exist) instead of only the final one — the result gains a
+    "ladder" dict {step: report}. The style/content trade-off's knee shifts
+    with platform numerics, so robust CI asserts properties of the CURVE
+    (some checkpoint is styled-and-content-preserving; style keeps moving
+    with budget) rather than of one budget point."""
     from motionstyle.cli.demo_style_transfer import main as demo_main
     from motionstyle.cli.finetune_style_diffusion import main as ft_main
     from motionstyle.eval.style_metrics import transfer_report
@@ -165,6 +199,11 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
     diffusion_steps = assets["diffusion_steps"]
     seed = assets["seed"]
     skip = int(0.7 * diffusion_steps)
+    sem_args = []
+    if semantic_guidance:
+        assert assets.get("semantic_path"), "prepare_assets(semantic_steps=...) first"
+        sem_args = ["--semantic_discriminator_path", assets["semantic_path"],
+                    "--Ls", str(ls_weight)]
     ft_dir = ft_main([
         "--dataset", "stylexia_posrot", "--data_dir", data_root,
         "--save_dir", pjoin(work, f"ft_{tag}"), "--style_example", style_example,
@@ -172,12 +211,14 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
         "--resume_checkpoint", assets["warm_path"],
         "--num_steps", str(finetune_steps), "--lr", str(lr),
         "--batch_size", str(assets["batch_size"]),
+        "--save_interval", str(save_interval),
         "--overwrite", "--train_platform_type", "NoPlatform", "--skip_render",
         "--layers", str(assets["layers"]),
         "--latent_dim", str(assets["latent_dim"]),
         "--diffusion_steps", str(diffusion_steps), "--skip_steps", str(skip),
-        "--semantic_guidance", "0", "--seed", str(seed),
-    ])
+        "--semantic_guidance", "1" if semantic_guidance else "0",
+        "--seed", str(seed),
+    ] + sem_args)
     ckpts = sorted(f for f in os.listdir(ft_dir)
                    if f.startswith("model") and f[5:14].isdigit())
     final_ckpt = pjoin(ft_dir, ckpts[-1])
@@ -212,13 +253,23 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
     style_ex = load_raw(style_example)
     rep_pre = transfer_report(load_hml(out_pre), content, style_ex)
     rep_post = transfer_report(load_hml(out_post), content, style_ex)
+    ladder_reports = {}
+    if ladder:
+        for name in ckpts:
+            step = int(name[5:14])
+            if name == os.path.basename(final_ckpt) or step <= 1:
+                continue  # step-1 checkpoint ~= the pre baseline
+            out = demo(pjoin(ft_dir, name), f"demo_{tag}_s{step}")
+            ladder_reports[step] = transfer_report(load_hml(out), content, style_ex)
+        ladder_reports[int(os.path.basename(final_ckpt)[5:14])] = rep_post
     return {
-        "pre": rep_pre, "post": rep_post,
+        "pre": rep_pre, "post": rep_post, "ladder": ladder_reports,
         "config": dict(prior_steps=assets["prior_steps"],
                        finetune_steps=finetune_steps, lr=lr,
                        diffusion_steps=diffusion_steps,
                        latent_dim=assets["latent_dim"],
                        layers=assets["layers"], seed=seed,
+                       semantic_guidance=semantic_guidance,
                        style_example=style_example, content_clip=content_clip),
     }
 
@@ -226,7 +277,7 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
 def run_protocol(work: str, *, prior_steps: int = 1500, finetune_steps: int = 200,
                  lr: float = 1e-3, diffusion_steps: int = 100,
                  batch_size: int = 16, latent_dim: int = 64, layers: int = 2,
-                 seed: int = 10,
+                 seed: int = 10, save_interval: int = 100, ladder: bool = False,
                  style_example: str = "624angry_jumping.npy",
                  content_clip: str = "600neutral_walking.npy") -> dict:
     assets = prepare_assets(work, prior_steps=prior_steps,
@@ -234,6 +285,7 @@ def run_protocol(work: str, *, prior_steps: int = 1500, finetune_steps: int = 20
                             diffusion_steps=diffusion_steps,
                             latent_dim=latent_dim, layers=layers, seed=seed)
     return evaluate_transfer(assets, finetune_steps=finetune_steps, lr=lr,
+                             save_interval=save_interval, ladder=ladder,
                              style_example=style_example,
                              content_clip=content_clip)
 
