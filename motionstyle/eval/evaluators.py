@@ -261,6 +261,41 @@ def convert_cogru_encoder(sd: Dict[str, np.ndarray], has_pos: bool) -> dict:
     return out
 
 
+def _export_dense(sd, key, tree):
+    sd[key + ".weight"] = np.asarray(tree["kernel"]).T
+    sd[key + ".bias"] = np.asarray(tree["bias"])
+
+
+def export_movement_encoder(tree: dict) -> Dict[str, np.ndarray]:
+    """Inverse of convert_movement_encoder (flax Conv (k,in,out) -> torch
+    Conv1d (out,in,k)) — lets in-framework evaluator training
+    (eval/trainers.py, cli/train_evaluator.py) write finest.tar-layout
+    checkpoints the wrapper and the reference both load."""
+    sd: Dict[str, np.ndarray] = {}
+    sd["main.0.weight"] = np.asarray(tree["conv1"]["kernel"]).transpose(2, 1, 0)
+    sd["main.0.bias"] = np.asarray(tree["conv1"]["bias"])
+    sd["main.3.weight"] = np.asarray(tree["conv2"]["kernel"]).transpose(2, 1, 0)
+    sd["main.3.bias"] = np.asarray(tree["conv2"]["bias"])
+    _export_dense(sd, "out_net", tree["out_net"])
+    return sd
+
+
+def export_cogru_encoder(tree: dict, has_pos: bool) -> Dict[str, np.ndarray]:
+    """Inverse of convert_cogru_encoder."""
+    sd: Dict[str, np.ndarray] = {}
+    _export_dense(sd, "input_emb", tree["input_emb"])
+    if has_pos:
+        _export_dense(sd, "pos_emb", tree["pos_emb"])
+    for k, v in tree["gru"].items():
+        sd[f"gru.{k}"] = np.asarray(v)  # _gru keeps torch naming verbatim
+    sd["hidden"] = np.asarray(tree["hidden"])
+    _export_dense(sd, "output_net.0", tree["output_net"]["net_0"])
+    sd["output_net.1.weight"] = np.asarray(tree["output_net"]["net_1"]["scale"])
+    sd["output_net.1.bias"] = np.asarray(tree["output_net"]["net_1"]["bias"])
+    _export_dense(sd, "output_net.3", tree["output_net"]["net_3"])
+    return sd
+
+
 class EvaluatorWrapper:
     """FID / R-precision co-embedding API; parity: EvaluatorMDMWrapper."""
 

@@ -50,15 +50,23 @@ class MovementConvDecoder(nn.Module):
 
 
 class MovementAETrainer:
-    """Movement autoencoder (DecompTrainerV3)."""
+    """Movement autoencoder (DecompTrainerV3).
+
+    strip_fc: drop the trailing 4 foot-contact channels before encoding —
+    the humanml/kit (263/251) convention; posrot layouts (181/190/199) have
+    no fc channels and train on the full feature vector (mirrors
+    EvaluatorWrapper.strip_fc). Defaults from dim_pose for compatibility."""
 
     def __init__(self, dim_pose: int = 263, lr: float = 1e-4,
-                 lambda_sparsity: float = 1e-3, lambda_smooth: float = 1e-3, rng=None):
+                 lambda_sparsity: float = 1e-3, lambda_smooth: float = 1e-3,
+                 rng=None, strip_fc: bool = None):
+        self.strip_fc = dim_pose in (263, 251) if strip_fc is None else strip_fc
+        in_dim = dim_pose - 4 if self.strip_fc else dim_pose
         self.enc = MovementConvEncoder()
-        self.dec = MovementConvDecoder(output_size=dim_pose - 4)
+        self.dec = MovementConvDecoder(output_size=in_dim)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(rng)
-        dummy = jnp.zeros((1, 8, dim_pose - 4))
+        dummy = jnp.zeros((1, 8, in_dim))
         self.params = {
             "enc": self.enc.init(k1, dummy)["params"],
             "dec": self.dec.init(k2, jnp.zeros((1, 2, 512)))["params"],
@@ -71,7 +79,7 @@ class MovementAETrainer:
 
     def _make_step(self):
         def loss_fn(params, motions):
-            x = motions[..., :-4]
+            x = motions[..., :-4] if self.strip_fc else motions
             lat = self.enc.apply({"params": params["enc"]}, x)
             rec = self.dec.apply({"params": params["dec"]}, lat)
             loss_rec = jnp.abs(rec - x).mean()
@@ -98,7 +106,9 @@ class TextMotionMatchTrainer:
     movement encoder frozen)."""
 
     def __init__(self, movement_params: dict, dim_pose: int = 263, lr: float = 1e-4,
-                 negative_margin: float = 3.0, unit_length: int = 4, rng=None):
+                 negative_margin: float = 3.0, unit_length: int = 4, rng=None,
+                 strip_fc: bool = None):
+        self.strip_fc = dim_pose in (263, 251) if strip_fc is None else strip_fc
         self.movement_enc = MovementConvEncoder()
         self.movement_params = movement_params
         self.text_enc = TextEncoderBiGRUCo()
@@ -117,7 +127,8 @@ class TextMotionMatchTrainer:
 
     def _make_step(self):
         def loss_fn(params, batch):
-            movements = self.movement_enc.apply({"params": self.movement_params}, batch["motions"][..., :-4])
+            feats = batch["motions"][..., :-4] if self.strip_fc else batch["motions"]
+            movements = self.movement_enc.apply({"params": self.movement_params}, feats)
             movements = jax.lax.stop_gradient(movements)
             motion_emb = self.motion_enc.apply(
                 {"params": params["motion"]}, movements, batch["m_lens"] // self.unit_length)
@@ -148,3 +159,29 @@ class TextMotionMatchTrainer:
         }
         self.params, self.opt_state, logs = self._step(self.params, self.opt_state, batch)
         return {k: float(v) for k, v in logs.items()}
+
+
+def save_evaluator(path: str, movement_params: dict, text_params: dict,
+                   motion_params: dict, epoch: int = 0) -> str:
+    """Write the trained evaluator in the reference finest.tar layout
+    (movement_encoder / text_encoder / motion_encoder torch state dicts,
+    evaluator_wrapper.py:95-121) so EvaluatorWrapper(checkpoint_path=...)
+    and the reference both load it."""
+    import torch
+
+    from motionstyle.eval.evaluators import (
+        export_cogru_encoder,
+        export_movement_encoder,
+    )
+
+    host = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    as_torch = lambda sd: {k: torch.from_numpy(np.ascontiguousarray(v))
+                           for k, v in sd.items()}
+    ckpt = {
+        "movement_encoder": as_torch(export_movement_encoder(host(movement_params))),
+        "text_encoder": as_torch(export_cogru_encoder(host(text_params), has_pos=True)),
+        "motion_encoder": as_torch(export_cogru_encoder(host(motion_params), has_pos=False)),
+        "epoch": epoch,
+    }
+    torch.save(ckpt, path)
+    return path

@@ -1,0 +1,92 @@
+"""Evaluator training CLI (cli/train_evaluator.py) + finest.tar round-trip."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def xia_root(tmp_path_factory):
+    """Tiny two-caption corpus with caption-correlated motion content."""
+    root = tmp_path_factory.mktemp("style_xia_eval")
+    (root / "new_joint_vecs").mkdir()
+    r = np.random.RandomState(0)
+    protos = {"walking": r.randn(181) * 0.8, "jumping": r.randn(181) * 0.8}
+    idx = 600
+    for content, proto in protos.items():
+        for k in range(6):
+            t = np.linspace(0, 2 * np.pi, 48)[:, None]
+            clip = proto[None] + 0.3 * np.sin(t + r.uniform(0, 6.28)) + 0.05 * r.randn(48, 181)
+            np.save(root / "new_joint_vecs" / f"{idx:03d}neutral_{content}.npy",
+                    clip.astype(np.float32))
+            idx += 1
+    all_clips = np.concatenate(
+        [np.load(root / "new_joint_vecs" / f) for f in os.listdir(root / "new_joint_vecs")])
+    np.save(root / "Mean.npy", all_clips.mean(0).astype(np.float32))
+    np.save(root / "Std.npy", np.maximum(all_clips.std(0), 1e-3).astype(np.float32))
+    return str(root)
+
+
+@pytest.mark.slow
+class TestTrainEvaluator:
+    def test_cli_trains_and_checkpoint_roundtrips(self, xia_root, tmp_path):
+        from motionstyle.cli.train_evaluator import main as train_main
+        from motionstyle.eval.evaluators import EvaluatorWrapper
+
+        path = train_main([
+            "--dataset", "stylexia_posrot", "--data_dir", xia_root,
+            "--save_dir", str(tmp_path / "ev"), "--batch_size", "8",
+            "--num_frames", "48", "--ae_steps", "30", "--match_steps", "60",
+            "--log_interval", "50",
+        ])
+        assert os.path.exists(path)
+        wrapper = EvaluatorWrapper("stylexia_posrot", checkpoint_path=path,
+                                   dim_pose=181)
+        # embeddings must be finite and non-degenerate
+        m = np.random.RandomState(1).randn(4, 48, 181).astype(np.float32)
+        emb = wrapper.get_motion_embeddings(m, np.asarray([48, 48, 44, 40]))
+        assert emb.shape == (4, 512) and np.isfinite(emb).all()
+        assert np.std(emb) > 1e-4
+
+    def test_trained_evaluator_aligns_true_pairs(self, xia_root, tmp_path):
+        """After contrastive training, true caption-motion pairs embed closer
+        than mismatched pairs — the property FID/R-precision sensitivity
+        builds on (and what the seeded random evaluator cannot provide)."""
+        from motionstyle.cli.train_evaluator import main as train_main
+        from motionstyle.data.collate import get_dataset_loader
+        from motionstyle.eval.evaluators import EvaluatorWrapper, WordVectorizer
+        from motionstyle.eval.motion_loaders import embed_texts
+
+        path = train_main([
+            "--dataset", "stylexia_posrot", "--data_dir", xia_root,
+            "--save_dir", str(tmp_path / "ev2"), "--batch_size", "12",
+            "--num_frames", "48", "--ae_steps", "60", "--match_steps", "400",
+            "--log_interval", "200",
+        ])
+        wrapper = EvaluatorWrapper("stylexia_posrot", checkpoint_path=path,
+                                   dim_pose=181)
+        wv = WordVectorizer(None)
+        loader = get_dataset_loader("stylexia_posrot", 12, 48, split="train",
+                                    data_root=xia_root)
+        motion, cond = next(iter(loader))
+        texts = list(cond["y"]["text"])
+        tokens = [[f"{w}/OTHER" for w in t.split(" ")] for t in texts]
+        we, po, cl = embed_texts(wv, tokens)
+        m_lens = np.asarray(cond["y"]["lengths"], dtype=np.int32)
+        text_emb, motion_emb = wrapper.get_co_embeddings(
+            we, po, cl, motion[:, :, 0, :].transpose(0, 2, 1), m_lens)
+
+        # order captions by content so "mismatched" swaps the two contents
+        walk = [i for i, t in enumerate(texts) if "walking" in t]
+        jump = [i for i, t in enumerate(texts) if "jumping" in t]
+        if not walk or not jump:
+            pytest.skip("batch missed one content class")
+        d = lambda a, b: float(np.linalg.norm(a - b))
+        true_d = np.mean([d(text_emb[i], motion_emb[i]) for i in walk + jump])
+        cross_d = np.mean([d(text_emb[i], motion_emb[j])
+                           for i in walk for j in jump] +
+                          [d(text_emb[i], motion_emb[j])
+                           for i in jump for j in walk])
+        assert true_d < cross_d, (true_d, cross_d)
