@@ -322,6 +322,10 @@ def main(argv=None):
     p.add_argument("--finetune_steps", default=0, type=int)
     p.add_argument("--lr", default=0.0, type=float)
     p.add_argument("--seed", default=10, type=int)
+    p.add_argument("--semantic", action="store_true",
+                   help="full reference loss at latent 512: train the "
+                        "semantic discriminator in-framework and finetune "
+                        "with --semantic_guidance 1 (QUALITY.md d512 table)")
     args = p.parse_args(argv)
     kw = {}
     if args.quick:
@@ -332,7 +336,14 @@ def main(argv=None):
         kw["finetune_steps"] = args.finetune_steps
     if args.lr:
         kw["lr"] = args.lr
-    result = run_protocol(args.work, seed=args.seed, **kw)
+    if args.semantic:
+        assets = prepare_assets(args.work, prior_steps=kw.get("prior_steps", 1500),
+                                latent_dim=512, layers=2, seed=args.seed,
+                                semantic_steps=600)
+        result = evaluate_transfer(assets, finetune_steps=kw.get("finetune_steps", 200),
+                                   lr=kw.get("lr", 1e-3), semantic_guidance=True)
+    else:
+        result = run_protocol(args.work, seed=args.seed, **kw)
     print(format_markdown(result))
     return result
 
