@@ -28,7 +28,12 @@ from motionstyle.core import params as skel_params
 from motionstyle.core.features import recover_from_ric
 from motionstyle.core.skeleton import Skeleton
 from motionstyle.data import masks as mask_lib
-from motionstyle.data.collate import collate, get_dataset_loader, lengths_to_mask
+from motionstyle.data.collate import (
+    collate,
+    get_dataset_loader,
+    lengths_to_mask,
+    require_batches,
+)
 from motionstyle.data.masks import BVH_JOINT_NAMES, get_inpainting_mask
 from motionstyle.diffusion import sampling
 from motionstyle.diffusion.ddpm import Inpainting, cfg_model_fn
@@ -112,8 +117,10 @@ def main(argv=None):
     platform.report_args(args, name="Args")
 
     print("creating data loader...")
-    data = get_dataset_loader(args.dataset, args.batch_size, args.num_frames,
-                              split="train", data_root=args.data_dir or None)
+    data = require_batches(
+        get_dataset_loader(args.dataset, args.batch_size, args.num_frames,
+                           split="train", data_root=args.data_dir or None),
+        "finetune_style_diffusion")
 
     print("creating model and diffusion...")
     bundle, sched_ddim, sched_full = model_util.creat_ddpm_ddim_diffusion(

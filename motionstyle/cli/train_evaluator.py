@@ -30,7 +30,7 @@ from os.path import join as pjoin
 
 import numpy as np
 
-from motionstyle.data.collate import get_dataset_loader
+from motionstyle.data.collate import get_dataset_loader, require_batches
 from motionstyle.eval.evaluators import WordVectorizer
 from motionstyle.eval.motion_loaders import embed_texts
 from motionstyle.eval.trainers import (
@@ -73,8 +73,10 @@ def main(argv=None):
         json.dump(vars(args), fw, indent=4, sort_keys=True)
     logger.configure(args.save_dir, format_strs=("stdout", "csv"))
 
-    data = get_dataset_loader(args.dataset, args.batch_size, args.num_frames,
-                              split="train", data_root=args.data_dir or None)
+    data = require_batches(
+        get_dataset_loader(args.dataset, args.batch_size, args.num_frames,
+                           split="train", data_root=args.data_dir or None),
+        "train_evaluator")
     dim_pose = data.dataset.t2m_dataset.mean.shape[0]
     wv = WordVectorizer(args.glove_dir or None)
     np.random.seed(args.seed)

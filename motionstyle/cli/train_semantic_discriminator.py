@@ -29,7 +29,7 @@ from motionstyle.cli.parser_util import (
     add_diffusion_options,
     add_model_options,
 )
-from motionstyle.data.collate import get_dataset_loader
+from motionstyle.data.collate import get_dataset_loader, require_batches
 from motionstyle.train import logging as logger
 from motionstyle.train.semantic import SemanticConfig, SemanticTrainer
 
@@ -59,8 +59,10 @@ def main(argv=None):
         json.dump(vars(args), fw, indent=4, sort_keys=True)
     logger.configure(args.save_dir, format_strs=("stdout", "csv"))
 
-    data = get_dataset_loader(args.dataset, args.batch_size, args.num_frames,
-                              split="train", data_root=args.data_dir or None)
+    data = require_batches(
+        get_dataset_loader(args.dataset, args.batch_size, args.num_frames,
+                           split="train", data_root=args.data_dir or None),
+        "train_semantic_discriminator")
     bundle, _, sched_full = model_util.creat_serval_diffusion(args)
 
     cfg = SemanticConfig(save_dir=args.save_dir, lr=args.lr,

@@ -109,3 +109,16 @@ def get_dataset_loader(name: str, batch_size: int, num_frames: int, split: str =
     dataset = get_dataset(name, num_frames, split, data_root)
     collate_fn = t2m_collate if name in ("humanml", "t2m") else t2m_style_collate
     return DataLoader(dataset, batch_size, collate_fn, shuffle=shuffle, drop_last=True)
+
+
+def require_batches(loader: DataLoader, what: str) -> DataLoader:
+    """Fail loudly when a training loader yields no full batches — a
+    `while steps: for batch in loader` loop would otherwise spin forever
+    (e.g. humanml without train.txt/texts/, or batch_size > dataset)."""
+    if len(loader) == 0:
+        raise SystemExit(
+            f"{what}: dataset yields no full batches ({len(loader.dataset)} "
+            f"items, batch_size {loader.batch_size}). For humanml-style "
+            "datasets check <data_root>/train.txt and <data_root>/texts/; "
+            "otherwise lower --batch_size")
+    return loader

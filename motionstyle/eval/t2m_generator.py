@@ -306,9 +306,22 @@ class CompV6Generator:
 
     def train_step(self, word_embs, pos_ohot, cap_lens, motions, m_lens, rng,
                    tf_ratio: float = 0.4):
-        """Teacher-forced VAE step; returns loss logs."""
-        mov_len = motions.shape[1] // self.unit_length
+        """Teacher-forced VAE step; returns loss logs. The grad+update is
+        jitted (two compiles: teacher-forced / free-running) — the eager
+        path re-interprets the unrolled autoregressive loop every call."""
         teacher_force = bool(np.random.rand() < tf_ratio)
+        if not hasattr(self, "_jit_step"):
+            self._jit_step = jax.jit(self._step_impl,
+                                     static_argnames=("teacher_force",))
+        self.params, self.opt_state, logs = self._jit_step(
+            self.params, self.opt_state, jnp.asarray(word_embs),
+            jnp.asarray(pos_ohot), jnp.asarray(cap_lens), jnp.asarray(motions),
+            jnp.asarray(m_lens), rng, teacher_force=teacher_force)
+        return {k: float(v) for k, v in logs.items()}
+
+    def _step_impl(self, params_in, opt_state, word_embs, pos_ohot, cap_lens,
+                   motions, m_lens, rng, teacher_force):
+        mov_len = motions.shape[1] // self.unit_length
 
         def loss_fn(params, rng):
             movements = jax.lax.stop_gradient(
@@ -346,10 +359,9 @@ class CompV6Generator:
                           "loss_mov_rec": loss_mov, "loss_kld": loss_kld}
 
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            self.params, rng)
-        updates, self.opt_state = self.tx.update(grads, self.opt_state, self.params)
-        self.params = optax.apply_updates(self.params, updates)
-        return {k: float(v) for k, v in logs.items()}
+            params_in, rng)
+        updates, opt_state = self.tx.update(grads, opt_state, params_in)
+        return optax.apply_updates(params_in, updates), opt_state, logs
 
 
 def kl_criterion(mu1, logvar1, mu2, logvar2):

@@ -90,3 +90,61 @@ class TestTrainEvaluator:
                           [d(text_emb[i], motion_emb[j])
                            for i in jump for j in walk])
         assert true_d < cross_d, (true_d, cross_d)
+
+
+@pytest.fixture(scope="module")
+def hml_root(tmp_path_factory):
+    """Tiny humanml-layout (263-dim) corpus for the CompV6 CLI: the
+    Text2MotionDatasetV2 scan needs {split}.txt + texts/{name}.txt with
+    caption#tokens#f_tag#to_tag lines and clips >= 40 frames."""
+    root = tmp_path_factory.mktemp("hml_gen")
+    (root / "new_joint_vecs").mkdir()
+    (root / "texts").mkdir()
+    r = np.random.RandomState(3)
+    names = [f"{i:06d}" for i in range(8)]
+    caps = ["a person walks forward", "a person jumps in place"]
+    for i, name in enumerate(names):
+        np.save(root / "new_joint_vecs" / f"{name}.npy",
+                (r.randn(48, 263) * 0.5).astype(np.float32))
+        cap = caps[i % 2]
+        toks = " ".join(f"{w}/OTHER" for w in cap.split())
+        (root / "texts" / f"{name}.txt").write_text(f"{cap}#{toks}#0.0#0.0\n")
+    for split in ("train", "test"):
+        (root / f"{split}.txt").write_text("\n".join(names) + "\n")
+    all_clips = np.concatenate(
+        [np.load(root / "new_joint_vecs" / f"{n}.npy") for n in names])
+    np.save(root / "Mean.npy", all_clips.mean(0).astype(np.float32))
+    np.save(root / "Std.npy", np.maximum(all_clips.std(0), 1e-3).astype(np.float32))
+    return str(root)
+
+
+@pytest.mark.slow
+class TestTrainT2MGenerator:
+    def test_cli_trains_and_evaluates(self, hml_root, tmp_path):
+        """LengthEst + CompV6 train via the CLI, persist, and drive the T2M
+        protocol end to end (generation + FID/matching) without assets."""
+        import pickle
+
+        from motionstyle.cli.train_t2m_generator import main as gen_main
+
+        path = gen_main([
+            "--dataset", "humanml", "--data_dir", hml_root,
+            "--save_dir", str(tmp_path / "gen"), "--batch_size", "4",
+            "--num_frames", "16", "--gen_steps", "4", "--len_steps", "6",
+            "--hidden", "64", "--text_hidden", "64", "--dim_z", "8",
+            "--log_interval", "10",
+            "--run_eval", "--num_eval_samples", "2",
+        ])
+        assert os.path.exists(path)
+        with open(path, "rb") as f:
+            ckpt = pickle.load(f)
+        assert ckpt["dim_pose"] == 263
+        leaves = jax.tree_util.tree_leaves(ckpt["generator"])
+        assert leaves and all(np.isfinite(l).all() for l in leaves)
+
+    def test_posrot_layout_rejected(self, xia_root, tmp_path):
+        from motionstyle.cli.train_t2m_generator import main as gen_main
+
+        with pytest.raises(SystemExit):
+            gen_main(["--dataset", "stylexia_posrot", "--data_dir", xia_root,
+                      "--save_dir", str(tmp_path / "x")])
