@@ -32,23 +32,13 @@ import numpy as np
 
 from motionstyle.data.collate import get_dataset_loader, require_batches
 from motionstyle.eval.evaluators import WordVectorizer
-from motionstyle.eval.motion_loaders import embed_texts
+from motionstyle.eval.motion_loaders import embed_texts, tokens_or_fallback
 from motionstyle.eval.trainers import (
     MovementAETrainer,
     TextMotionMatchTrainer,
     save_evaluator,
 )
 from motionstyle.train import logging as logger
-
-
-def _tokens_for(cond, texts):
-    toks = cond["y"].get("tokens")
-    if toks is not None:
-        return [t.split("_") if isinstance(t, str) else t for t in toks]
-    # datasets without POS-tagged tokens (posrot caption synthesis):
-    # plain words with the OTHER class — deterministic and consistent
-    # between training here and evaluation in cli/eval_metrics.py
-    return [[f"{w}/OTHER" for w in t.split(" ")] for t in texts]
 
 
 def main(argv=None):
@@ -104,7 +94,7 @@ def main(argv=None):
             if step >= args.match_steps:
                 break
             texts = list(cond["y"]["text"])
-            we, po, cl = embed_texts(wv, _tokens_for(cond, texts))
+            we, po, cl = embed_texts(wv, tokens_or_fallback(cond, texts))
             m_lens = np.asarray(cond["y"]["lengths"], dtype=np.int32)
             logs = match.update(we, po, cl,
                                 motion[:, :, 0, :].transpose(0, 2, 1).astype(np.float32),

@@ -24,16 +24,9 @@ import numpy as np
 
 from motionstyle.data.collate import get_dataset_loader, require_batches
 from motionstyle.eval.evaluators import WordVectorizer
-from motionstyle.eval.motion_loaders import embed_texts
+from motionstyle.eval.motion_loaders import embed_texts, tokens_or_fallback
 from motionstyle.eval.t2m_generator import CompV6Generator, LengthEstTrainer
 from motionstyle.train import logging as logger
-
-
-def _tokens_for(cond, texts):
-    toks = cond["y"].get("tokens")
-    if toks is not None:
-        return [t.split("_") if isinstance(t, str) else t for t in toks]
-    return [[f"{w}/OTHER" for w in t.split(" ")] for t in texts]
 
 
 def main(argv=None):
@@ -92,7 +85,7 @@ def main(argv=None):
 
     # ---- length estimator ----
     out_size = T_crop // 4 + 1
-    len_est = LengthEstTrainer(output_size=out_size,
+    len_est = LengthEstTrainer(output_size=out_size, lr=args.lr,
                                rng=jax.random.PRNGKey(args.seed))
     step = 0
     while step < args.len_steps:
@@ -100,7 +93,7 @@ def main(argv=None):
             if step >= args.len_steps:
                 break
             texts = list(cond["y"]["text"])
-            we, po, cl = embed_texts(wv, _tokens_for(cond, texts))
+            we, po, cl = embed_texts(wv, tokens_or_fallback(cond, texts))
             _, lens = window(motion, cond)
             logs = len_est.update(we, po, cl, lens)
             if step % args.log_interval == 0:
@@ -118,7 +111,7 @@ def main(argv=None):
             if step >= args.gen_steps:
                 break
             texts = list(cond["y"]["text"])
-            we, po, cl = embed_texts(wv, _tokens_for(cond, texts))
+            we, po, cl = embed_texts(wv, tokens_or_fallback(cond, texts))
             rng, sub = jax.random.split(rng)
             mot, lens = window(motion, cond)
             logs = gen.train_step(we, po, cl, mot, lens, sub)
@@ -148,20 +141,26 @@ def main(argv=None):
             evaluate_matching_and_fid,
         )
 
-        test_loader = get_dataset_loader(args.dataset, args.batch_size,
-                                         args.num_frames, split="test",
-                                         data_root=args.data_dir or None)
+        if args.num_eval_samples < 2:
+            raise SystemExit("--num_eval_samples must be >= 2 (diversity "
+                             "needs at least two samples)")
+        test_loader = require_batches(
+            get_dataset_loader(args.dataset, args.batch_size,
+                               args.num_frames, split="test",
+                               data_root=args.data_dir or None),
+            "train_t2m_generator --run_eval (test split)")
         comp = CompV6GeneratedDataset(gen, len_est, test_loader, wv,
-                                      seed=args.seed)
+                                      seed=args.seed,
+                                      num_samples_limit=args.num_eval_samples)
         evaluator = EvaluatorWrapper(
             args.dataset, checkpoint_path=args.evaluator_checkpoint or None,
             dim_pose=dim_pose)
         gt_items, gen_items = [], []
         for motion, cond in test_loader:
+            toks = tokens_or_fallback(cond, list(cond["y"]["text"]))
             for b in range(motion.shape[0]):
-                tokens = _tokens_for(cond, list(cond["y"]["text"]))[b]
                 gt_items.append((cond["y"]["text"][b], motion[b, :, 0, :].T,
-                                 int(cond["y"]["lengths"][b]), tokens))
+                                 int(cond["y"]["lengths"][b]), toks[b]))
             if len(gt_items) >= args.num_eval_samples:
                 break
         for i in range(min(len(comp), args.num_eval_samples)):

@@ -136,7 +136,8 @@ class CompV6GeneratedDataset:
 
     def __init__(self, generator, len_estimator, ground_truth_loader,
                  word_vectorizer: WordVectorizer, mm_num_samples: int = 0,
-                 mm_num_repeats: int = 0, min_mov_length: int = 10, seed: int = 0):
+                 mm_num_repeats: int = 0, min_mov_length: int = 10, seed: int = 0,
+                 num_samples_limit: int = 0):
         rng = jax.random.PRNGKey(seed)
         self.dataset = ground_truth_loader.dataset
         self.generated_motion = []
@@ -147,6 +148,12 @@ class CompV6GeneratedDataset:
             texts = cond["y"]["text"]
             tokens = [t.split("_") for t in cond["y"].get("tokens", [""] * len(texts))]
             items += [(texts[b], tokens[b]) for b in range(len(texts))]
+            if num_samples_limit and len(items) >= num_samples_limit:
+                break
+        if num_samples_limit:
+            # generation is a host batch-1 autoregressive loop — generating
+            # the full split when only a subset is consumed wastes hours
+            items = items[:num_samples_limit]
         mm_idxs = set(np.sort(np.random.RandomState(seed).choice(
             len(items), min(mm_num_samples, len(items)), replace=False)).tolist()) \
             if mm_num_samples > 0 else set()
@@ -182,6 +189,17 @@ class CompV6GeneratedDataset:
     def __getitem__(self, item):
         d = self.generated_motion[item]
         return d["caption"], d["motion"], d["length"], d["tokens"], d["cap_len"]
+
+
+def tokens_or_fallback(cond, texts):
+    """Per-batch 'word/POS' token lists: the dataset's tokens when present,
+    else plain caption words with the OTHER class — deterministic and shared
+    between evaluator training and evaluation (one definition so the token
+    format cannot drift between the two)."""
+    toks = cond["y"].get("tokens")
+    if toks is not None:
+        return [t.split("_") if isinstance(t, str) else t for t in toks]
+    return [[f"{w}/OTHER" for w in t.split(" ")] for t in texts]
 
 
 def embed_texts(word_vectorizer: WordVectorizer, tokens_list, max_text_len: int = 20):

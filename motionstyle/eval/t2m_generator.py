@@ -332,10 +332,17 @@ class CompV6Generator:
             h_post = self.seq_post.apply({"params": params["seq_post"]}, hidden, method=TextDecoder.get_init_hidden)
             h_dec = self.seq_dec.apply({"params": params["seq_dec"]}, hidden, method=TextVAEDecoder.get_init_hidden)
             mov_in = self._mov_in0(params, motions.shape[0])
+            # validity masks: clips shorter than the window arrive zero-
+            # padded (the reference trains on full windows only) — losses
+            # must not teach the decoder to reproduce dead padded tails,
+            # and tta must not go negative past a clip's end
+            mov_lens = m_lens // self.unit_length
+            mov_valid = (jnp.arange(mov_len)[None] < mov_lens[:, None]).astype(jnp.float32)
+            frame_valid = (jnp.arange(motions.shape[1])[None] < m_lens[:, None]).astype(jnp.float32)
             movs, kld_terms = [], []
             for i in range(mov_len):
                 att_vec, _ = self.att.apply({"params": params["att"]}, h_dec[-1], word_hids)
-                tta = m_lens // self.unit_length - i
+                tta = jnp.maximum(mov_lens - i, 0)
                 rng, k1 = jax.random.split(rng)
                 z_pri, mu_pri, lv_pri, h_pri = self.seq_pri.apply(
                     {"params": params["seq_pri"]}, jnp.concatenate([mov_in, att_vec], -1), h_pri, tta, k1)
@@ -346,15 +353,24 @@ class CompV6Generator:
                 fake_mov, h_dec = self.seq_dec.apply(
                     {"params": params["seq_dec"]}, jnp.concatenate([mov_in, att_vec, z_post], -1), h_dec, tta)
                 movs.append(fake_mov[:, None])
-                kld_terms.append(kl_criterion(mu_post, lv_post, mu_pri, lv_pri))
+                # per-sample KL, masked to live steps
+                kld_el = (jnp.log(jnp.exp(0.5 * lv_pri) / jnp.exp(0.5 * lv_post))
+                          + (jnp.exp(lv_post) + (mu_post - mu_pri) ** 2)
+                          / (2 * jnp.exp(lv_pri)) - 0.5)
+                kld_terms.append(jnp.sum(kld_el.sum(-1) * mov_valid[:, i]))
                 mov_in = movements[:, i] if teacher_force else jax.lax.stop_gradient(fake_mov)
             fake_movements = jnp.concatenate(movs, axis=1)
             fake_motions = self.mov_dec.apply({"params": params["mov_dec"]}, fake_movements)
             l_mov_rec, l_mot_rec, l_kld = self.lambdas
-            loss_mot = optax.huber_loss(fake_motions, motions).mean()
-            loss_mov = optax.huber_loss(fake_movements, movements).mean()
-            loss_kld = sum(kld_terms) / len(kld_terms)
-            loss = loss_mot * l_mov_rec + loss_mov * l_mot_rec + loss_kld * l_kld
+
+            def masked_mean(err, valid):
+                w = valid[..., None]
+                return jnp.sum(err * w) / jnp.maximum(jnp.sum(w) * err.shape[-1], 1.0)
+
+            loss_mot = masked_mean(optax.huber_loss(fake_motions, motions), frame_valid)
+            loss_mov = masked_mean(optax.huber_loss(fake_movements, movements), mov_valid)
+            loss_kld = sum(kld_terms) / jnp.maximum(jnp.sum(mov_valid), 1.0)
+            loss = loss_mot * l_mot_rec + loss_mov * l_mov_rec + loss_kld * l_kld
             return loss, {"loss": loss, "loss_mot_rec": loss_mot,
                           "loss_mov_rec": loss_mov, "loss_kld": loss_kld}
 
