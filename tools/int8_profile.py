@@ -159,6 +159,73 @@ def _matmuls_only_kernel(num_heads, x_ref, mask_ref, wqkv_ref, bqkv_ref,
     o_ref[0] = (h1 + ff).astype(o_ref.dtype)
 
 
+def _attention_cheap_softmax(qkv, mask, num_heads):
+    """fe._attention with the softmax replaced by a single normalization
+    (no max-sub, no exp): isolates the softmax transcendental cost."""
+    D = qkv.shape[1] // 3
+    dh = D // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    cols = []
+    for h in range(num_heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, D + h * dh: D + (h + 1) * dh]
+        v = qkv[:, 2 * D + h * dh: 2 * D + (h + 1) * dh]
+        scores = jax.lax.dot_general(
+            (q * scale).astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) + mask
+        p = scores / jnp.sum(scores, axis=-1, keepdims=True)  # NOT a softmax
+        cols.append(jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32))
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _mk_bf16_kernel(attention_fn, gelu_fn, ln_fn):
+    def kernel(num_heads, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+               ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               ln2s_ref, ln2b_ref, o_ref):
+        x = x_ref[0]
+        qkv = fe._bf16_dot(x, wqkv_ref, bqkv_ref)
+        attn = attention_fn(qkv, mask_ref[0], num_heads)
+        proj = fe._bf16_dot(attn, wo_ref, bo_ref)
+        h1 = ln_fn(x.astype(jnp.float32) + proj, ln1s_ref, ln1b_ref)
+        ff = gelu_fn(fe._bf16_dot(h1, w1_ref, b1_ref))
+        ff = fe._bf16_dot(ff, w2_ref, b2_ref)
+        h2 = ln_fn(h1 + ff, ln2s_ref, ln2b_ref)
+        o_ref[0] = h2.astype(o_ref.dtype)
+    return kernel
+
+
+def _call_bf16_variant(kernel_fn, x, p, num_heads):
+    from jax.experimental import pallas as pl
+
+    B, S, D = x.shape
+    Sp = fe._round_up(S, fe.SEQ_ALIGN)
+    wqkv = p["self_attn"]["in_proj"]["kernel"].astype(jnp.bfloat16)
+    wo = p["self_attn"]["out_proj"]["kernel"].astype(jnp.bfloat16)
+    w1 = p["linear1"]["kernel"].astype(jnp.bfloat16)
+    w2 = p["linear2"]["kernel"].astype(jnp.bfloat16)
+    xp, key_mask, (bqkv, bo, ln1s, ln1b, b1, b2, ln2s, ln2b) = \
+        fe._shared_layer_inputs(x, Sp, p, None)
+    F = w1.shape[1]
+    row = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
+    mat = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+    return pl.pallas_call(
+        functools.partial(kernel_fn, num_heads),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Sp, D), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, Sp), lambda i: (i, 0, 0)),
+            mat(D, 3 * D), row(3 * D), mat(D, D), row(D),
+            row(D), row(D), mat(D, F), row(F), mat(F, D), row(D),
+            row(D), row(D),
+        ],
+        out_specs=pl.BlockSpec((1, Sp, D), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Sp, D), x.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(xp, key_mask, wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b)[:, :S]
+
+
 def _call_int8_variant(kernel_fn, x, p, num_heads):
     from jax.experimental import pallas as pl
 
@@ -234,6 +301,8 @@ def main(argv=None):
     p = make_params(0, D, F)
     x = jnp.asarray(np.random.RandomState(1).randn(B, S, D) * 0.3, jnp.float32)
 
+    ident_gelu = lambda ff: ff
+    ident_ln = lambda h, s, b: h
     variants = {
         "bf16": lambda c: fe.fused_encoder_layer(c, p, H),
         "int8": lambda c: fe.fused_encoder_layer_int8(c, p, H),
@@ -241,6 +310,14 @@ def main(argv=None):
             _mk_int8_kernel(fe._attention, _int8_dot_noquant), c, p, H),
         "int8_attn": lambda c: _call_int8_variant(
             _mk_int8_kernel(_attention_int8, fe._int8_dot), c, p, H),
+        # VPU-content isolation (all bf16-matmul kernels; NOT numerically
+        # valid — each removes one elementwise stage to time it):
+        "bf16_no_softmax": lambda c: _call_bf16_variant(
+            _mk_bf16_kernel(_attention_cheap_softmax, fe._gelu_tanh, fe._layernorm), c, p, H),
+        "bf16_no_gelu": lambda c: _call_bf16_variant(
+            _mk_bf16_kernel(fe._attention, ident_gelu, fe._layernorm), c, p, H),
+        "bf16_no_ln": lambda c: _call_bf16_variant(
+            _mk_bf16_kernel(fe._attention, fe._gelu_tanh, ident_ln), c, p, H),
         "matmuls_only": lambda c: _call_matmuls_only(c, p, H),
     }
 
