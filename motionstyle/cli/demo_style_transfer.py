@@ -162,6 +162,46 @@ def main(argv=None):
         sharded_sampler = ShardedSampler(
             mesh, sched_ddim, _builder, bundle.params,
             method="ddim", skip_timesteps=skip, dump_all_xstart=dump_all_xstart)
+    elif getattr(args, "pipeline_parallel", 1) > 1:
+        # pipeline-parallel serving: stage the style encoder's layer stack
+        # over a 'pipe' axis and stream microbatches through it (GPipe,
+        # parallel/pipeline.py); identical numerics to the plain forward
+        import math
+
+        from motionstyle.parallel.inference import ShardedSampler
+        from motionstyle.parallel.mesh import make_mesh
+        from motionstyle.parallel.pipeline import pipelined_style_model_fn_builder
+
+        pp = args.pipeline_parallel
+        ndev = len(jax.devices())
+        if ndev % pp != 0:
+            raise ValueError(
+                f"--pipeline_parallel {pp} does not divide the visible device "
+                f"count {ndev}")
+        n_layers = bundle.model.cfg.num_layers
+        if n_layers % pp != 0:
+            raise ValueError(
+                f"--pipeline_parallel {pp} does not divide the encoder depth "
+                f"{n_layers}")
+        dp = math.gcd(ndev // pp, max(1, args.num_samples))
+        mesh = make_mesh(dp * pp, pipeline_parallel=pp)
+        use_cfg = args.dataset == "humanml" and args.guidance_param not in (0, 1)
+        per_shard = max(1, args.num_samples * (2 if use_cfg else 1) // dp)
+        n_micro = min(getattr(args, "pipeline_micro", 0) or per_shard, per_shard)
+        while per_shard % n_micro:
+            n_micro -= 1
+        print(f"serving over a ({dp} data x {pp} pipe) mesh, "
+              f"{n_micro} microbatches")
+
+        def _pp_builder(params):
+            fn = pipelined_style_model_fn_builder(bundle.model, mesh, n_micro)(params)
+            if use_cfg:
+                return cfg_model_fn(fn, jnp.full((args.num_samples,), args.guidance_param))
+            return fn
+
+        sharded_sampler = ShardedSampler(
+            mesh, sched_ddim, _pp_builder, bundle.params,
+            method="ddim", skip_timesteps=skip, dump_all_xstart=dump_all_xstart)
 
     content_denorm = ds.inv_transform(np.asarray(sample_t2m)[0, :, 0, :].T)
     content_joints = np.asarray(recover_from_ric(jnp.asarray(content_denorm, dtype=jnp.float32), joint_num))

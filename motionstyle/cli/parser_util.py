@@ -185,6 +185,17 @@ def add_sampling_options(parser):
                             "transfer sampling through ShardedSampler on a "
                             "(data x model) mesh with the transformer "
                             "Megatron-sharded over this many devices")
+    group.add_argument("--pipeline_parallel", default=1, type=int,
+                       help="pipeline-parallel serving degree: split the "
+                            "style encoder's layer stack into this many "
+                            "stages on a (data x pipe) mesh and stream "
+                            "microbatches through them (GPipe schedule, "
+                            "parallel/pipeline.py). Identical numerics; "
+                            "mutually exclusive with --model_parallel")
+    group.add_argument("--pipeline_micro", default=0, type=int,
+                       help="microbatches per pipeline (0 = num_samples, "
+                            "clamped to a divisor of the per-data-shard "
+                            "batch)")
     group.add_argument("--skip_render", action="store_true")
     return group
 
@@ -197,6 +208,10 @@ def validate_sampling_args(args):
         raise SystemExit(
             "--parallel_window and --forecast_stride are mutually exclusive "
             "sampler opt-ins; pass at most one")
+    if getattr(args, "model_parallel", 1) > 1 and getattr(args, "pipeline_parallel", 1) > 1:
+        raise SystemExit(
+            "--model_parallel and --pipeline_parallel are mutually exclusive "
+            "mesh layouts; pass at most one")
     return args
 
 

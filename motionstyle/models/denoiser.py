@@ -225,20 +225,38 @@ class StyleDiffusion(nn.Module):
         return self.mdm(x, timesteps, enc_text, deterministic=deterministic)
 
     # --- trainable style denoiser path ---
-    def __call__(self, x, timesteps, enc_text=None, deterministic=True):
-        """StyleDiffusion.forward :602-625: mdm's embed/in/out modules around
-        the style encoder."""
+    def _embed_tokens(self, x, timesteps, enc_text, deterministic):
+        """Shared pre-encoder math: [cond token; frame tokens] + pe."""
         emb = self.mdm.embed_timestep(timesteps)
         if enc_text is not None:
             emb = emb + self.mdm.embed_text(enc_text)
         h = self.mdm.input_process(self.mdm._frames_to_tokens(x))
         xseq = jnp.concatenate([emb[:, None, :], h], axis=1)
-        xseq = self.mdm._apply_pe(xseq, deterministic)
+        return self.mdm._apply_pe(xseq, deterministic)
+
+    def __call__(self, x, timesteps, enc_text=None, deterministic=True):
+        """StyleDiffusion.forward :602-625: mdm's embed/in/out modules around
+        the style encoder."""
+        xseq = self._embed_tokens(x, timesteps, enc_text, deterministic)
         out = self.style_encoder(
             xseq, deterministic=deterministic,
             use_fused=(self.cfg.fused or self.cfg.quant_int8) and deterministic,
             use_int8=self.cfg.quant_int8,
         )[:, 1:]
+        return self.mdm._tokens_to_frames(self.mdm.output_process(out)).astype(jnp.float32)
+
+    def embed_tokens(self, x, timesteps, enc_text=None, deterministic=True):
+        """Public pre-encoder half of __call__ — the hook the pipeline-
+        parallel serving path (parallel/pipeline.py) uses to run the style-
+        encoder stack externally (GPipe over a 'pipe' mesh axis) while the
+        embedding math stays this module's (no duplicated parity code).
+        Pair with output_head."""
+        return self._embed_tokens(x, timesteps, enc_text, deterministic)
+
+    def output_head(self, encoded):
+        """Public post-encoder half of __call__: strip the condition token
+        and project (B, S, d) encoder output back to (B, C, F, T) motion."""
+        out = encoded[:, 1:]
         return self.mdm._tokens_to_frames(self.mdm.output_process(out)).astype(jnp.float32)
 
     # --- semantic discriminator path ---

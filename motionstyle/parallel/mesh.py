@@ -24,13 +24,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
-    """Build a ('data', 'model') mesh over the first n devices."""
+def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
+              pipeline_parallel: int = 1) -> Mesh:
+    """Build a ('data', 'model') mesh over the first n devices — or a
+    ('data', 'pipe') mesh when pipeline_parallel > 1 (GPipe serving,
+    parallel/pipeline.py). The two model axes are alternatives: tensor
+    parallelism shards layer matmuls, pipeline parallelism shards the layer
+    stack; composing both needs manual Megatron collectives inside the
+    pipelined stage, which this model's size does not motivate."""
+    assert model_parallel == 1 or pipeline_parallel == 1, \
+        "pick tensor OR pipeline parallelism for one mesh"
     devices = jax.devices()
     n = n_devices or len(devices)
-    assert n % model_parallel == 0, (n, model_parallel)
-    grid = np.array(devices[:n]).reshape(n // model_parallel, model_parallel)
-    return Mesh(grid, ("data", "model"))
+    par = model_parallel * pipeline_parallel
+    assert n % par == 0, (n, par)
+    grid = np.array(devices[:n]).reshape(n // par, par)
+    axis = "pipe" if pipeline_parallel > 1 else "model"
+    return Mesh(grid, ("data", axis))
 
 
 def batch_spec(ndim: int) -> P:
@@ -58,9 +68,15 @@ def param_spec(path: tuple, leaf) -> P:
 
 
 def shard_params(params, mesh: Mesh):
-    """Place a parameter pytree onto the mesh per param_spec."""
+    """Place a parameter pytree onto the mesh per param_spec. On a mesh
+    without a 'model' axis (e.g. the ('data','pipe') pipeline mesh) all
+    params are replicated — the pipelined encoder reshards its own stage
+    stack inside shard_map."""
+    has_model = "model" in mesh.axis_names
+
     def place(path, leaf):
-        return jax.device_put(leaf, NamedSharding(mesh, param_spec(path, leaf)))
+        spec = param_spec(path, leaf) if has_model else P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
 

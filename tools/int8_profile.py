@@ -295,9 +295,13 @@ def main(argv=None):
     ap.add_argument("--batch", default=128, type=int)
     ap.add_argument("--seq", default=197, type=int)
     ap.add_argument("--iters", default=50, type=int)
+    ap.add_argument("--d_model", default=512, type=int,
+                    help="layer width (BASELINE.md projects the int8 speedup "
+                         "to grow with d_model; --d_model 1024 measures it)")
+    ap.add_argument("--heads", default=4, type=int)
     args = ap.parse_args(argv)
 
-    B, S, D, F, H = args.batch, args.seq, 512, 1024, 4
+    B, S, D, F, H = args.batch, args.seq, args.d_model, 2 * args.d_model, args.heads
     p = make_params(0, D, F)
     x = jnp.asarray(np.random.RandomState(1).randn(B, S, D) * 0.3, jnp.float32)
 
