@@ -35,6 +35,8 @@ class MultiheadSelfAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay fp32)
+    # sequence-parallel hook: mesh axis to all-gather k/v over (parallel/sequence.py)
+    gather_kv_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, key_padding_mask: Optional[jax.Array] = None,
@@ -44,7 +46,8 @@ class MultiheadSelfAttention(nn.Module):
         out_proj = nn.Dense(d, name="out_proj", dtype=self.dtype)
         qkv = in_proj(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = multihead_attention(q, k, v, self.num_heads, key_padding_mask=key_padding_mask)
+        out = multihead_attention(q, k, v, self.num_heads, key_padding_mask=key_padding_mask,
+                                  gather_kv_axis=self.gather_kv_axis)
         # torch applies dropout to the attention probabilities; the fused
         # attention op doesn't expose them, so the single output dropout in
         # the encoder layer stands in (one dropout total, like torch's
@@ -58,11 +61,13 @@ class TransformerEncoderLayer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None
+    gather_kv_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, key_padding_mask: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
-        attn = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout, dtype=self.dtype, name="self_attn")
+        attn = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout, dtype=self.dtype,
+                                      gather_kv_axis=self.gather_kv_axis, name="self_attn")
         a = attn(x, key_padding_mask=key_padding_mask, deterministic=deterministic)
         if not deterministic:
             a = nn.Dropout(self.dropout)(a, deterministic=False)
@@ -180,6 +185,7 @@ class TransformerEncoder(nn.Module):
     dim_feedforward: int = 1024
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None
+    gather_kv_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, key_padding_mask: Optional[jax.Array] = None,
@@ -187,7 +193,8 @@ class TransformerEncoder(nn.Module):
                  use_int8: bool = False) -> jax.Array:
         # parameters must be materialized by the layer modules during init;
         # the fused Pallas path reads them back out of this module's scope.
-        if use_fused and deterministic and not self.is_initializing():
+        if use_fused and deterministic and not self.is_initializing() \
+                and self.gather_kv_axis is None:  # fused kernel has no collectives
             from motionstyle.ops.fused_encoder import fused_encoder
 
             params = self.variables["params"]
@@ -198,6 +205,7 @@ class TransformerEncoder(nn.Module):
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-                dtype=self.dtype, name=f"layers_{i}",
+                dtype=self.dtype, gather_kv_axis=self.gather_kv_axis,
+                name=f"layers_{i}",
             )(x, key_padding_mask=key_padding_mask, deterministic=deterministic)
         return x

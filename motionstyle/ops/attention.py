@@ -137,6 +137,7 @@ def multihead_attention(
     num_heads: int,
     key_padding_mask: Optional[jax.Array] = None,
     use_pallas: Optional[bool] = None,
+    gather_kv_axis: Optional[str] = None,
 ) -> jax.Array:
     """Self/cross attention over (B, S, D) tensors.
 
@@ -145,7 +146,21 @@ def multihead_attention(
     tokens) XLA's fused attention is ~2x faster than the single-block Pallas
     kernel on v5e (0.54ms vs 1.12ms per 8-layer step at B=32), so the Pallas
     path is opt-in — for long sequences or via MOTIONSTYLE_PALLAS_ATTN=1.
+
+    gather_kv_axis: sequence-parallel hook (parallel/sequence.py). Inside a
+    shard_map whose sequence axis is sharded over this mesh axis, q stays
+    local while k/v (and the key mask) are all-gathered into the full global
+    sequence — the only cross-device exchange attention needs; every other
+    layer op is per-token. all_gather's tiled concatenation follows mesh-axis
+    order, so key order (and hence softmax reduction order) is identical to
+    the unsharded computation — exact, not approximate.
     """
+    if gather_kv_axis is not None:
+        k = jax.lax.all_gather(k, gather_kv_axis, axis=1, tiled=True)
+        v = jax.lax.all_gather(v, gather_kv_axis, axis=1, tiled=True)
+        if key_padding_mask is not None:
+            key_padding_mask = jax.lax.all_gather(
+                key_padding_mask, gather_kv_axis, axis=1, tiled=True)
     if q.shape[1] != k.shape[1]:
         use_pallas = False  # the single-block kernel assumes self-attention
     if use_pallas is None:

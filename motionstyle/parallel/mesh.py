@@ -25,21 +25,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
-              pipeline_parallel: int = 1) -> Mesh:
+              pipeline_parallel: int = 1, sequence_parallel: int = 1) -> Mesh:
     """Build a ('data', 'model') mesh over the first n devices — or a
-    ('data', 'pipe') mesh when pipeline_parallel > 1 (GPipe serving,
-    parallel/pipeline.py). The two model axes are alternatives: tensor
-    parallelism shards layer matmuls, pipeline parallelism shards the layer
-    stack; composing both needs manual Megatron collectives inside the
-    pipelined stage, which this model's size does not motivate."""
-    assert model_parallel == 1 or pipeline_parallel == 1, \
-        "pick tensor OR pipeline parallelism for one mesh"
+    ('data', 'pipe') / ('data', 'seq') mesh when pipeline_parallel /
+    sequence_parallel > 1 (parallel/pipeline.py, parallel/sequence.py).
+    The three model axes are alternatives for one mesh: tensor parallelism
+    shards layer matmuls, pipeline parallelism shards the layer stack,
+    sequence parallelism shards the frame axis; composing them needs manual
+    collectives inside the sharded layer, which this model's size does not
+    motivate (data parallelism composes with any of them)."""
+    par_axes = {"model": model_parallel, "pipe": pipeline_parallel,
+                "seq": sequence_parallel}
+    active = [(name, deg) for name, deg in par_axes.items() if deg > 1]
+    assert len(active) <= 1, \
+        f"pick ONE of tensor/pipeline/sequence parallelism per mesh: {active}"
+    axis, par = active[0] if active else ("model", 1)
     devices = jax.devices()
     n = n_devices or len(devices)
-    par = model_parallel * pipeline_parallel
     assert n % par == 0, (n, par)
     grid = np.array(devices[:n]).reshape(n // par, par)
-    axis = "pipe" if pipeline_parallel > 1 else "model"
     return Mesh(grid, ("data", axis))
 
 
