@@ -34,25 +34,26 @@ def _inputs(B=2, S=12, seed=0):
 
 
 class TestSequenceParallelForward:
-    @pytest.mark.parametrize("k", [2, 4])
-    def test_matches_sequential(self, encoder, k):
+    def test_matches_sequential(self, encoder):
         enc, params = encoder
         x, mask = _inputs()
         ref = enc.apply({"params": params}, x, key_padding_mask=mask)
-        mesh = _mesh((k,), ("seq",))
+        mesh = _mesh((4,), ("seq",))
         out = sequence_parallel_encoder(
             params, x, mask, mesh,
             d_model=D, nhead=H, dim_feedforward=FF)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
-    def test_padding_when_seq_not_divisible(self, encoder):
-        """S=13 over 4 shards: internal padding must not perturb valid tokens."""
+    def test_padding_and_no_mask(self, encoder):
+        """S=13 over 4 shards with key_padding_mask=None: the internal
+        padding (13 -> 16) must not perturb valid tokens, and the None-mask
+        branch must behave like an all-valid mask."""
         enc, params = encoder
-        x, mask = _inputs(S=13, seed=3)
-        ref = enc.apply({"params": params}, x, key_padding_mask=mask)
+        x, _ = _inputs(S=13, seed=3)
+        ref = enc.apply({"params": params}, x)
         mesh = _mesh((4,), ("seq",))
         out = sequence_parallel_encoder(
-            params, x, mask, mesh,
+            params, x, None, mesh,
             d_model=D, nhead=H, dim_feedforward=FF)
         assert out.shape == ref.shape
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
@@ -64,16 +65,6 @@ class TestSequenceParallelForward:
         mesh = _mesh((2, 4), ("data", "seq"))
         out = sequence_parallel_encoder(
             params, x, mask, mesh,
-            d_model=D, nhead=H, dim_feedforward=FF)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
-
-    def test_no_mask(self, encoder):
-        enc, params = encoder
-        x, _ = _inputs(S=8, seed=7)
-        ref = enc.apply({"params": params}, x)
-        mesh = _mesh((2,), ("seq",))
-        out = sequence_parallel_encoder(
-            params, x, None, mesh,
             d_model=D, nhead=H, dim_feedforward=FF)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
 
