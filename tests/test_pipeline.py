@@ -131,6 +131,70 @@ class TestPipelinedServing:
                                    rtol=1e-4, atol=1e-5)
 
 
+class TestPipelinedTraining:
+    def test_finetune_loss_grad_through_pipeline(self):
+        """value_and_grad of the few-shot finetune loss with the denoiser
+        running through the GPipe schedule equals the plain single-device
+        path — pipeline parallelism composes with training, not just
+        serving."""
+        from motionstyle.diffusion import losses
+        from motionstyle.diffusion.ddpm import Inpainting
+        from motionstyle.diffusion.schedule import make_schedule
+        from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+        from motionstyle.parallel.mesh import make_mesh
+        from motionstyle.parallel.pipeline import pipelined_style_model_fn_builder
+
+        cfg = MDMConfig(njoints=8, nfeats=1, latent_dim=16, ff_size=32,
+                        num_layers=2, num_heads=2, clip_dim=16)
+        model = StyleDiffusion(cfg)
+        B, T = 2, 6
+        x0 = jnp.zeros((B, 8, 1, T))
+        params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((B,), jnp.int32),
+                            jnp.zeros((B, 16)))["params"]
+        sched = make_schedule("cosine", 100, "ddim10")
+        r = np.random.RandomState(0)
+        batch = dict(
+            x_start=jnp.asarray(r.randn(B, 8, 1, T), jnp.float32),
+            t=jnp.zeros((B,), jnp.int32),
+            content=jnp.asarray(r.randn(B, 8, 1, T), jnp.float32),
+            style=jnp.asarray(r.randn(B, 8, 1, T), jnp.float32),
+            mask=jnp.ones((B, 1, 1, T), jnp.float32),
+            inp=jnp.concatenate([jnp.ones((B, 3, 1, T)), jnp.zeros((B, 5, 1, T))], 1),
+            enc=jnp.asarray(r.randn(B, 16), jnp.float32),
+        )
+        rng = jax.random.PRNGKey(5)
+        mesh = make_mesh(2, pipeline_parallel=2)
+
+        def make_loss(use_pipeline):
+            def loss(p):
+                if use_pipeline:
+                    fn = pipelined_style_model_fn_builder(model, mesh, n_micro=2)({"params": p})
+                    model_fn = lambda x, t, c: fn(x, t, c)
+                else:
+                    model_fn = lambda x, t, c: model.apply({"params": p}, x, t, c.get("enc_text"))
+                terms = losses.few_shot_style_finetune_loss(
+                    sched, model_fn, batch["x_start"], batch["t"],
+                    batch["content"], batch["style"], rng, mask=batch["mask"],
+                    cond_style={"enc_text": batch["enc"]},
+                    cond_t2m={"enc_text": batch["enc"]},
+                    inpainting_style=Inpainting(batch["inp"], batch["content"]),
+                    inpainting_t2m_mask=batch["inp"],
+                    skip_steps=70, use_ddim=True, semantic_guidance=False)
+                return terms["loss"]
+            return loss
+
+        # shard_map requires the surrounding computation to be jitted.
+        v_pipe, g_pipe = jax.jit(jax.value_and_grad(make_loss(True)))(params)
+        v_ref, g_ref = jax.jit(jax.value_and_grad(make_loss(False)))(params)
+        np.testing.assert_allclose(float(v_pipe), float(v_ref), rtol=1e-5)
+        flat_p = jax.tree_util.tree_leaves_with_path(g_pipe)
+        flat_r = dict(jax.tree_util.tree_leaves_with_path(g_ref))
+        for path, g in flat_p:
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(flat_r[path]), rtol=5e-4, atol=1e-6,
+                err_msg=jax.tree_util.keystr(path))
+
+
 class TestPipelineGrad:
     def test_grads_match_sequential(self, encoder):
         """d(loss)/d(params) through the pipeline == through the python loop
