@@ -92,6 +92,59 @@ class TestTrainEvaluator:
         assert true_d < cross_d, (true_d, cross_d)
 
 
+@pytest.mark.slow
+class TestRichCorpusRPrecision:
+    def test_gt_r_precision_above_chance(self, tmp_path):
+        """On a caption-RICH corpus (8 distinct style x content captions —
+        tools/quality_protocol.make_rich_specs) a trained evaluator ranks the
+        true caption among the pool well above chance, making R-precision a
+        meaningful instrument (BASELINE.md r3: the 4-caption corpus pins it
+        at chance structurally). Ladder version of tools/rprecision_protocol.py
+        (the full 32-caption TPU measurement).
+        Parity: reference pooled top-k metric semantics
+        (data_loaders/humanml/utils/metrics.py:37-74)."""
+        from motionstyle.cli.train_evaluator import main as train_main
+        from motionstyle.data.collate import get_dataset_loader
+        from motionstyle.eval.evaluators import EvaluatorWrapper, WordVectorizer
+        from motionstyle.eval.motion_loaders import evaluate_matching_and_fid
+        from tools.quality_protocol import make_corpus, make_rich_specs
+
+        styles, contents = make_rich_specs(4, 2, seed=7)
+        root = str(tmp_path / "rich")
+        make_corpus(root, clips_per_pair=4, seed=7,
+                    styles=styles, contents=contents)
+        path = train_main([
+            "--dataset", "stylexia_posrot", "--data_dir", root,
+            "--save_dir", str(tmp_path / "ev_rich"), "--batch_size", "16",
+            "--num_frames", "76", "--ae_steps", "80", "--match_steps", "400",
+            "--log_interval", "200", "--seed", "7",
+        ])
+        wrapper = EvaluatorWrapper("stylexia_posrot", checkpoint_path=path,
+                                   dim_pose=181)
+        wv = WordVectorizer(None)
+        loader = get_dataset_loader("stylexia_posrot", 16, 76, split="train",
+                                    data_root=root)
+        items = []
+        for motion, cond in loader:
+            for b in range(motion.shape[0]):
+                items.append((cond["y"]["text"][b],
+                              motion[b, :, 0, :].T,
+                              int(cond["y"]["lengths"][b]),
+                              [f"{w}/OTHER" for w in
+                               cond["y"]["text"][b].split(" ")]))
+            if len(items) >= 32:
+                break
+        out = evaluate_matching_and_fid(wrapper, wv, items, items,
+                                        diversity_times=8, seed=0)
+        # pool = 32 items over 8 distinct captions (4 clips per combo):
+        # strict-index chance is 1/32, but PERFECT semantic matching can only
+        # reach ~1/4 top-1 / ~3/4 top-3 (the 4 same-caption candidates tie).
+        # Measured on this budget: 0.25 / 0.75 — i.e. at the tie ceiling,
+        # 8x above chance. Assert well above chance, near the ceiling.
+        assert out["R_precision_top_1_gt"] >= 0.18, out   # >5x chance
+        assert out["R_precision_top_3_gt"] >= 0.55, out
+
+
 @pytest.fixture(scope="module")
 def hml_root(tmp_path_factory):
     """Tiny humanml-layout (263-dim) corpus for the CompV6 CLI: the

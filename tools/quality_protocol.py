@@ -60,6 +60,32 @@ STYLES = {
 }
 
 
+def make_rich_specs(n_styles: int, n_contents: int, seed: int = 0):
+    """Procedural style/content spec dicts for caption-rich corpora.
+
+    The 2x2 corpus above gives only 4 distinct captions, which puts
+    R-precision at chance structurally (every 32-candidate pool holds
+    duplicates of the true caption). n_styles x n_contents combos give that
+    many distinct captions, making R-precision a meaningful instrument on a
+    fully synthetic corpus (BASELINE.md r3). Styles differ in amplitude,
+    frequency and direction of the high-frequency pose component; contents
+    differ in gait frequency, speed, bounce and base pose band."""
+    r = np.random.RandomState(seed + 777)
+    styles = {
+        f"s{i:02d}": dict(amp=float(r.uniform(0.15, 0.55)),
+                          freq_s=float(r.choice([12.0, 14.0, 16.0, 18.0, 20.0])))
+        for i in range(n_styles)
+    }
+    contents = {
+        f"c{i:02d}": dict(freq=float(r.uniform(1.0, 3.5)),
+                          vz=float(r.uniform(0.01, 0.05)),
+                          bounce=float(r.choice([0.0, 0.10, 0.18])),
+                          rooty=float(r.uniform(0.75, 0.9)))
+        for i in range(n_contents)
+    }
+    return styles, contents
+
+
 def _content_proto(name: str):
     r = np.random.RandomState(abs(hash(("content", name))) % (2 ** 31))
     base = r.randn(DIM - POSE_START) * 0.4
@@ -75,9 +101,11 @@ def _style_dir(name: str):
     return d / np.linalg.norm(d) * np.sqrt(DIM - POSE_START)
 
 
-def make_clip(style: str, content: str, seed: int) -> np.ndarray:
+def make_clip(style: str, content: str, seed: int,
+              styles: dict = None, contents: dict = None) -> np.ndarray:
     """One procedural clip (T, 181) in the denormalized StyleXia layout."""
-    c, s = CONTENTS[content], STYLES[style]
+    c = (contents or CONTENTS)[content]
+    s = (styles or STYLES)[style]
     base, amp, phase, harm = _content_proto(content)
     sdir = _style_dir(style)
     r = np.random.RandomState(seed)
@@ -103,16 +131,18 @@ def make_clip(style: str, content: str, seed: int) -> np.ndarray:
     return out
 
 
-def make_corpus(root: str, clips_per_pair: int = 8, seed: int = 0) -> list:
+def make_corpus(root: str, clips_per_pair: int = 8, seed: int = 0,
+                styles: dict = None, contents: dict = None) -> list:
     """Write the corpus + Mean/Std npy files; returns the filenames."""
     vec_dir = pjoin(root, "new_joint_vecs")
     os.makedirs(vec_dir, exist_ok=True)
     names, all_clips = [], []
     idx = 600  # 3-digit ids outside the stylexia test split
-    for style in STYLES:
-        for content in CONTENTS:
+    for style in (styles or STYLES):
+        for content in (contents or CONTENTS):
             for k in range(clips_per_pair):
-                clip = make_clip(style, content, seed=seed * 10007 + idx)
+                clip = make_clip(style, content, seed=seed * 10007 + idx,
+                                 styles=styles, contents=contents)
                 name = f"{idx:03d}{style}_{content}.npy"
                 np.save(pjoin(vec_dir, name), clip)
                 names.append(name)
