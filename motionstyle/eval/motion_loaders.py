@@ -61,7 +61,7 @@ class GeneratedMotionDataset:
                 break
             texts = cond["y"]["text"]
             lengths = np.asarray(cond["y"]["lengths"])
-            tokens = [t.split("_") for t in cond["y"].get("tokens", [""] * len(texts))]
+            tokens = tokens_or_fallback(cond, texts)
             is_mm = i in mm_idxs
             repeats = mm_num_repeats if is_mm else 1
             mm_motions = []
@@ -146,7 +146,7 @@ class CompV6GeneratedDataset:
         items = []
         for motion, cond in ground_truth_loader:
             texts = cond["y"]["text"]
-            tokens = [t.split("_") for t in cond["y"].get("tokens", [""] * len(texts))]
+            tokens = tokens_or_fallback(cond, texts)
             items += [(texts[b], tokens[b]) for b in range(len(texts))]
             if num_samples_limit and len(items) >= num_samples_limit:
                 break
