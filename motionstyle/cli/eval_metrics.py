@@ -29,6 +29,7 @@ from motionstyle.eval.motion_loaders import (
     GeneratedMotionDataset,
     evaluate_matching_and_fid,
     evaluate_multimodality,
+    tokens_or_fallback,
 )
 
 
@@ -57,6 +58,13 @@ def main(argv=None):
     parser.add_argument("--forecast_order", default=1, type=int, choices=[0, 1, 2],
                         help="forecast extrapolation order (0 hold / 1 linear "
                              "/ 2 quadratic)")
+    parser.add_argument("--timestep_respacing", default="", type=str,
+                        help="sample on a respaced grid, e.g. ddim8 for a "
+                             "progressively distilled prior "
+                             "(cli/distill_prior.py); empty = full schedule")
+    parser.add_argument("--use_ddim", default=0, type=int,
+                        help="sample with eta=0 DDIM instead of ancestral "
+                             "DDPM (required for distilled priors)")
     parser.add_argument("--seed", default=10, type=int)
     parser.add_argument("--split", default="test", choices=["test", "train"],
                         help="dataset split providing captions + ground truth "
@@ -74,7 +82,11 @@ def main(argv=None):
     loader = get_dataset_loader(args.dataset, args.batch_size, max_frames,
                                 split=args.split, data_root=args.data_dir or None)
 
-    bundle, _, sched_full = model_util.creat_serval_diffusion(args)
+    bundle, sched_respaced, sched_full = model_util.creat_serval_diffusion(
+        args, args.timestep_respacing)
+    if args.timestep_respacing:
+        sched_full = sched_respaced
+    method = "ddim" if args.use_ddim else "ddpm"
     model_fn = bundle.denoiser_fn(style=False)
 
     def sample_batch_fn(texts, lengths, shape, rng):
@@ -88,7 +100,7 @@ def main(argv=None):
             from motionstyle.diffusion.parallel_sampling import parallel_sample_loop
 
             sample, sweeps = parallel_sample_loop(
-                sched_full, fn, cond, rng, shape=tuple(shape), method="ddpm",
+                sched_full, fn, cond, rng, shape=tuple(shape), method=method,
                 window=args.parallel_window)
             print(f"  parallel sampler: {int(sweeps)} sweeps for "
                   f"{sched_full.num_timesteps} steps")
@@ -97,11 +109,11 @@ def main(argv=None):
             from motionstyle.diffusion.forecast_sampling import forecast_sample_loop
 
             return forecast_sample_loop(sched_full, fn, cond, rng,
-                                        shape=tuple(shape), method="ddpm",
+                                        shape=tuple(shape), method=method,
                                         stride=args.forecast_stride,
                                         order=args.forecast_order)
         return sampling.sample_loop(sched_full, fn, cond, rng, shape=tuple(shape),
-                                    method="ddpm", remat=False)
+                                    method=method, remat=False)
 
     wv = WordVectorizer(args.glove_dir or None)
     evaluator = EvaluatorWrapper(args.dataset, checkpoint_path=args.evaluator_checkpoint or None,
@@ -126,10 +138,10 @@ def main(argv=None):
         )
         gt_items, gen_items = [], []
         for motion, cond in loader:
+            batch_tokens = tokens_or_fallback(cond, cond["y"]["text"])
             for b in range(motion.shape[0]):
-                tokens = cond["y"].get("tokens", [""] * motion.shape[0])[b].split("_")
                 gt_items.append((cond["y"]["text"][b], to_eval_space(motion[b, :, 0, :].T),
-                                 int(cond["y"]["lengths"][b]), tokens))
+                                 int(cond["y"]["lengths"][b]), batch_tokens[b]))
             if len(gt_items) >= len(gen):
                 break
         for i in range(len(gen)):
