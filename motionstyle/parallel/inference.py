@@ -79,16 +79,24 @@ class ShardedSampler:
 
     def __call__(self, batch: dict, rng: jax.Array):
         """batch: {'shape': tuple | 'init_image': (B, C, 1, T), 'cond': dict,
-        optional 'inpainting': Inpainting}. Returns device-sharded samples."""
+        optional 'inpainting': Inpainting, optional 'noise' (B, C, 1, T) and
+        'step_noise' (S, B, C, 1, T) for per-item pinned noise (the
+        batching-invariant serving contract — serve/engine.py)}. Returns
+        device-sharded samples."""
         init_image = batch.get("init_image")
         shape = tuple(batch["shape"]) if "shape" in batch else tuple(init_image.shape)
-        key = (shape, tuple(sorted(batch.get("cond", {}).keys())), "inpainting" in batch)
+        key = (shape, tuple(sorted(batch.get("cond", {}).keys())), "inpainting" in batch,
+               "noise" in batch, "step_noise" in batch)
         if key not in self._compiled:
-            def run(params, init_image, cond, inpainting, rng):
+            def run(params, init_image, cond, inpainting, noise, step_noise, rng):
                 model_fn = self.model_fn_builder(params)
+                pinned = ({} if noise is None else {"noise": noise}) | \
+                    ({} if step_noise is None else {"step_noise": step_noise})
                 if self.parallel_window > 0:
                     from motionstyle.diffusion.parallel_sampling import parallel_sample_loop
 
+                    assert not pinned, \
+                        "per-item pinned noise is not supported with parallel_window"
                     kw = {k: v for k, v in self.sample_kwargs.items() if k != "remat"}
                     sample, _ = parallel_sample_loop(
                         self.sched, model_fn, cond, rng,
@@ -103,12 +111,13 @@ class ShardedSampler:
                     return forecast_sample_loop(
                         self.sched, model_fn, cond, rng,
                         shape=shape, init_image=init_image,
-                        inpainting=inpainting, stride=self.forecast_stride, **kw,
+                        inpainting=inpainting, stride=self.forecast_stride,
+                        **kw, **pinned,
                     )
                 return sampling.sample_loop(
                     self.sched, model_fn, cond, rng,
                     shape=shape, init_image=init_image,
-                    inpainting=inpainting, **self.sample_kwargs,
+                    inpainting=inpainting, **self.sample_kwargs, **pinned,
                 )
 
             self._compiled[key] = jax.jit(run, static_argnames=())
@@ -119,8 +128,17 @@ class ShardedSampler:
             init = shard_batch(init_image, self.mesh)
         if inpainting is not None:
             inpainting = Inpainting(*shard_batch(tuple(inpainting), self.mesh))
+        noise = batch.get("noise")
+        if noise is not None:
+            noise = shard_batch(noise, self.mesh)
+        step_noise = batch.get("step_noise")
+        if step_noise is not None:
+            # (S, B, ...): the batch axis is axis 1
+            step_noise = jax.device_put(
+                step_noise, NamedSharding(self.mesh, P(None, "data")))
         with self.mesh:
-            return self._compiled[key](self.params, init, cond, inpainting, rng)
+            return self._compiled[key](self.params, init, cond, inpainting,
+                                       noise, step_noise, rng)
 
 
 def data_parallel_sample(

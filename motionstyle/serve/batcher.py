@@ -1,0 +1,128 @@
+"""Dynamic request batching for serving (new first-class component; the
+reference has no serving runtime at all — its demo is a one-shot script,
+sample/demo_style_transfer.py).
+
+TPU rationale: one compiled sampler executable amortizes best at batch > 1
+(BASELINE.md: b1 runs at ~51% of the per-clip b64 rate), but serving traffic
+arrives one clip at a time. The batcher coalesces concurrent requests into
+padded device batches at fixed BUCKET sizes (so each bucket compiles once
+and the jit cache stays warm), bounded by a wait deadline so a lone request
+never waits more than `max_wait_ms`.
+
+Pure stdlib threading — the device work itself is serialized through one
+worker thread (JAX dispatch is not thread-safe per device stream), which is
+also the natural TPU execution model: one queue feeding one chip/mesh.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+
+def bucket_for(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n (buckets sorted ascending; last is the cap)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclass
+class BatcherStats:
+    requests: int = 0
+    batches: int = 0
+    padded_items: int = 0
+    batch_sizes: list = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "padded_items": self.padded_items,
+            "mean_batch_size": (sum(self.batch_sizes) / len(self.batch_sizes)
+                                if self.batch_sizes else 0.0),
+        }
+
+
+class DynamicBatcher:
+    """Coalesce submit()ed items into run_batch calls on a worker thread.
+
+    run_batch(items: list) -> list of per-item results (same order/length).
+    Exceptions from run_batch propagate to every waiting future of the batch.
+    """
+
+    def __init__(self, run_batch: Callable, max_batch: int = 8,
+                 max_wait_ms: float = 5.0,
+                 buckets: Sequence[int] = (1, 2, 4, 8)):
+        assert max_batch <= max(buckets)
+        self.run_batch = run_batch
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self.buckets = tuple(sorted(buckets))
+        self.stats = BatcherStats()
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, item) -> Future:
+        fut: Future = Future()
+        self._q.put((item, fut))
+        return fut
+
+    def close(self):
+        self._stop.set()
+        self._q.put(None)  # wake the worker
+        self._thread.join(timeout=5)
+
+    # -- worker ---------------------------------------------------------
+
+    def _collect(self):
+        """Block for the first item, then drain up to max_batch within the
+        wait deadline."""
+        first = self._q.get()
+        if first is None:
+            return []
+        batch = [first]
+        import time
+
+        deadline = time.monotonic() + self.max_wait
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            batch.append(nxt)
+        return batch
+
+    def _loop(self):
+        while not self._stop.is_set():
+            pairs = self._collect()
+            if not pairs:
+                continue
+            items = [p[0] for p in pairs]
+            self.stats.requests += len(items)
+            self.stats.batches += 1
+            self.stats.batch_sizes.append(len(items))
+            self.stats.padded_items += bucket_for(len(items), self.buckets) - len(items)
+            try:
+                results = self.run_batch(items)
+                if len(results) != len(items):
+                    raise RuntimeError(
+                        f"run_batch returned {len(results)} results for "
+                        f"{len(items)} items")
+            except Exception as ex:  # propagate to all waiters
+                for _, fut in pairs:
+                    if not fut.done():
+                        fut.set_exception(ex)
+                continue
+            for (_, fut), res in zip(pairs, results):
+                fut.set_result(res)

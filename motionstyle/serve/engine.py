@@ -1,0 +1,169 @@
+"""Serving engine: dynamic batching over a compile-once ShardedSampler with a
+BATCHING-INVARIANT sampling contract.
+
+Contract: a request's result depends only on its own payload and `seed` —
+never on what other requests happened to share its device batch, nor on the
+bucket padding. This is what makes dynamic batching transparent to clients
+(and replayable for debugging). It holds because:
+
+  1. every stochastic draw is pinned per item: the initial noise and the full
+     per-step noise stack are generated from jax.random.fold_in(key(seed), i)
+     on the host and passed through sample_loop's `noise` / `step_noise`
+     hooks (the same mechanism the parity tests use to replay the torch
+     reference's noise);
+  2. every model op is batch-elementwise (LN/attention reduce over feature /
+     time axes only), so co-batched items cannot mix;
+  3. batches are padded to fixed BUCKET sizes by repeating the first item
+     (results for pad rows are discarded), so each bucket shape compiles
+     exactly once and stays in the jit cache.
+
+Precision caveat (measured on v5e): within one bucket shape the guarantee is
+bit-exact, but XLA tiles matmuls differently per batch shape and TPU default
+matmul precision is bf16 — so the SAME request served from different-size
+buckets can differ by bf16 rounding (~1e-2 abs after a DDIM chain).
+`deterministic=True` collapses all buckets to the largest one (one compiled
+shape, constant latency), restoring bit-exactness no matter the traffic —
+the replay-for-debugging serving mode, at batch-max compute per dispatch.
+
+tests/test_serve.py asserts the invariance directly (solo == batched).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from motionstyle.diffusion.ddpm import Inpainting
+from motionstyle.diffusion.sampling import _timestep_indices
+from motionstyle.parallel.inference import ShardedSampler
+from motionstyle.serve.batcher import DynamicBatcher, bucket_for
+
+
+class Request:
+    """One sampling request: cond entries are per-item arrays (no batch
+    axis); init_image (C, F, T); inpainting_mask/motion optional (C, F, T)."""
+
+    def __init__(self, cond: dict, init_image: Optional[np.ndarray] = None,
+                 inpainting_mask: Optional[np.ndarray] = None,
+                 seed: int = 0):
+        self.cond = cond
+        self.init_image = init_image
+        self.inpainting_mask = inpainting_mask
+        self.seed = int(seed)
+
+
+class ServingEngine:
+    """Wraps a ShardedSampler in a DynamicBatcher.
+
+    item_shape: (C, F, T) of one clip. The number of live steps is derived
+    from the sampler's schedule + skip/stop kwargs so the pinned step-noise
+    stack has the exact scan length."""
+
+    def __init__(self, sampler: ShardedSampler, item_shape: tuple,
+                 max_batch: int = 8, max_wait_ms: float = 5.0,
+                 buckets: Sequence[int] = (1, 2, 4, 8),
+                 deterministic: bool = False):
+        self.sampler = sampler
+        self.item_shape = tuple(item_shape)
+        # device batches shard over the mesh 'data' axis: every bucket must
+        # be a multiple of it (shard_batch requires divisibility)
+        dp = dict(zip(sampler.mesh.axis_names,
+                      sampler.mesh.devices.shape)).get("data", 1)
+        self.buckets = tuple(sorted({-(-b // dp) * dp for b in buckets}))
+        if deterministic:
+            # one compiled batch shape -> bit-exact results independent of
+            # co-batched traffic even under TPU bf16 matmul tiling
+            self.buckets = (self.buckets[-1],)
+        self.n_steps = len(_timestep_indices(
+            sampler.sched.num_timesteps,
+            sampler.sample_kwargs.get("skip_timesteps", 0),
+            sampler.sample_kwargs.get("stop_timesteps", None)))
+        # (with forecast_stride > 1 the sampler consumes pinned noise only at
+        # eval steps; the stack still covers every step, unused rows ignored)
+        self._batcher = DynamicBatcher(self._run_groups, max_batch=max_batch,
+                                       max_wait_ms=max_wait_ms,
+                                       buckets=self.buckets)
+
+    # -- public API -----------------------------------------------------
+
+    def submit(self, request: Request):
+        """Returns a concurrent.futures.Future resolving to (C, F, T)."""
+        for name in ("init_image", "inpainting_mask"):
+            arr = getattr(request, name)
+            if arr is not None and tuple(np.shape(arr)) != self.item_shape:
+                raise ValueError(f"{name} must have shape {self.item_shape}, "
+                                 f"got {tuple(np.shape(arr))}")
+        if request.inpainting_mask is not None and request.init_image is None:
+            raise ValueError("inpainting_mask requires init_image")
+        return self._batcher.submit(request)
+
+    def sample(self, request: Request) -> np.ndarray:
+        return self.submit(request).result()
+
+    def stats(self) -> dict:
+        return self._batcher.stats.as_dict()
+
+    def close(self):
+        self._batcher.close()
+
+    # -- batch execution ------------------------------------------------
+
+    @staticmethod
+    def _compat_key(r: Request):
+        """Requests sharing a device batch must agree on structure."""
+        return (tuple(sorted(r.cond)), r.init_image is not None,
+                r.inpainting_mask is not None)
+
+    def _run_groups(self, items: list) -> list:
+        """Split a coalesced batch into structurally compatible groups (a
+        mixed-endpoint queue must not break shape/key homogeneity), run each,
+        and restore submission order."""
+        groups: dict = {}
+        for i, r in enumerate(items):
+            groups.setdefault(self._compat_key(r), []).append(i)
+        results = [None] * len(items)
+        for idxs in groups.values():
+            out = self._run([items[i] for i in idxs])
+            for i, res in zip(idxs, out):
+                results[i] = res
+        return results
+
+    def _item_noise(self, seed: int):
+        key = jax.random.PRNGKey(seed)
+        init = jax.random.normal(jax.random.fold_in(key, 0), self.item_shape,
+                                 dtype=np.float32)
+        steps = jax.random.normal(jax.random.fold_in(key, 1),
+                                  (self.n_steps,) + self.item_shape,
+                                  dtype=np.float32)
+        return np.asarray(init), np.asarray(steps)
+
+    def _run(self, items: list) -> list:
+        n = len(items)
+        bucket = bucket_for(n, self.buckets)
+        padded = items + [items[0]] * (bucket - n)
+
+        cond_keys = sorted(padded[0].cond)
+        cond = {k: np.stack([np.asarray(r.cond[k]) for r in padded])
+                for k in cond_keys}
+        per = [self._item_noise(r.seed) for r in padded]
+        batch = {
+            "cond": cond,
+            "noise": np.stack([p[0] for p in per]),
+            "step_noise": np.stack([p[1] for p in per], axis=1),
+        }
+        if padded[0].init_image is not None:
+            batch["init_image"] = np.stack(
+                [np.asarray(r.init_image, np.float32) for r in padded])
+        else:
+            batch["shape"] = (bucket,) + self.item_shape
+        if padded[0].inpainting_mask is not None:
+            mask = np.stack([np.asarray(r.inpainting_mask, np.float32)
+                             for r in padded])
+            batch["inpainting"] = Inpainting(mask=mask,
+                                             motion=batch["init_image"])
+        out = np.asarray(self.sampler(batch, jax.random.PRNGKey(0)))
+        if out.ndim == len(self.item_shape) + 2:
+            # dump_all_xstart stacks (S, B, ...): serve the final prediction
+            out = out[-1]
+        return [out[i] for i in range(n)]

@@ -1,0 +1,100 @@
+"""HTTP serving frontend over the ServingEngine (stdlib-only).
+
+Endpoints:
+  POST /v1/sample   body: JSON request; returns {"motion": [[...]], ...}
+  GET  /healthz     liveness
+  GET  /stats       batcher statistics (requests, batches, mean batch size)
+
+The JSON contract is translated to engine Requests by a `decode` callable so
+the same server fronts any workload (style transfer, prior sampling, ...);
+`cli/serve.py` wires the style-transfer default. ThreadingHTTPServer gives
+one thread per connection; all device work still funnels through the
+batcher's single worker (the TPU execution model), so concurrency buys
+COALESCING, not device-side parallelism.
+"""
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable
+
+import numpy as np
+
+from motionstyle.serve.engine import Request, ServingEngine
+
+
+def default_decode(payload: dict) -> Request:
+    """Generic JSON -> Request: 'cond' {name: nested list}, optional
+    'init_image', 'inpainting_mask', 'seed'."""
+    cond = {k: np.asarray(v, np.float32) for k, v in payload.get("cond", {}).items()}
+    get = lambda k: (np.asarray(payload[k], np.float32)
+                     if payload.get(k) is not None else None)
+    return Request(cond, init_image=get("init_image"),
+                   inpainting_mask=get("inpainting_mask"),
+                   seed=payload.get("seed", 0))
+
+
+class MotionServer:
+    def __init__(self, engine: ServingEngine, host: str = "127.0.0.1",
+                 port: int = 8500, decode: Callable = default_decode):
+        self.engine = engine
+        self.decode = decode
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet access log
+                pass
+
+            def _json(self, code: int, obj: dict):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, {"status": "ok"})
+                elif self.path == "/stats":
+                    self._json(200, outer.engine.stats())
+                else:
+                    self._json(404, {"error": f"unknown path {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/v1/sample":
+                    self._json(404, {"error": f"unknown path {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    request = outer.decode(payload)
+                    motion = outer.engine.sample(request)
+                    self._json(200, {"motion": np.asarray(motion).tolist(),
+                                     "seed": request.seed})
+                except Exception as ex:  # surface as a JSON 500, keep serving
+                    self._json(500, {"error": f"{type(ex).__name__}: {ex}"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start_background(self):
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+        self.engine.close()

@@ -27,6 +27,11 @@ import pytest
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end test (CLI chains, protocols)")
+
+
 @pytest.fixture(scope="session")
 def goldens():
     """Load all committed golden npz files keyed by basename."""

@@ -1,0 +1,261 @@
+"""Serving stack: dynamic batcher, batching-invariant engine, HTTP server."""
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from motionstyle.serve.batcher import DynamicBatcher, bucket_for
+
+
+class TestBatcher:
+    def test_coalesces_concurrent_requests(self):
+        seen = []
+
+        def run(items):
+            seen.append(len(items))
+            time.sleep(0.01)
+            return [x * 2 for x in items]
+
+        b = DynamicBatcher(run, max_batch=8, max_wait_ms=50)
+        try:
+            futs = [b.submit(i) for i in range(8)]
+            assert [f.result(timeout=5) for f in futs] == [2 * i for i in range(8)]
+            assert sum(seen) == 8
+            assert len(seen) < 8, seen  # actually coalesced
+        finally:
+            b.close()
+
+    def test_lone_request_bounded_wait(self):
+        b = DynamicBatcher(lambda items: items, max_batch=8, max_wait_ms=30)
+        try:
+            t0 = time.monotonic()
+            assert b.submit(42).result(timeout=5) == 42
+            assert time.monotonic() - t0 < 2.0
+        finally:
+            b.close()
+
+    def test_errors_propagate_and_service_survives(self):
+        def run(items):
+            if any(x is None for x in items):
+                raise ValueError("boom")
+            return items
+
+        b = DynamicBatcher(run, max_batch=1, max_wait_ms=1)
+        try:
+            with pytest.raises(ValueError):
+                b.submit(None).result(timeout=5)
+            assert b.submit(7).result(timeout=5) == 7
+        finally:
+            b.close()
+
+    def test_bucket_for(self):
+        assert bucket_for(1, (1, 2, 4)) == 1
+        assert bucket_for(3, (1, 2, 4)) == 4
+        assert bucket_for(9, (1, 2, 4)) == 4  # capped
+
+
+@pytest.fixture(scope="module")
+def engine_setup():
+    from motionstyle.diffusion.schedule import make_schedule
+    from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+    from motionstyle.parallel.inference import ShardedSampler
+    from motionstyle.parallel.mesh import make_mesh
+    from motionstyle.serve.engine import ServingEngine
+
+    cfg = MDMConfig(njoints=12, nfeats=1, latent_dim=16, ff_size=32,
+                    num_layers=1, num_heads=2, clip_dim=16)
+    model = StyleDiffusion(cfg)
+    x0 = jnp.zeros((1, 12, 1, 8))
+    params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, 16)))
+    sched = make_schedule("cosine", 40, "ddim10")
+    mesh = make_mesh(2)
+
+    def builder(p):
+        return lambda x, t, c: model.apply(p, x, t, c.get("enc_text"))
+
+    sampler = ShardedSampler(mesh, sched, builder, params, method="ddim",
+                             skip_timesteps=3, stop_timesteps=2,
+                             dump_all_xstart=True)
+    engine = ServingEngine(sampler, (12, 1, 8), max_batch=8, max_wait_ms=20,
+                           buckets=(1, 2, 4, 8))
+    yield engine
+    engine.close()
+
+
+def _request(seed, rng_data=0):
+    from motionstyle.serve.engine import Request
+
+    r = np.random.RandomState(rng_data)
+    mask = np.zeros((12, 1, 8), np.float32)
+    mask[:3] = 1.0
+    return Request({"enc_text": r.randn(16).astype(np.float32)},
+                   init_image=r.randn(12, 1, 8).astype(np.float32),
+                   inpainting_mask=mask, seed=seed)
+
+
+class TestEngine:
+    def test_batched_equals_solo(self, engine_setup):
+        """The batching-invariance contract: results depend only on the
+        request payload + seed, not on co-batched traffic or padding."""
+        engine = engine_setup
+        solo = {s: engine.sample(_request(s, rng_data=s)) for s in (3, 5, 9)}
+        futs = [engine.submit(_request(s, rng_data=s)) for s in (3, 5, 9)]
+        batched = [f.result(timeout=60) for f in futs]
+        for s, got in zip((3, 5, 9), batched):
+            np.testing.assert_allclose(got, solo[s], rtol=2e-5, atol=1e-6)
+
+    def test_deterministic_per_seed(self, engine_setup):
+        engine = engine_setup
+        a = engine.sample(_request(7))
+        b = engine.sample(_request(7))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        c = engine.sample(_request(8))
+        assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4
+
+    def test_deterministic_mode_single_bucket(self, engine_setup):
+        """deterministic=True collapses buckets to one compiled shape so
+        results are bit-exact regardless of traffic (engine precision
+        caveat: on TPU, cross-bucket executables differ by bf16 rounding)."""
+        from motionstyle.serve.engine import ServingEngine
+
+        det = ServingEngine(engine_setup.sampler, engine_setup.item_shape,
+                            max_batch=8, max_wait_ms=5, deterministic=True)
+        try:
+            assert det.buckets == (8,)
+            solo = np.asarray(det.sample(_request(3, rng_data=3)))
+            futs = [det.submit(_request(s, rng_data=s)) for s in (3, 5, 9)]
+            batched = np.asarray(futs[0].result(timeout=60))
+            [f.result(timeout=60) for f in futs]
+            np.testing.assert_array_equal(solo, batched)
+        finally:
+            det.close()
+
+    def test_root_channels_preserved(self, engine_setup):
+        """The inpainting contract survives the serving path."""
+        req = _request(11, rng_data=4)
+        out = np.asarray(engine_setup.sample(req))
+        np.testing.assert_array_equal(out[:3], np.asarray(req.init_image)[:3])
+
+
+@pytest.mark.slow
+class TestServeCLI:
+    def test_style_transfer_endpoint(self, tmp_path):
+        """cli/serve.py end to end: build_engine on a tiny seeded-init model
+        (same nonexistent-checkpoint fallback the demo CLI tests use), POST a
+        content motion + caption, check the transferred hml_vec comes back
+        with the root_horizontal channels of the content preserved."""
+        from motionstyle.cli.serve import build_engine, parse_args
+        from motionstyle.serve.server import MotionServer
+
+        save_dir = tmp_path / "ft" / "350angry_jumping"
+        save_dir.mkdir(parents=True)
+        with open(save_dir / "args.json", "w") as f:
+            json.dump({"dataset": "stylexia_posrot", "layers": 1,
+                       "latent_dim": 64, "diffusion_steps": 40,
+                       "skip_steps": 28}, f)
+        args = parse_args([
+            "--model_path", str(save_dir / "model000000001.pt"),
+            "--dataset", "stylexia_posrot",
+            "--layers", "1", "--latent_dim", "64",
+            "--diffusion_steps", "40", "--skip_steps", "28",
+            "--timestep_respacing", "ddim10",
+            "--max_wait_ms", "1",
+        ])
+        engine, decode = build_engine(args)
+        server = MotionServer(engine, port=0, decode=decode).start_background()
+        base = f"http://127.0.0.1:{server.port}"
+        try:
+            content = np.random.RandomState(3).randn(76, 181).astype(np.float32)
+            req = urllib.request.Request(
+                base + "/v1/sample",
+                data=json.dumps({"content": content.tolist(),
+                                 "text": "a person walks angrily",
+                                 "seed": 9}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                res = json.load(r)
+            motion = np.asarray(res["motion"], np.float32)
+            assert motion.shape == (181, 1, 76)
+            assert np.isfinite(motion).all()
+            # root_horizontal inpainting: content root trajectory preserved
+            from motionstyle.data.masks import get_inpainting_mask
+            mask = np.asarray(get_inpainting_mask(
+                "root_horizontal", (1, 181, 1, 76),
+                dataset="stylexia_posrot"), np.float32)[0]
+            init = content.T[:, None, :]
+            np.testing.assert_array_equal(motion * mask, init * mask)
+            assert np.abs((motion - init) * (1 - mask)).max() > 1e-4
+
+            # wrong frame count -> clean JSON 500
+            bad = urllib.request.Request(
+                base + "/v1/sample",
+                data=json.dumps({"content": content[:10].tolist()}).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(bad, timeout=60)
+                assert False, "expected HTTP 500"
+            except urllib.error.HTTPError as e:
+                assert e.code == 500
+                assert "content must be" in json.load(e)["error"]
+        finally:
+            server.close()
+
+
+class TestHTTPServer:
+    def test_end_to_end(self, engine_setup):
+        from motionstyle.serve.server import MotionServer, default_decode
+
+        server = MotionServer(engine_setup, port=0).start_background()
+        base = f"http://127.0.0.1:{server.port}"
+        try:
+            with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+                assert json.load(r)["status"] == "ok"
+
+            payload = {
+                "cond": {"enc_text": np.zeros(16).tolist()},
+                "init_image": np.zeros((12, 1, 8)).tolist(),
+                "seed": 5,
+            }
+            results = {}
+
+            def post(i):
+                req = urllib.request.Request(
+                    base + "/v1/sample",
+                    data=json.dumps(dict(payload, seed=i)).encode(),
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    results[i] = json.load(r)
+
+            threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+            [t.start() for t in threads]
+            [t.join(timeout=120) for t in threads]
+            assert set(results) == {0, 1, 2, 3}
+            for i, res in results.items():
+                assert np.asarray(res["motion"]).shape == (12, 1, 8)
+                assert res["seed"] == i
+
+            with urllib.request.urlopen(base + "/stats", timeout=10) as r:
+                stats = json.load(r)
+            assert stats["requests"] >= 4
+
+            # malformed request -> JSON 500, server keeps serving
+            bad = urllib.request.Request(
+                base + "/v1/sample", data=b'{"init_image": [[1]]}',
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(bad, timeout=60)
+                assert False, "expected HTTP 500"
+            except urllib.error.HTTPError as e:
+                assert e.code == 500
+            with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+                assert json.load(r)["status"] == "ok"
+        finally:
+            server.httpd.shutdown()
+            server.httpd.server_close()
