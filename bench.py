@@ -474,6 +474,78 @@ def bench_forecast(batch: int = 64, strides=(2, 4), reps: int = 3) -> dict:
     return out
 
 
+def bench_serving(n_requests: int = 64, concurrency: int = 16) -> dict:
+    """Sustained throughput of the HTTP-serving device path: the
+    ServingEngine (dynamic batcher -> min-latency ShardedSampler plan,
+    serve/engine.py) under concurrent single-clip traffic, vs the same
+    requests issued strictly one at a time. Measures what batching buys a
+    live endpoint on one chip (full-size model, DDIM-20/skip-14 early-stop,
+    bf16 fused)."""
+    import concurrent.futures as cf
+
+    import jax
+    import jax.numpy as jnp
+
+    from motionstyle.data.masks import get_inpainting_mask
+    from motionstyle.diffusion.schedule import make_schedule
+    from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+    from motionstyle.parallel.inference import ShardedSampler
+    from motionstyle.parallel.mesh import make_mesh
+    from motionstyle.serve.engine import Request, ServingEngine
+
+    Tx = 76
+    cfg = MDMConfig(njoints=C, nfeats=1, latent_dim=LATENT, ff_size=FF,
+                    num_layers=LAYERS, num_heads=HEADS, dtype="bfloat16",
+                    fused=True)
+    model = StyleDiffusion(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, C, 1, Tx)),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 512)))
+    sched = make_schedule("cosine", DDPM_STEPS, "ddim20")
+    mesh = make_mesh(len(jax.devices()))
+
+    def builder(p):
+        return lambda x, t, c: model.apply(p, x, t, c.get("enc_text"))
+
+    sampler = ShardedSampler(mesh, sched, builder, params, method="ddim",
+                             skip_timesteps=14, stop_timesteps=4,
+                             dump_all_xstart=True)
+    engine = ServingEngine(sampler, (C, 1, Tx), max_batch=8, max_wait_ms=3.0,
+                           deterministic=True)  # one compiled shape
+    mask = np.asarray(get_inpainting_mask(
+        "root_horizontal", (1, C, 1, Tx), dataset="stylexia_posrot"),
+        np.float32)[0]
+    r = np.random.RandomState(0)
+    content = r.randn(C, 1, Tx).astype(np.float32)
+    enc = r.randn(512).astype(np.float32)
+
+    def req(seed):
+        return Request({"enc_text": enc}, init_image=content,
+                       inpainting_mask=mask, seed=seed)
+
+    try:
+        engine.sample(req(0))  # compile
+
+        t0 = time.perf_counter()
+        for i in range(8):
+            engine.sample(req(100 + i))
+        solo_rps = 8 / (time.perf_counter() - t0)
+
+        with cf.ThreadPoolExecutor(concurrency) as pool:
+            t0 = time.perf_counter()
+            futs = list(pool.map(
+                lambda s: engine.submit(req(s)), range(n_requests)))
+            for f in futs:
+                f.result(timeout=600)
+            dt = time.perf_counter() - t0
+        stats = engine.stats()
+    finally:
+        engine.close()
+    return {"throughput_rps": round(n_requests / dt, 2),
+            "solo_rps": round(solo_rps, 2),
+            "batching_speedup": round(n_requests / dt / solo_rps, 2),
+            "mean_batch_size": round(stats["mean_batch_size"], 2)}
+
+
 def main_full():
     """All BASELINE.json benchmark configs, one JSON line each."""
     for name, fn, unit in (
@@ -507,6 +579,13 @@ def main_full():
     except Exception as e:
         emit_error("forecast_sampling_ddpm1000_b64",
                    f"{type(e).__name__}: {e}"[:300], "x-vs-exact")
+    try:
+        r = bench_serving()
+        print(json.dumps({"metric": "serving_engine_concurrent_16x64",
+                          "unit": "req/s", "value": r["throughput_rps"], **r}))
+    except Exception as e:
+        emit_error("serving_engine_concurrent_16x64",
+                   f"{type(e).__name__}: {e}"[:300], "req/s")
 
 
 def main():
