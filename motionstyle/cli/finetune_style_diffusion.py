@@ -119,7 +119,9 @@ def main(argv=None):
     print("creating data loader...")
     data = require_batches(
         get_dataset_loader(args.dataset, args.batch_size, args.num_frames,
-                           split="train", data_root=args.data_dir or None),
+                           split="train", data_root=args.data_dir or None,
+                           native=bool(args.native_loader),
+                           prefetch=args.prefetch),
         "finetune_style_diffusion")
 
     print("creating model and diffusion...")

@@ -105,6 +105,13 @@ def add_data_options(parser):
     group.add_argument("--dataset", default="humanml",
                        choices=["humanml", "bandai-2_posrot", "bandai-1_posrot", "stylexia_posrot"], type=str)
     group.add_argument("--data_dir", default="", type=str)
+    group.add_argument("--native_loader", default=0, type=int,
+                       help="assemble batches with the C++ ingest library "
+                            "(motionstyle/native; falls back to numpy with a "
+                            "warning when no toolchain)")
+    group.add_argument("--prefetch", default=0, type=int,
+                       help="overlap batch assembly with the device step by "
+                            "keeping N batches ready in a background thread")
 
 
 def add_finetune_options(parser):

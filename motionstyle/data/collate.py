@@ -104,11 +104,34 @@ def get_dataset(name: str, num_frames: int, split: str = "train", data_root=None
 
 
 def get_dataset_loader(name: str, batch_size: int, num_frames: int, split: str = "train",
-                       shuffle: bool = True, data_root=None) -> DataLoader:
-    """Parity: get_data.py:43-53 (num_workers replaced by in-process numpy)."""
+                       shuffle: bool = True, data_root=None,
+                       native: bool = False, prefetch: int = 0):
+    """Parity: get_data.py:43-53 — the reference's torch DataLoader (native
+    worker pool) maps to the in-process numpy iterator by default; `native`
+    swaps in the C++ fused batch assembly (motionstyle/native/loader.py) and
+    `prefetch` overlaps assembly with the device step, which together are
+    the worker-pool equivalent."""
     dataset = get_dataset(name, num_frames, split, data_root)
-    collate_fn = t2m_collate if name in ("humanml", "t2m") else t2m_style_collate
-    return DataLoader(dataset, batch_size, collate_fn, shuffle=shuffle, drop_last=True)
+    loader = None
+    if native and name in ("bandai-1_posrot", "bandai-2_posrot", "stylexia_posrot"):
+        from motionstyle.native.ingest import native_available
+        from motionstyle.native.loader import NativeStyleLoader
+
+        if native_available():
+            loader = NativeStyleLoader(dataset, batch_size, shuffle=shuffle,
+                                       drop_last=True)
+        else:
+            print("WARNING: --native_loader requested but the C++ ingest "
+                  "library is unavailable (no toolchain?); using numpy path")
+    if loader is None:
+        collate_fn = t2m_collate if name in ("humanml", "t2m") else t2m_style_collate
+        loader = DataLoader(dataset, batch_size, collate_fn, shuffle=shuffle,
+                            drop_last=True)
+    if prefetch > 0:
+        from motionstyle.native.loader import PrefetchLoader
+
+        loader = PrefetchLoader(loader, depth=prefetch)
+    return loader
 
 
 def require_batches(loader: DataLoader, what: str) -> DataLoader:

@@ -239,9 +239,11 @@ class StyleMotionDataset(_BaseMotionDataset):
     def __len__(self):
         return len(self.name_list)
 
-    def __getitem__(self, item):
-        """Returns (caption, z-normed padded motion, length, style_name);
-        parity: dataset.py:522-553 (unit-length crop + random sub-window)."""
+    def sample_spec(self, item):
+        """The per-item RANDOM decisions only (caption pick, unit-length
+        crop, window start) — no array work. Shared by __getitem__ and the
+        native batch loader (native/loader.py) so both consume the `random`
+        stream identically; parity: dataset.py:522-553."""
         d = self.data_dict[self.name_list[item]]
         motion, m_length = d["motion"], d["length"]
         caption = random.choice(d["text"])["caption"]
@@ -254,7 +256,13 @@ class StyleMotionDataset(_BaseMotionDataset):
         else:
             m_length = (m_length // self.opt.unit_length) * self.opt.unit_length
         idx = random.randint(0, len(motion) - m_length)
-        motion = motion[idx : idx + m_length]
+        return d, caption, idx, m_length
+
+    def __getitem__(self, item):
+        """Returns (caption, z-normed padded motion, length, style_name);
+        parity: dataset.py:522-553 (unit-length crop + random sub-window)."""
+        d, caption, idx, m_length = self.sample_spec(item)
+        motion = d["motion"][idx : idx + m_length]
         motion = (motion - self.mean) / self.std
         if m_length < self.max_motion_length:
             motion = np.concatenate(
