@@ -71,7 +71,9 @@ def main(argv=None):
 
     loader = require_batches(
         get_dataset_loader(args.dataset, args.batch_size, args.num_frames,
-                           split="train", data_root=args.data_dir or None),
+                           split="train", data_root=args.data_dir or None,
+                           native=bool(getattr(args, "native_loader", 0)),
+                           prefetch=getattr(args, "prefetch", 0)),
         "distill_prior")
     bundle, _, _ = model_util.creat_serval_diffusion(args)
     if not args.mdm_path:

@@ -26,7 +26,8 @@ def parse_and_load_from_model(parser: ArgumentParser):
     args_to_overwrite = [a for a in args_to_overwrite
                          if a not in ("skip_render", "model_path", "output_dir", "fused",
                                       "parallel_window", "forecast_stride",
-                                      "forecast_order", "model_parallel", "quant_int8")]
+                                      "forecast_order", "model_parallel", "quant_int8",
+                                      "native_loader", "prefetch")]
 
     model_path = get_model_path_from_args()
     args_path = os.path.join(os.path.dirname(model_path), "args.json")

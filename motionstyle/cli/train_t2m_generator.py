@@ -61,7 +61,9 @@ def main(argv=None):
 
     data = require_batches(
         get_dataset_loader(args.dataset, args.batch_size, args.num_frames,
-                           split="train", data_root=args.data_dir or None),
+                           split="train", data_root=args.data_dir or None,
+                           native=bool(getattr(args, "native_loader", 0)),
+                           prefetch=getattr(args, "prefetch", 0)),
         "train_t2m_generator")
     dim_pose = data.dataset.t2m_dataset.mean.shape[0]
     # posrot layouts have no foot-contact channels; CompV6's movement stage

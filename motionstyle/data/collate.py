@@ -113,16 +113,20 @@ def get_dataset_loader(name: str, batch_size: int, num_frames: int, split: str =
     the worker-pool equivalent."""
     dataset = get_dataset(name, num_frames, split, data_root)
     loader = None
-    if native and name in ("bandai-1_posrot", "bandai-2_posrot", "stylexia_posrot"):
-        from motionstyle.native.ingest import native_available
-        from motionstyle.native.loader import NativeStyleLoader
-
-        if native_available():
-            loader = NativeStyleLoader(dataset, batch_size, shuffle=shuffle,
-                                       drop_last=True)
+    if native:
+        if name not in ("bandai-1_posrot", "bandai-2_posrot", "stylexia_posrot"):
+            print(f"WARNING: --native_loader covers the style datasets only; "
+                  f"'{name}' uses the numpy path")
         else:
-            print("WARNING: --native_loader requested but the C++ ingest "
-                  "library is unavailable (no toolchain?); using numpy path")
+            from motionstyle.native.ingest import native_available
+            from motionstyle.native.loader import NativeStyleLoader
+
+            if native_available():
+                loader = NativeStyleLoader(dataset, batch_size, shuffle=shuffle,
+                                           drop_last=True)
+            else:
+                print("WARNING: --native_loader requested but the C++ ingest "
+                      "library is unavailable (no toolchain?); using numpy path")
     if loader is None:
         collate_fn = t2m_collate if name in ("humanml", "t2m") else t2m_style_collate
         loader = DataLoader(dataset, batch_size, collate_fn, shuffle=shuffle,

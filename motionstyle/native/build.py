@@ -23,23 +23,37 @@ def build(force: bool = False) -> str | None:
     global _failed
     if _failed is not None and not force:
         return None
+    if not os.path.exists(SRC):
+        # shipped without sources: use a prebuilt .so if present
+        return LIB if os.path.exists(LIB) else None
     if (not force and os.path.exists(LIB)
             and os.path.getmtime(LIB) >= os.path.getmtime(SRC)):
         return LIB
+    # build to a per-pid temp path + atomic rename so concurrent first-time
+    # builders never load a half-written library
+    tmp = f"{LIB}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-std=c++17", "-march=native", "-shared", "-fPIC",
-           "-pthread", SRC, "-o", LIB]
+           "-pthread", SRC, "-o", tmp]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
-    except (OSError, subprocess.TimeoutExpired) as ex:
-        _failed = str(ex)
-        return None
-    if proc.returncode != 0:
-        # -march=native can be unsupported in emulated/cross environments
-        cmd.remove("-march=native")
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if proc.returncode != 0:
+            # -march=native can be unsupported in emulated/cross environments
+            cmd.remove("-march=native")
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=120)
         if proc.returncode != 0:
             _failed = proc.stderr[-500:]
             return None
+        os.replace(tmp, LIB)
+    except (OSError, subprocess.TimeoutExpired) as ex:
+        _failed = str(ex)
+        return None
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
     return LIB
 
 

@@ -96,8 +96,9 @@ def lengths_to_mask(lengths: Sequence[int], max_len: int,
     lens = np.ascontiguousarray(lengths, np.int64)
     B = lens.shape[0]
     if lib is None:
-        return (np.arange(max_len)[None, :] < lens[:, None]).astype(
-            np.float32)[:, None, None, :]
+        from motionstyle.data.collate import lengths_to_mask as np_mask
+
+        return np_mask(lens, max_len)[:, None, None, :]
     out = np.empty((B, 1, 1, max_len), np.float32)
     lib.msn_lengths_to_mask(
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), B, max_len,

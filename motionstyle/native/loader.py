@@ -20,25 +20,20 @@ import threading
 
 import numpy as np
 
+from motionstyle.data.collate import DataLoader
 from motionstyle.native.ingest import lengths_to_mask, window_normalize_collate
 
 
-class NativeStyleLoader:
+class NativeStyleLoader(DataLoader):
     """Shuffled batch iterator over a StyleMotionDataset with fused native
-    batch assembly. Interface-compatible with data.collate.DataLoader."""
+    batch assembly. Interface-compatible with data.collate.DataLoader
+    (subclasses it for the shared shuffle/len/drop_last semantics)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0, nthreads: int = 0):
-        self.dataset = dataset
-        self.batch_size = batch_size
-        self.shuffle = shuffle
-        self.drop_last = drop_last
+        super().__init__(dataset, batch_size, collate_fn=None,
+                         shuffle=shuffle, drop_last=drop_last, seed=seed)
         self.nthreads = nthreads
-        self._rng = np.random.RandomState(seed)
-
-    def __len__(self):
-        n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _assemble(self, idx_chunk) -> tuple:
         ds = self.dataset
@@ -90,23 +85,42 @@ class PrefetchLoader:
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
         err: list = []
+
+        def put(item) -> bool:
+            # bounded put that aborts when the consumer abandoned iteration
+            # (training loops `break` on the last step) — without this the
+            # producer would block on a full queue forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for batch in self.loader:
-                    q.put(batch)
+                    if not put(batch):
+                        return
             except BaseException as ex:  # noqa: BLE001 — re-raised below
                 err.append(ex)
             finally:
-                q.put(self._DONE)
+                put(self._DONE)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._DONE:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is self._DONE:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # runs on GeneratorExit / consumer break: unblock + end producer
+            stop.set()
+            t.join(timeout=5)

@@ -77,19 +77,42 @@ class ShardedSampler:
         return cls(mesh, sched, model_fn_builder, params, method="ddim",
                    skip_timesteps=14, stop_timesteps=4, dump_all_xstart=True)
 
+    def n_live_steps(self) -> int:
+        """Scan length implied by this sampler's skip/stop kwargs (the
+        pinned step-noise stack must cover exactly these steps)."""
+        return len(sampling._timestep_indices(
+            self.sched.num_timesteps,
+            self.sample_kwargs.get("skip_timesteps", 0),
+            self.sample_kwargs.get("stop_timesteps", None)))
+
     def __call__(self, batch: dict, rng: jax.Array):
         """batch: {'shape': tuple | 'init_image': (B, C, 1, T), 'cond': dict,
         optional 'inpainting': Inpainting, optional 'noise' (B, C, 1, T) and
         'step_noise' (S, B, C, 1, T) for per-item pinned noise (the
-        batching-invariant serving contract — serve/engine.py)}. Returns
+        batching-invariant serving contract — serve/engine.py), or
+        'item_seeds' (B,) int32 to derive the same pinned noise ON DEVICE
+        (fold_in(PRNGKey(seed), 0/1) — bit-identical to the host path since
+        threefry is backend-deterministic, without materializing S×B×C×T
+        noise on the host or shipping it over the interconnect)}. Returns
         device-sharded samples."""
         init_image = batch.get("init_image")
         shape = tuple(batch["shape"]) if "shape" in batch else tuple(init_image.shape)
         key = (shape, tuple(sorted(batch.get("cond", {}).keys())), "inpainting" in batch,
-               "noise" in batch, "step_noise" in batch)
+               "noise" in batch, "step_noise" in batch, "item_seeds" in batch)
+        n_steps = self.n_live_steps()
+        item_shape = shape[1:]
         if key not in self._compiled:
-            def run(params, init_image, cond, inpainting, noise, step_noise, rng):
+            def run(params, init_image, cond, inpainting, noise, step_noise,
+                    item_seeds, rng):
                 model_fn = self.model_fn_builder(params)
+                if item_seeds is not None:
+                    keys = jax.vmap(jax.random.PRNGKey)(item_seeds)
+                    noise = jax.vmap(lambda k: jax.random.normal(
+                        jax.random.fold_in(k, 0), item_shape, jnp.float32))(keys)
+                    per_item = jax.vmap(lambda k: jax.random.normal(
+                        jax.random.fold_in(k, 1), (n_steps,) + item_shape,
+                        jnp.float32))(keys)
+                    step_noise = jnp.moveaxis(per_item, 0, 1)  # (S, B, ...)
                 pinned = ({} if noise is None else {"noise": noise}) | \
                     ({} if step_noise is None else {"step_noise": step_noise})
                 if self.parallel_window > 0:
@@ -136,9 +159,12 @@ class ShardedSampler:
             # (S, B, ...): the batch axis is axis 1
             step_noise = jax.device_put(
                 step_noise, NamedSharding(self.mesh, P(None, "data")))
+        item_seeds = batch.get("item_seeds")
+        if item_seeds is not None:
+            item_seeds = shard_batch(np.asarray(item_seeds, np.int32), self.mesh)
         with self.mesh:
             return self._compiled[key](self.params, init, cond, inpainting,
-                                       noise, step_noise, rng)
+                                       noise, step_noise, item_seeds, rng)
 
 
 def data_parallel_sample(

@@ -7,10 +7,13 @@ bucket padding. This is what makes dynamic batching transparent to clients
 (and replayable for debugging). It holds because:
 
   1. every stochastic draw is pinned per item: the initial noise and the full
-     per-step noise stack are generated from jax.random.fold_in(key(seed), i)
-     on the host and passed through sample_loop's `noise` / `step_noise`
-     hooks (the same mechanism the parity tests use to replay the torch
-     reference's noise);
+     per-step noise stack derive from jax.random.fold_in(key(seed), 0/1) —
+     generated ON DEVICE from the (B,) seed vector by default (threefry is
+     backend-deterministic, so this is bit-identical to hosting the same
+     draws, without materializing S×B×C×T noise per request on the host;
+     `pin_host_noise=True` keeps the host path as the test oracle), fed
+     through sample_loop's `noise` / `step_noise` hooks (the same mechanism
+     the parity tests use to replay the torch reference's noise);
   2. every model op is batch-elementwise (LN/attention reduce over feature /
      time axes only), so co-batched items cannot mix;
   3. batches are padded to fixed BUCKET sizes by repeating the first item
@@ -35,7 +38,6 @@ import jax
 import numpy as np
 
 from motionstyle.diffusion.ddpm import Inpainting
-from motionstyle.diffusion.sampling import _timestep_indices
 from motionstyle.parallel.inference import ShardedSampler
 from motionstyle.serve.batcher import DynamicBatcher, bucket_for
 
@@ -63,9 +65,10 @@ class ServingEngine:
     def __init__(self, sampler: ShardedSampler, item_shape: tuple,
                  max_batch: int = 8, max_wait_ms: float = 5.0,
                  buckets: Sequence[int] = (1, 2, 4, 8),
-                 deterministic: bool = False):
+                 deterministic: bool = False, pin_host_noise: bool = False):
         self.sampler = sampler
         self.item_shape = tuple(item_shape)
+        self.pin_host_noise = pin_host_noise
         # device batches shard over the mesh 'data' axis: every bucket must
         # be a multiple of it (shard_batch requires divisibility)
         dp = dict(zip(sampler.mesh.axis_names,
@@ -75,10 +78,7 @@ class ServingEngine:
             # one compiled batch shape -> bit-exact results independent of
             # co-batched traffic even under TPU bf16 matmul tiling
             self.buckets = (self.buckets[-1],)
-        self.n_steps = len(_timestep_indices(
-            sampler.sched.num_timesteps,
-            sampler.sample_kwargs.get("skip_timesteps", 0),
-            sampler.sample_kwargs.get("stop_timesteps", None)))
+        self.n_steps = sampler.n_live_steps()
         # (with forecast_stride > 1 the sampler consumes pinned noise only at
         # eval steps; the stack still covers every step, unused rows ignored)
         self._batcher = DynamicBatcher(self._run_groups, max_batch=max_batch,
@@ -146,12 +146,13 @@ class ServingEngine:
         cond_keys = sorted(padded[0].cond)
         cond = {k: np.stack([np.asarray(r.cond[k]) for r in padded])
                 for k in cond_keys}
-        per = [self._item_noise(r.seed) for r in padded]
-        batch = {
-            "cond": cond,
-            "noise": np.stack([p[0] for p in per]),
-            "step_noise": np.stack([p[1] for p in per], axis=1),
-        }
+        batch = {"cond": cond}
+        if self.pin_host_noise:
+            per = [self._item_noise(r.seed) for r in padded]
+            batch["noise"] = np.stack([p[0] for p in per])
+            batch["step_noise"] = np.stack([p[1] for p in per], axis=1)
+        else:
+            batch["item_seeds"] = np.asarray([r.seed for r in padded], np.int32)
         if padded[0].init_image is not None:
             batch["init_image"] = np.stack(
                 [np.asarray(r.init_image, np.float32) for r in padded])

@@ -119,6 +119,23 @@ class TestEngine:
         c = engine.sample(_request(8))
         assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4
 
+    def test_device_seeds_equal_host_pinned_noise(self, engine_setup):
+        """The default on-device noise derivation (item_seeds ->
+        fold_in(PRNGKey(seed), 0/1) inside the jitted sampler) reproduces the
+        host-materialized pinned-noise path bit for bit (threefry is
+        backend-deterministic)."""
+        from motionstyle.serve.engine import ServingEngine
+
+        host = ServingEngine(engine_setup.sampler, engine_setup.item_shape,
+                             max_batch=8, max_wait_ms=5, pin_host_noise=True)
+        try:
+            for seed in (3, 11):
+                a = np.asarray(engine_setup.sample(_request(seed, rng_data=2)))
+                b = np.asarray(host.sample(_request(seed, rng_data=2)))
+                np.testing.assert_array_equal(a, b)
+        finally:
+            host.close()
+
     def test_deterministic_mode_single_bucket(self, engine_setup):
         """deterministic=True collapses buckets to one compiled shape so
         results are bit-exact regardless of traffic (engine precision
