@@ -57,6 +57,7 @@ def main(argv=None):
 
     print("creating model and diffusion...")
     bundle, sched_ddim, sched_full = model_util.creat_serval_diffusion(args, timestep_respacing="ddim20")
+    model_util.apply_style_strength(bundle, args)
 
     skel, real_offsets, chains, ee_names = skeleton_assets(args.dataset)
     bones = BVH_JOINT_NAMES[args.dataset]

@@ -159,6 +159,57 @@ def warn_if_clip_fallback(args) -> bool:
     return args.clip_fallback
 
 
+def apply_style_strength(bundle, args) -> bool:
+    """Scale the learned style "task vector" in place:
+
+        style_encoder <- base + strength * (finetuned - base)
+
+    where `base` is the encoder the finetune STARTED from — the
+    --resume_checkpoint recorded in the run's args.json when present, else
+    the same seeded init the finetune CLI produced (both reconstructed with
+    the exact machinery the trainer used: convert_encoder for checkpoints,
+    assemble_style_diffusion_params(rng=PRNGKey(seed)) for fresh init —
+    train/finetune.py:306-318). strength 0 recovers the pre-finetune model
+    bit-for-bit, 1 is a no-op, >1 exaggerates the style (task-arithmetic
+    extrapolation). New capability: the reference can only sample the
+    finetuned endpoint. Returns True when an interpolation was applied."""
+    strength = float(getattr(args, "style_strength", 1.0))
+    if strength == 1.0:
+        return False
+    from motionstyle.train.finetune import find_resume_checkpoint
+
+    base_sd = None
+    rc = ""
+    args_path = os.path.join(os.path.dirname(getattr(args, "model_path", "")),
+                             "args.json")
+    seed = args.seed
+    if os.path.exists(args_path):
+        import json
+
+        with open(args_path) as f:
+            saved = json.load(f)
+        rc = saved.get("resume_checkpoint", "") or ""
+        seed = saved.get("seed", seed)
+    if rc and os.path.isdir(rc):
+        rc = find_resume_checkpoint(rc, "model") or ""
+    if rc and os.path.exists(rc):
+        print(f"style_strength base: resume checkpoint {rc}")
+        base_sd = load_torch_state_dict(rc)
+    base = assemble_style_diffusion_params(
+        bundle.cfg, style_sd=base_sd, rng=jax.random.PRNGKey(seed)
+    )["params"]["style_encoder"]
+    ft = bundle.params["params"]["style_encoder"]
+    bundle.params["params"]["style_encoder"] = jax.tree_util.tree_map(
+        lambda b, f: np.asarray(
+            np.asarray(b, np.float32)
+            + strength * (np.asarray(f, np.float32) - np.asarray(b, np.float32)),
+            np.float32),
+        base, ft)
+    print(f"style_strength {strength}: style encoder = base + "
+          f"{strength} x (finetuned - base)")
+    return True
+
+
 def _maybe_load(path: str, what: str):
     if path and os.path.exists(path):
         print(f"loading {what} from {path}")

@@ -27,7 +27,7 @@ def parse_and_load_from_model(parser: ArgumentParser):
                          if a not in ("skip_render", "model_path", "output_dir", "fused",
                                       "parallel_window", "forecast_stride",
                                       "forecast_order", "model_parallel", "quant_int8",
-                                      "native_loader", "prefetch")]
+                                      "native_loader", "prefetch", "style_strength")]
 
     model_path = get_model_path_from_args()
     args_path = os.path.join(os.path.dirname(model_path), "args.json")
@@ -188,6 +188,13 @@ def add_sampling_options(parser):
                        help="forecast extrapolation order: 0 zero-order hold, "
                             "1 linear (default), 2 quadratic backward-"
                             "difference (only used when --forecast_stride >1)")
+    group.add_argument("--style_strength", default=1.0, type=float,
+                       help="scale the learned style task vector: style "
+                            "encoder weights = base + a*(finetuned - base), "
+                            "where base is the encoder the finetune started "
+                            "from (--resume_checkpoint if recorded, else the "
+                            "seeded init). 0 = no style, 1 = the finetuned "
+                            "transfer (default), >1 exaggerates the style")
     group.add_argument("--model_parallel", default=1, type=int,
                        help="tensor-parallel serving degree: run the style "
                             "transfer sampling through ShardedSampler on a "

@@ -43,6 +43,7 @@ def build_engine(args):
     bundle, sched_ddim, _ = model_util.creat_serval_diffusion(
         args, args.timestep_respacing)
     model_util.warn_if_clip_fallback(args)
+    model_util.apply_style_strength(bundle, args)
     skip = int(args.skip_steps / args.diffusion_steps * sched_ddim.num_timesteps)
 
     mp = max(1, args.model_parallel)
@@ -108,6 +109,9 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--port", default=8500, type=int)
     parser.add_argument("--max_batch", default=8, type=int)
     parser.add_argument("--max_wait_ms", default=5.0, type=float)
+    parser.add_argument("--style_strength", default=1.0, type=float,
+                        help="scale the learned style task vector (0 = no "
+                             "style, 1 = finetuned, >1 exaggerated)")
     parser.add_argument("--deterministic", default=0, type=int,
                         help="pad every batch to one compiled shape: bit-exact"
                              " replay per seed regardless of traffic (engine"

@@ -231,6 +231,65 @@ class TestCLIPipeline:
         validate_sampling_args(Namespace(model_parallel=2, pipeline_parallel=1))
         validate_sampling_args(Namespace(model_parallel=1, pipeline_parallel=2))
 
+    def test_style_strength_task_vector(self, xia_root, tmp_path):
+        """--style_strength a sets style_encoder = base + a*(finetuned-base):
+        a=0 recovers the pre-finetune encoder bit-for-bit, a=0.5 is the exact
+        midpoint, and the demo runs end to end with the flag."""
+        import jax
+
+        from motionstyle.cli import model_util
+        from motionstyle.cli.demo_style_transfer import main as demo_main
+        from motionstyle.cli.finetune_style_diffusion import main as ft_main
+        from motionstyle.models.torch_import import assemble_style_diffusion_params
+
+        save_dir = ft_main([
+            "--dataset", "stylexia_posrot", "--save_dir", str(tmp_path / "ft"),
+            "--style_example", "350angry_jumping.npy", "--data_dir", xia_root,
+            "--num_steps", "2", "--batch_size", "1", "--overwrite",
+            "--train_platform_type", "NoPlatform", "--skip_render",
+            "--layers", "1", "--latent_dim", "64", "--diffusion_steps", "40",
+            "--skip_steps", "28", "--semantic_guidance", "0",
+        ])
+        ckpt = os.path.join(save_dir, sorted(
+            f for f in os.listdir(save_dir) if f.startswith("model"))[-1])
+
+        def bundle_at(strength):
+            from argparse import Namespace
+
+            with open(os.path.join(save_dir, "args.json")) as f:
+                saved = json.load(f)
+            args = Namespace(**saved)
+            args.model_path = ckpt
+            args.style_strength = strength
+            b = model_util.build_model(args)
+            model_util.apply_style_strength(b, args)
+            return b.params["params"]["style_encoder"], b.cfg
+
+        ft_enc, cfg = bundle_at(1.0)
+        zero_enc, _ = bundle_at(0.0)
+        half_enc, _ = bundle_at(0.5)
+
+        base = assemble_style_diffusion_params(
+            cfg, rng=jax.random.PRNGKey(10))["params"]["style_encoder"]
+        flat = lambda t: jax.tree_util.tree_leaves(t)
+        for b, z, h, f in zip(flat(base), flat(zero_enc), flat(half_enc),
+                              flat(ft_enc)):
+            np.testing.assert_array_equal(np.asarray(z), np.asarray(b))
+            np.testing.assert_allclose(np.asarray(h),
+                                       0.5 * (np.asarray(b) + np.asarray(f)),
+                                       rtol=1e-6, atol=1e-7)
+        # the finetune must actually have moved the encoder
+        assert any(np.abs(np.asarray(f) - np.asarray(b)).max() > 1e-6
+                   for b, f in zip(flat(base), flat(ft_enc)))
+
+        out = demo_main([
+            "--model_path", ckpt, "--input_content", "306neutral_running.npy",
+            "--data_dir", xia_root, "--skip_render", "--style_strength", "0.5",
+        ])
+        results = np.load(os.path.join(out, "results.npy"),
+                          allow_pickle=True).item()
+        assert np.isfinite(results["motion"]).all()
+
     def test_demo_args_json_roundtrip(self, xia_root, tmp_path):
         """args.json written by finetune governs the demo's model config."""
         from motionstyle.cli.parser_util import eval_inpainting_style_args

@@ -209,7 +209,8 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
                       semantic_guidance: bool = False,
                       ls_weight: float = 10.0,
                       save_interval: int = 100,
-                      ladder: bool = False) -> dict:
+                      ladder: bool = False,
+                      strengths: tuple = ()) -> dict:
     """Stage 3-5: finetune via the CLI, demo pre+post, score.
 
     semantic_guidance requires assets prepared with semantic_steps > 0 and
@@ -220,7 +221,12 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
     "ladder" dict {step: report}. The style/content trade-off's knee shifts
     with platform numerics, so robust CI asserts properties of the CURVE
     (some checkpoint is styled-and-content-preserving; style keeps moving
-    with budget) rather than of one budget point."""
+    with budget) rather than of one budget point.
+
+    strengths: extra demo runs on the FINAL checkpoint with
+    --style_strength a for each a (task-vector scaling,
+    model_util.apply_style_strength) — the result gains a
+    "strength_sweep" dict {a: report} quantifying the style dial."""
     from motionstyle.cli.demo_style_transfer import main as demo_main
     from motionstyle.cli.finetune_style_diffusion import main as ft_main
     from motionstyle.eval.style_metrics import transfer_report
@@ -261,13 +267,13 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
         shutil.copy(pjoin(ft_dir, "args.json"), pjoin(pre_dir, "args.json"))
         shutil.copy(assets["warm_path"], pjoin(pre_dir, "model000000000.pt"))
 
-    def demo(model_path, out):
+    def demo(model_path, out, extra=()):
         return demo_main([
             "--model_path", model_path, "--input_content", content_clip,
             "--style_example", style_example, "--data_dir", data_root,
             "--output_dir", pjoin(work, out), "--skip_render",
             "--seed", str(seed),
-        ])
+        ] + list(extra))
 
     out_pre = demo(pjoin(pre_dir, "model000000000.pt"), f"demo_pre_{tag}")
     out_post = demo(final_ckpt, f"demo_post_{tag}")
@@ -292,8 +298,17 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
             out = demo(pjoin(ft_dir, name), f"demo_{tag}_s{step}")
             ladder_reports[step] = transfer_report(load_hml(out), content, style_ex)
         ladder_reports[int(os.path.basename(final_ckpt)[5:14])] = rep_post
+    strength_reports = {}
+    for a in strengths:
+        if a == 1.0:
+            strength_reports[a] = rep_post  # strength 1 is the finetuned model
+            continue
+        out = demo(final_ckpt, f"demo_{tag}_a{a}",
+                   extra=["--style_strength", str(a)])
+        strength_reports[a] = transfer_report(load_hml(out), content, style_ex)
     return {
         "pre": rep_pre, "post": rep_post, "ladder": ladder_reports,
+        "strength_sweep": strength_reports,
         "config": dict(prior_steps=assets["prior_steps"],
                        finetune_steps=finetune_steps, lr=lr,
                        diffusion_steps=diffusion_steps,
@@ -309,7 +324,8 @@ def run_protocol(work: str, *, prior_steps: int = 1500, finetune_steps: int = 20
                  batch_size: int = 16, latent_dim: int = 64, layers: int = 2,
                  seed: int = 10, save_interval: int = 100, ladder: bool = False,
                  style_example: str = "624angry_jumping.npy",
-                 content_clip: str = "600neutral_walking.npy") -> dict:
+                 content_clip: str = "600neutral_walking.npy",
+                 strengths: tuple = ()) -> dict:
     assets = prepare_assets(work, prior_steps=prior_steps,
                             batch_size=batch_size,
                             diffusion_steps=diffusion_steps,
@@ -317,7 +333,7 @@ def run_protocol(work: str, *, prior_steps: int = 1500, finetune_steps: int = 20
     return evaluate_transfer(assets, finetune_steps=finetune_steps, lr=lr,
                              save_interval=save_interval, ladder=ladder,
                              style_example=style_example,
-                             content_clip=content_clip)
+                             content_clip=content_clip, strengths=strengths)
 
 
 def format_markdown(result: dict) -> str:
@@ -352,6 +368,9 @@ def main(argv=None):
     p.add_argument("--finetune_steps", default=0, type=int)
     p.add_argument("--lr", default=0.0, type=float)
     p.add_argument("--seed", default=10, type=int)
+    p.add_argument("--strengths", default="", type=str,
+                   help="comma-separated style_strength values to sweep on "
+                        "the final checkpoint (e.g. '0,0.25,0.5,1,1.5')")
     p.add_argument("--semantic", action="store_true",
                    help="full reference loss at latent 512: train the "
                         "semantic discriminator in-framework and finetune "
@@ -366,15 +385,24 @@ def main(argv=None):
         kw["finetune_steps"] = args.finetune_steps
     if args.lr:
         kw["lr"] = args.lr
+    strengths = tuple(float(s) for s in args.strengths.split(",") if s)
     if args.semantic:
         assets = prepare_assets(args.work, prior_steps=kw.get("prior_steps", 1500),
                                 latent_dim=512, layers=2, seed=args.seed,
                                 semantic_steps=600)
         result = evaluate_transfer(assets, finetune_steps=kw.get("finetune_steps", 200),
-                                   lr=kw.get("lr", 1e-3), semantic_guidance=True)
+                                   lr=kw.get("lr", 1e-3), semantic_guidance=True,
+                                   strengths=strengths)
     else:
-        result = run_protocol(args.work, seed=args.seed, **kw)
+        result = run_protocol(args.work, seed=args.seed, strengths=strengths, **kw)
     print(format_markdown(result))
+    if result.get("strength_sweep"):
+        print("\nstrength sweep (style_strength -> style_dist / content_sim / root_err):")
+        for a in sorted(result["strength_sweep"]):
+            r = result["strength_sweep"][a]
+            print(f"  a={a}: {r['style_dist_to_example']:.4f} / "
+                  f"{r['content_similarity']:.4f} / "
+                  f"{r['root_horizontal_max_abs_err']:.2e}")
     return result
 
 
