@@ -1,0 +1,133 @@
+"""Windowed long-form generation: overlap continuity, long-content root
+preservation, single-compile shape discipline, decoded root smoothness."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from motionstyle.diffusion.longform import longform_sample, plan_windows
+
+
+class TestPlanWindows:
+    def test_short_is_one_window(self):
+        assert plan_windows(50, 76, 10) == (1, 50)
+
+    def test_exact_cover(self):
+        n, stride = plan_windows(76 + 66 * 3, 76, 10)
+        assert (n, stride) == (4, 66)
+
+    def test_partial_last_window(self):
+        n, stride = plan_windows(76 + 66 * 2 + 1, 76, 10)
+        assert n == 4 and stride == 66
+
+
+@pytest.fixture(scope="module")
+def sampler_setup():
+    from motionstyle.diffusion.schedule import make_schedule
+    from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+    from motionstyle.parallel.inference import ShardedSampler
+    from motionstyle.parallel.mesh import make_mesh
+
+    C, W = 181, 76
+    cfg = MDMConfig(njoints=C, nfeats=1, latent_dim=32, ff_size=64,
+                    num_layers=1, num_heads=2, clip_dim=16)
+    model = StyleDiffusion(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, C, 1, W)),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 16)))
+    sched = make_schedule("cosine", 40, "ddim10")
+    mesh = make_mesh(2)
+
+    def builder(p):
+        return lambda x, t, c: model.apply(p, x, t, c.get("enc_text"))
+
+    sampler = ShardedSampler(mesh, sched, builder, params, method="ddim",
+                             skip_timesteps=3)
+    enc = np.zeros((2, 16), np.float32)
+
+    def run_window(init, inpainting, rng):
+        batch = {"cond": {"enc_text": enc}}
+        if init is None:
+            batch["shape"] = (2, C, 1, W)
+        else:
+            batch["init_image"] = init
+        if inpainting is not None:
+            batch["inpainting"] = inpainting
+        return sampler(batch, rng)
+
+    return run_window, sampler, (C, W)
+
+
+class TestLongformSample:
+    def test_unconditional_long(self, sampler_setup):
+        run_window, sampler, (C, W) = sampler_setup
+        out = longform_sample(run_window, 200, W, overlap=10,
+                              rng=jax.random.PRNGKey(1))
+        assert out.shape == (2, C, 1, 200)
+        assert np.isfinite(out).all()
+        # windows must differ (not a frozen repeat of window 0)
+        assert np.abs(out[..., :50] - out[..., 66:116]).max() > 1e-3
+
+    def test_overlap_frames_continue_exactly(self, sampler_setup):
+        """Window k's first `overlap` frames equal window k-1's tail — the
+        stitched sequence has no seam by construction."""
+        run_window, sampler, (C, W) = sampler_setup
+        seen = []
+
+        def recording(init, inp, rng):
+            out = run_window(init, inp, rng)
+            seen.append((None if init is None else np.asarray(init),
+                         np.asarray(out)))
+            return out
+
+        longform_sample(recording, 76 + 66, W, overlap=10,
+                        rng=jax.random.PRNGKey(2))
+        assert len(seen) == 2
+        prev_tail = seen[0][1][..., -10:]
+        np.testing.assert_array_equal(seen[1][0][..., :10], prev_tail)
+        np.testing.assert_array_equal(seen[1][1][..., :10], prev_tail)
+
+    def test_long_content_root_preserved(self, sampler_setup):
+        """The style-transfer contract past the horizon: a 200-frame
+        content's root_horizontal channels survive every window."""
+        from motionstyle.data.masks import get_inpainting_mask
+
+        run_window, sampler, (C, W) = sampler_setup
+        r = np.random.RandomState(0)
+        content = r.randn(2, C, 1, 200).astype(np.float32)
+        mask = np.asarray(get_inpainting_mask(
+            "root_horizontal", (2, C, 1, 200), dataset="stylexia_posrot"),
+            np.float32)
+        out = longform_sample(run_window, 200, W, overlap=10,
+                              rng=jax.random.PRNGKey(3),
+                              content=content, content_mask=mask)
+        np.testing.assert_array_equal(out * mask, content * mask)
+        assert np.abs((out - content) * (1 - mask)).max() > 1e-4
+
+    def test_single_compiled_executable(self, sampler_setup):
+        """Every window reuses one compiled sampler (fixed shapes)."""
+        run_window, sampler, (C, W) = sampler_setup
+        before = len(sampler._compiled)
+        longform_sample(run_window, 76 + 66 * 2, W, overlap=10,
+                        rng=jax.random.PRNGKey(4))
+        compiled_with_inpaint = [k for k in sampler._compiled if k[3]]
+        assert len(compiled_with_inpaint) <= 1 or len(sampler._compiled) - before <= 2
+
+    def test_decoded_root_has_no_seam_teleport(self, sampler_setup):
+        """Decode the stitched features: frame-to-frame root displacement at
+        window seams stays within the overall per-frame range (velocities
+        compose through the cumsum — continuity is structural)."""
+        from motionstyle.core.features import recover_root_rot_pos
+
+        run_window, sampler, (C, W) = sampler_setup
+        out = longform_sample(run_window, 76 + 66, W, overlap=10,
+                              rng=jax.random.PRNGKey(5))
+        feats = jnp.asarray(out[0, :, 0, :].T)  # (T, C)
+        _, pos = recover_root_rot_pos(feats)
+        pos = np.asarray(pos)
+        step = np.linalg.norm(np.diff(pos, axis=0), axis=-1)
+        seam = step[W - 10:W + 1]
+        interior = np.concatenate([step[:W - 10], step[W + 1:]])
+        # a seam teleport would be an outlier vs interior frame steps
+        assert seam.max() <= interior.max() * 2.0
+        assert np.isfinite(pos).all()
