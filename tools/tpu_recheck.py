@@ -65,6 +65,58 @@ def opt_in_modes():
                       "demo_exact_p50_ms": round(p50, 2)}))
 
 
+def serving_and_longform():
+    """r3 serving engine under concurrent traffic + long-form windowed
+    generation (BASELINE.md sections of the same names)."""
+    import bench
+
+    r = bench.bench_serving()
+    print(json.dumps({"metric": "serving_engine_concurrent_16x64", **r}))
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from motionstyle.diffusion.longform import longform_sample
+    from motionstyle.diffusion.schedule import make_schedule
+    from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+    from motionstyle.parallel.inference import ShardedSampler
+    from motionstyle.parallel.mesh import make_mesh
+
+    C, W = 181, 76
+    cfg = MDMConfig(njoints=C, nfeats=1, latent_dim=bench.LATENT,
+                    ff_size=bench.FF, num_layers=bench.LAYERS,
+                    num_heads=bench.HEADS, dtype="bfloat16", fused=True)
+    model = StyleDiffusion(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, C, 1, W)),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 512)))
+    sampler = ShardedSampler(
+        make_mesh(len(jax.devices())), make_schedule("cosine", 1000, "ddim20"),
+        lambda p: (lambda x, t, c: model.apply(p, x, t, c.get("enc_text"))),
+        params, method="ddim", skip_timesteps=14)
+    enc = np.zeros((1, 512), np.float32)
+
+    def run_window(init, inp, rng):
+        batch = {"cond": {"enc_text": enc}}
+        batch["shape" if init is None else "init_image"] = \
+            (1, C, 1, W) if init is None else init
+        if inp is not None:
+            batch["inpainting"] = inp
+        return sampler(batch, rng)
+
+    N = 76 + 66 * 9
+    longform_sample(run_window, N, W, overlap=10, rng=jax.random.PRNGKey(1))
+    t0 = time.perf_counter()
+    out = longform_sample(run_window, N, W, overlap=10,
+                          rng=jax.random.PRNGKey(2))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(out).all()
+    print(json.dumps({"metric": "longform_670frames",
+                      "frames_per_sec": round(N / dt, 0),
+                      "ms_per_window": round(dt / 10 * 1e3, 1),
+                      "compiled_executables": len(sampler._compiled)}))
+
+
 def main():
     quick = "--quick" in sys.argv
     platform = probe()
@@ -79,6 +131,7 @@ def main():
         window_sweep()
         finetune_step()
         opt_in_modes()
+        serving_and_longform()
     print(json.dumps({"metric": "recheck_wall_s", "value": round(time.perf_counter() - t0, 1)}))
 
 
