@@ -121,6 +121,44 @@ def main(argv=None):
             # batch the content clip (the reference crashes for num_samples > 1)
             sample_t2m = jnp.tile(sample_t2m, (args.num_samples, 1, 1, 1))
 
+    long_ctx = None
+    if getattr(args, "long_frames", 0) > 0:
+        # long-form transfer (diffusion/longform.py): restyle the FULL
+        # content clip by chained windows instead of trimming it to
+        # max_frames; frames past the content's end are generated freely
+        # (each window continues the last exactly via overlap inpainting)
+        if args.dataset == "humanml":
+            raise SystemExit("--long_frames supports the posrot content-clip "
+                             "path (humanml generates content from the prior)")
+        for bad in ("parallel_window", "forecast_stride", "model_parallel",
+                    "pipeline_parallel"):
+            if getattr(args, bad, 1 if "parallel" in bad else 0) not in (0, 1):
+                raise SystemExit(f"--long_frames is incompatible with --{bad}")
+        if args.long_frames <= max_frames:
+            print(f"NOTE: --long_frames {args.long_frames} <= the model "
+                  f"window {max_frames}; running the plain path")
+        else:
+            cpath = (args.input_content if os.path.isfile(args.input_content)
+                     else pjoin(ds.opt.motion_dir, args.input_content))
+            raw = np.load(cpath)  # (L, D) unnormalized, NOT trimmed
+            if raw.shape[0] < args.long_frames:
+                # the CLI keeps the foot-contact reference aligned with the
+                # output; free continuation past the content is the library
+                # path (diffusion/longform.py with a shorter content)
+                raise SystemExit(
+                    f"--long_frames {args.long_frames} exceeds the content "
+                    f"clip's {raw.shape[0]} frames")
+            norm = ((raw - ds.mean) / ds.std).astype(np.float32)
+            long_content = np.tile(norm.T[None, :, None, :],
+                                   (args.num_samples, 1, 1, 1))
+            long_mask = np.asarray(get_inpainting_mask(
+                args.inpainting_mask, long_content.shape,
+                dataset=args.dataset), np.float32)
+            m_length = args.long_frames
+            long_ctx = (long_content, long_mask)
+            print(f"long-form transfer: {raw.shape[0]}-frame content -> "
+                  f"{m_length} frames in windows of {max_frames}")
+
     inp_mask = jnp.asarray(
         get_inpainting_mask(args.inpainting_mask, sample_t2m.shape, dataset=args.dataset),
         dtype=jnp.float32,
@@ -204,7 +242,9 @@ def main(argv=None):
             mesh, sched_ddim, _pp_builder, bundle.params,
             method="ddim", skip_timesteps=skip, dump_all_xstart=dump_all_xstart)
 
-    content_denorm = ds.inv_transform(np.asarray(sample_t2m)[0, :, 0, :].T)
+    content_src = (long_ctx[0] if long_ctx is not None
+                   else np.asarray(sample_t2m))
+    content_denorm = ds.inv_transform(content_src[0, :, 0, :].T)
     content_joints = np.asarray(recover_from_ric(jnp.asarray(content_denorm, dtype=jnp.float32), joint_num))
     style_denorm = ds.inv_transform(np.asarray(input_motions)[0, :, 0, :].T)
     style_joints = np.asarray(recover_from_ric(jnp.asarray(style_denorm, dtype=jnp.float32), joint_num))
@@ -221,7 +261,27 @@ def main(argv=None):
     for rep_i in range(args.num_repetitions):
         print(f"### Start sampling [repetitions #{rep_i}]")
         rng, sub = jax.random.split(rng)
-        if sharded_sampler is not None:
+        if long_ctx is not None:
+            from motionstyle.diffusion.longform import longform_sample
+
+            early = dump_all_xstart and sched_ddim.num_timesteps - skip >= 5
+
+            def run_window(init, inp, wrng):
+                res = sampling.sample_loop(
+                    sched_ddim, model_fn, {"enc_text": enc_text}, wrng,
+                    shape=(args.num_samples, sample_t2m.shape[1], 1, max_frames),
+                    init_image=(None if init is None else jnp.asarray(init)),
+                    method="ddim", skip_timesteps=skip,
+                    stop_timesteps=4 if early else None,
+                    inpainting=inp, dump_all_xstart=dump_all_xstart)
+                if dump_all_xstart:
+                    return res[-1] if early else res[-5]
+                return res
+
+            sample = longform_sample(
+                run_window, m_length, max_frames, overlap=10, rng=sub,
+                content=long_ctx[0], content_mask=long_ctx[1])
+        elif sharded_sampler is not None:
             result = sharded_sampler(
                 {"init_image": sample_t2m, "cond": {"enc_text": enc_text},
                  "inpainting": inpainting}, sub)

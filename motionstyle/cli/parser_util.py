@@ -27,7 +27,8 @@ def parse_and_load_from_model(parser: ArgumentParser):
                          if a not in ("skip_render", "model_path", "output_dir", "fused",
                                       "parallel_window", "forecast_stride",
                                       "forecast_order", "model_parallel", "quant_int8",
-                                      "native_loader", "prefetch", "style_strength")]
+                                      "native_loader", "prefetch", "style_strength",
+                                      "long_frames")]
 
     model_path = get_model_path_from_args()
     args_path = os.path.join(os.path.dirname(model_path), "args.json")
@@ -188,6 +189,11 @@ def add_sampling_options(parser):
                        help="forecast extrapolation order: 0 zero-order hold, "
                             "1 linear (default), 2 quadratic backward-"
                             "difference (only used when --forecast_stride >1)")
+    group.add_argument("--long_frames", default=0, type=int,
+                       help="long-form transfer: restyle the FULL content "
+                            "clip (up to this many frames) by chained "
+                            "windows (diffusion/longform.py) instead of "
+                            "trimming it to the model window")
     group.add_argument("--style_strength", default=1.0, type=float,
                        help="scale the learned style task vector: style "
                             "encoder weights = base + a*(finetuned - base), "

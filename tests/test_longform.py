@@ -113,6 +113,54 @@ class TestLongformSample:
         compiled_with_inpaint = [k for k in sampler._compiled if k[3]]
         assert len(compiled_with_inpaint) <= 1 or len(sampler._compiled) - before <= 2
 
+    @pytest.mark.slow
+    def test_demo_cli_long_transfer(self, tmp_path):
+        """--long_frames restyles a 180-frame content clip end to end via
+        the demo CLI (windows of 76), root channels preserved throughout."""
+        import json
+        import os
+
+        from motionstyle.cli.demo_style_transfer import main as demo_main
+        from motionstyle.data.masks import get_inpainting_mask
+
+        root = tmp_path / "xia"
+        (root / "new_joint_vecs").mkdir(parents=True)
+        r = np.random.RandomState(0)
+        np.save(root / "new_joint_vecs" / "350angry_jumping.npy",
+                (r.randn(60, 181) * 0.5).astype(np.float32))
+        long_content = (r.randn(180, 181) * 0.5).astype(np.float32)
+        np.save(root / "new_joint_vecs" / "306neutral_running.npy", long_content)
+        mean = (r.randn(181) * 0.1).astype(np.float32)
+        std = (np.abs(r.randn(181)) + 0.5).astype(np.float32)
+        np.save(root / "Mean.npy", mean)
+        np.save(root / "Std.npy", std)
+
+        save_dir = tmp_path / "ft" / "350angry_jumping"
+        save_dir.mkdir(parents=True)
+        with open(save_dir / "args.json", "w") as f:
+            json.dump({"dataset": "stylexia_posrot", "layers": 1,
+                       "latent_dim": 64, "diffusion_steps": 40,
+                       "skip_steps": 28}, f)
+        out = demo_main([
+            "--model_path", str(save_dir / "model000000001.pt"),
+            "--input_content", "306neutral_running.npy",
+            "--data_dir", str(root), "--skip_render",
+            "--long_frames", "180",
+        ])
+        results = np.load(os.path.join(out, "results.npy"),
+                          allow_pickle=True).item()
+        assert results["motion"].shape[-1] == 180
+        assert results["lengths"][0] == 180
+        assert np.isfinite(results["motion"]).all()
+        # root channels of the FULL long content preserved in feature space
+        hml = results["hml"][0]  # (T, C) denormalized
+        mask = np.asarray(get_inpainting_mask(
+            "root_horizontal", (1, 181, 1, 180),
+            dataset="stylexia_posrot"), np.float32)[0, :, 0, 0]  # (C,)
+        np.testing.assert_allclose(hml[:, mask > 0],
+                                   long_content[:, mask > 0],
+                                   rtol=1e-4, atol=1e-4)
+
     def test_decoded_root_has_no_seam_teleport(self, sampler_setup):
         """Decode the stitched features: frame-to-frame root displacement at
         window seams stays within the overall per-frame range (velocities
