@@ -40,6 +40,9 @@ def _load():
     lib.msn_window_normalize_collate.restype = None
     lib.msn_lengths_to_mask.argtypes = [pi64, ctypes.c_int64, ctypes.c_int64, pf]
     lib.msn_lengths_to_mask.restype = None
+    lib.msn_parse_floats.argtypes = [ctypes.c_char_p, ctypes.c_int64, pf,
+                                     ctypes.c_int64]
+    lib.msn_parse_floats.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -87,6 +90,22 @@ def window_normalize_collate(motions: Sequence[np.ndarray],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         int(nthreads))
     return out
+
+
+def parse_floats(text: str, force_numpy: bool = False) -> np.ndarray:
+    """Parse whitespace-separated floats (BVH MOTION tables) in one native
+    strtof pass — no per-token Python strings. Fallback: numpy's own string
+    parsing via text.split()."""
+    lib = None if force_numpy else _load()
+    if lib is None:
+        return np.array(text.split(), np.float32) if text.strip() else \
+            np.empty((0,), np.float32)
+    raw = text.encode()
+    cap = max(1, len(raw) // 2 + 1)  # a float needs >= 2 bytes incl. space
+    out = np.empty((cap,), np.float32)
+    n = lib.msn_parse_floats(
+        raw, len(raw), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap)
+    return out[:n].copy()
 
 
 def lengths_to_mask(lengths: Sequence[int], max_len: int,

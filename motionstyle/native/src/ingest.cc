@@ -15,6 +15,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <thread>
 #include <vector>
 
@@ -73,6 +74,28 @@ void msn_window_normalize_collate(const float** motions, const int64_t* starts,
     });
   }
   for (auto& t : workers) t.join();
+}
+
+// Whitespace-separated float parsing for BVH MOTION tables (post/bvh.py):
+// one strtof pass over the raw text, no per-token Python string objects.
+// Returns the number of floats written (<= cap).
+int64_t msn_parse_floats(const char* text, int64_t len, float* out,
+                         int64_t cap) {
+  const char* p = text;
+  const char* end = text + len;
+  int64_t n = 0;
+  while (p < end && n < cap) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) {
+      ++p;
+    }
+    if (p >= end) break;
+    char* next = nullptr;
+    float v = strtof(p, &next);
+    if (next == p) break;  // non-numeric garbage: stop (caller validates count)
+    out[n++] = v;
+    p = next;
+  }
+  return n;
 }
 
 // Batch mask build: out (B, 1, 1, T) f32, 1.0 where t < length[b].

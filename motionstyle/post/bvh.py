@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from motionstyle.core import rotations as rot
+from motionstyle.native.ingest import parse_floats
 
 CHANNEL_AXIS = {"Xrotation": "x", "Yrotation": "y", "Zrotation": "z"}
 AXIS_CHANNEL = {"x": "Xrotation", "y": "Yrotation", "z": "Zrotation"}
@@ -82,9 +83,8 @@ def read_bvh(filename: str, start=None, end=None, end_sites: bool = False,
                 if m := re.match(r"\s*Frame Time:\s*([\d.eE+-]+)", line):
                     frametime = float(m.group(1))
                     continue
-                vals = line.strip().split()
-                if vals:
-                    motion_rows.append([float(v) for v in vals])
+                if line.strip():
+                    motion_rows.append(line)
                 continue
             if "MOTION" in line:
                 in_motion = True
@@ -131,7 +131,14 @@ def read_bvh(filename: str, start=None, end=None, end_sites: bool = False,
     J = len(names)
     offsets = np.array(offsets, dtype=np.float32)
     parents = np.array(parents, dtype=int)
-    motion = np.array(motion_rows, dtype=np.float32)
+    # the MOTION table dominates parse time on real files: one native strtof
+    # pass over the whole block (motionstyle/native, numpy-split fallback)
+    n_cols = sum(len(c) for c in joint_channels)
+    flat = parse_floats("".join(motion_rows))
+    if n_cols and len(flat) % n_cols == 0:
+        motion = flat.reshape(-1, n_cols)
+    else:  # ragged/odd files: preserve the strict row-major error behavior
+        motion = np.array([r.split() for r in motion_rows], dtype=np.float32)
     T = motion.shape[0]
 
     quats = np.zeros((T, J, 4), dtype=np.float32)

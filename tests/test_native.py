@@ -43,6 +43,22 @@ class TestIngestKernels:
             np.testing.assert_array_equal(got, want)
             assert got.shape == (len(lens), 1, 1, 76)
 
+    @needs_native
+    def test_parse_floats_matches_numpy(self):
+        from motionstyle.native.ingest import parse_floats
+
+        r = np.random.RandomState(0)
+        vals = r.randn(5000).astype(np.float32) * r.choice(
+            [1e-5, 1.0, 1e4], 5000).astype(np.float32)
+        text = "\n".join(" ".join(f"{v:.6f}" for v in row)
+                         for row in vals.reshape(100, 50))
+        got = parse_floats(text)
+        want = parse_floats(text, force_numpy=True)
+        np.testing.assert_array_equal(got, want)
+        for weird in ("", "   \n\t ", "1", " 1.5e-3\n-2 "):
+            np.testing.assert_array_equal(parse_floats(weird),
+                                          parse_floats(weird, force_numpy=True))
+
     def test_numpy_fallback_semantics(self):
         """The fallback alone (what toolchain-less hosts run) reproduces the
         dataset's crop+normalize+pad+transpose math."""
