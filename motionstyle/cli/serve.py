@@ -16,7 +16,11 @@ Run:  python -m motionstyle.cli.serve --model_path save/.../model000000032.pt \
 Request:  POST /v1/sample
   {"content": [[...T x C...]], "text": "a person walks angrily",
    "seed": 7}
-Response: {"motion": [[...T x C...]], "seed": 7}
+Response: {"motion": [[...C x 1 x T...]], "seed": 7}
+
+Content longer than the model window is served long-form: the transfer runs
+over chained windows (diffusion/longform.py), each window a normal engine
+request that coalesces with concurrent single-clip traffic in the batcher.
 """
 from __future__ import annotations
 
@@ -85,7 +89,45 @@ def build_engine(args):
         return Request({"enc_text": enc}, init_image=init,
                        inpainting_mask=mask, seed=payload.get("seed", 0))
 
-    return engine, decode
+    def handle(payload: dict) -> np.ndarray:
+        """Content of exactly `nframes` -> one batched request; LONGER
+        content -> long-form transfer (diffusion/longform.py): each window
+        is a normal engine request riding the dynamic batcher, so long jobs
+        coalesce with concurrent single-clip traffic."""
+        content = np.asarray(payload["content"], np.float32)  # (T, C)
+        if content.ndim != 2 or content.shape[1] != njoints:
+            raise ValueError(
+                f"content must be (frames, channels={njoints}), "
+                f"got {content.shape}")
+        if content.shape[0] < nframes:
+            raise ValueError(
+                f"content must have >= {nframes} frames (got "
+                f"{content.shape[0]}); pad short clips client-side")
+        if content.shape[0] == nframes:
+            return engine.sample(decode(payload))
+        from motionstyle.diffusion.longform import longform_sample
+
+        enc = np.asarray(bundle.encode_text([payload.get("text", "")],
+                                            args.dataset), np.float32)[0]
+        seed = int(payload.get("seed", 0))
+        window_idx = iter(range(1 << 20))
+
+        def run_window(init, inp, _rng):
+            k = next(window_idx)
+            return engine.sample(Request(
+                {"enc_text": enc}, init_image=np.asarray(init)[0],
+                inpainting_mask=np.asarray(inp.mask)[0],
+                seed=(seed + 7919 * (k + 1)) & 0x7FFFFFFF))[None]
+
+        long_content = content.T[None, :, None, :]  # (1, C, 1, T)
+        long_mask = np.broadcast_to(mask[None, :, :, :1],
+                                    long_content.shape).copy()
+        out = longform_sample(run_window, content.shape[0], nframes,
+                              overlap=10, content=long_content,
+                              content_mask=long_mask)
+        return out[0]
+
+    return engine, decode, handle
 
 
 def build_parser() -> ArgumentParser:
@@ -131,8 +173,9 @@ def main(argv=None):
 
     from motionstyle.serve.server import MotionServer
 
-    engine, decode = build_engine(args)
-    server = MotionServer(engine, host=args.host, port=args.port, decode=decode)
+    engine, decode, handle = build_engine(args)
+    server = MotionServer(engine, host=args.host, port=args.port,
+                          decode=decode, handle=handle)
     print(f"serving {args.dataset} style transfer on "
           f"http://{args.host}:{server.port} (POST /v1/sample)")
     try:

@@ -37,9 +37,14 @@ def default_decode(payload: dict) -> Request:
 
 class MotionServer:
     def __init__(self, engine: ServingEngine, host: str = "127.0.0.1",
-                 port: int = 8500, decode: Callable = default_decode):
+                 port: int = 8500, decode: Callable = default_decode,
+                 handle: Callable | None = None):
+        """handle(payload) -> np.ndarray overrides the default
+        engine.sample(decode(payload)) — e.g. the long-form handler in
+        cli/serve.py that chains windowed requests through the batcher."""
         self.engine = engine
         self.decode = decode
+        self.handle = handle or (lambda payload: engine.sample(decode(payload)))
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -69,10 +74,9 @@ class MotionServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(n) or b"{}")
-                    request = outer.decode(payload)
-                    motion = outer.engine.sample(request)
+                    motion = outer.handle(payload)
                     self._json(200, {"motion": np.asarray(motion).tolist(),
-                                     "seed": request.seed})
+                                     "seed": payload.get("seed", 0)})
                 except Exception as ex:  # surface as a JSON 500, keep serving
                     self._json(500, {"error": f"{type(ex).__name__}: {ex}"})
 

@@ -185,8 +185,9 @@ class TestServeCLI:
             "--timestep_respacing", "ddim10",
             "--max_wait_ms", "1",
         ])
-        engine, decode = build_engine(args)
-        server = MotionServer(engine, port=0, decode=decode).start_background()
+        engine, decode, handle = build_engine(args)
+        server = MotionServer(engine, port=0, decode=decode,
+                              handle=handle).start_background()
         base = f"http://127.0.0.1:{server.port}"
         try:
             content = np.random.RandomState(3).randn(76, 181).astype(np.float32)
@@ -210,6 +211,23 @@ class TestServeCLI:
             np.testing.assert_array_equal(motion * mask, init * mask)
             assert np.abs((motion - init) * (1 - mask)).max() > 1e-4
 
+            # long content -> long-form transfer through the same endpoint
+            long_content = np.random.RandomState(5).randn(142, 181).astype(
+                np.float32)  # 76 + 66: two windows
+            req = urllib.request.Request(
+                base + "/v1/sample",
+                data=json.dumps({"content": long_content.tolist(),
+                                 "text": "a person walks angrily",
+                                 "seed": 3}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                long_res = np.asarray(json.load(r)["motion"], np.float32)
+            assert long_res.shape == (181, 1, 142)
+            assert np.isfinite(long_res).all()
+            np.testing.assert_array_equal(long_res * mask[:, :, :1],
+                                          long_content.T[:, None, :]
+                                          * mask[:, :, :1])
+
             # wrong frame count -> clean JSON 500
             bad = urllib.request.Request(
                 base + "/v1/sample",
@@ -220,7 +238,7 @@ class TestServeCLI:
                 assert False, "expected HTTP 500"
             except urllib.error.HTTPError as e:
                 assert e.code == 500
-                assert "content must be" in json.load(e)["error"]
+                assert "content must" in json.load(e)["error"]
         finally:
             server.close()
 
