@@ -57,7 +57,13 @@ def main(argv=None):
 
     print("creating model and diffusion...")
     bundle, sched_ddim, sched_full = model_util.creat_serval_diffusion(args, timestep_respacing="ddim20")
-    model_util.apply_style_strength(bundle, args)
+    if getattr(args, "style_mix", ""):
+        if getattr(args, "style_strength", 1.0) != 1.0:
+            raise SystemExit("--style_mix and --style_strength are mutually "
+                             "exclusive (give the mix entry a weight instead)")
+        model_util.apply_style_mix(bundle, args)
+    else:
+        model_util.apply_style_strength(bundle, args)
 
     skel, real_offsets, chains, ee_names = skeleton_assets(args.dataset)
     bones = BVH_JOINT_NAMES[args.dataset]

@@ -159,23 +159,11 @@ def warn_if_clip_fallback(args) -> bool:
     return args.clip_fallback
 
 
-def apply_style_strength(bundle, args) -> bool:
-    """Scale the learned style "task vector" in place:
-
-        style_encoder <- base + strength * (finetuned - base)
-
-    where `base` is the encoder the finetune STARTED from — the
-    --resume_checkpoint recorded in the run's args.json when present, else
-    the same seeded init the finetune CLI produced (both reconstructed with
-    the exact machinery the trainer used: convert_encoder for checkpoints,
-    assemble_style_diffusion_params(rng=PRNGKey(seed)) for fresh init —
-    train/finetune.py:306-318). strength 0 recovers the pre-finetune model
-    bit-for-bit, 1 is a no-op, >1 exaggerates the style (task-arithmetic
-    extrapolation). New capability: the reference can only sample the
-    finetuned endpoint. Returns True when an interpolation was applied."""
-    strength = float(getattr(args, "style_strength", 1.0))
-    if strength == 1.0:
-        return False
+def _style_base(bundle, args):
+    """The style encoder the finetune STARTED from: the run's recorded
+    --resume_checkpoint when present, else the same seeded init the finetune
+    CLI produced (both reconstructed with the trainer's own machinery —
+    train/finetune.py:306-318)."""
     from motionstyle.train.finetune import find_resume_checkpoint
 
     base_sd = None
@@ -193,11 +181,65 @@ def apply_style_strength(bundle, args) -> bool:
     if rc and os.path.isdir(rc):
         rc = find_resume_checkpoint(rc, "model") or ""
     if rc and os.path.exists(rc):
-        print(f"style_strength base: resume checkpoint {rc}")
+        print(f"style base: resume checkpoint {rc}")
         base_sd = load_torch_state_dict(rc)
-    base = assemble_style_diffusion_params(
+    return assemble_style_diffusion_params(
         bundle.cfg, style_sd=base_sd, rng=jax.random.PRNGKey(seed)
     )["params"]["style_encoder"]
+
+
+def apply_style_mix(bundle, args) -> bool:
+    """Blend several finetuned styles into one encoder (task arithmetic):
+
+        style_encoder <- base + sum_i w_i * (finetuned_i - base)
+
+    --style_mix "ckptA.pt:0.6,ckptB.pt:0.4" — each entry a style-finetuned
+    checkpoint sharing this model's prior/warm start. Replaces the loaded
+    model's own encoder entirely (list it with a weight to keep it). New
+    capability: the reference samples exactly one finetuned style at a time.
+    Returns True when a mix was applied."""
+    spec = getattr(args, "style_mix", "") or ""
+    if not spec:
+        return False
+    base = _style_base(bundle, args)
+    total = jax.tree_util.tree_map(
+        lambda b: np.asarray(b, np.float32).copy(), base)
+    from motionstyle.models.torch_import import convert_encoder
+
+    for entry in spec.split(","):
+        path, _, w = entry.rpartition(":")
+        if not path:
+            raise SystemExit(f"--style_mix entry {entry!r} is not path:weight")
+        weight = float(w)
+        sd = load_torch_state_dict(path)
+        ft = convert_encoder(sd, "seqTransEncoder", bundle.cfg.num_layers)
+        total = jax.tree_util.tree_map(
+            lambda acc, b, f: acc + weight * (np.asarray(f, np.float32)
+                                              - np.asarray(b, np.float32)),
+            total, base, ft)
+        print(f"style_mix: + {weight} x ({os.path.basename(path)} - base)")
+    bundle.params["params"]["style_encoder"] = total
+    return True
+
+
+def apply_style_strength(bundle, args) -> bool:
+    """Scale the learned style "task vector" in place:
+
+        style_encoder <- base + strength * (finetuned - base)
+
+    where `base` is the encoder the finetune STARTED from — the
+    --resume_checkpoint recorded in the run's args.json when present, else
+    the same seeded init the finetune CLI produced (both reconstructed with
+    the exact machinery the trainer used: convert_encoder for checkpoints,
+    assemble_style_diffusion_params(rng=PRNGKey(seed)) for fresh init —
+    train/finetune.py:306-318). strength 0 recovers the pre-finetune model
+    bit-for-bit, 1 is a no-op, >1 exaggerates the style (task-arithmetic
+    extrapolation). New capability: the reference can only sample the
+    finetuned endpoint. Returns True when an interpolation was applied."""
+    strength = float(getattr(args, "style_strength", 1.0))
+    if strength == 1.0:
+        return False
+    base = _style_base(bundle, args)
     ft = bundle.params["params"]["style_encoder"]
     bundle.params["params"]["style_encoder"] = jax.tree_util.tree_map(
         lambda b, f: np.asarray(

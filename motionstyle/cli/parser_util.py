@@ -28,7 +28,7 @@ def parse_and_load_from_model(parser: ArgumentParser):
                                       "parallel_window", "forecast_stride",
                                       "forecast_order", "model_parallel", "quant_int8",
                                       "native_loader", "prefetch", "style_strength",
-                                      "long_frames")]
+                                      "style_mix", "long_frames")]
 
     model_path = get_model_path_from_args()
     args_path = os.path.join(os.path.dirname(model_path), "args.json")
@@ -201,6 +201,11 @@ def add_sampling_options(parser):
                             "from (--resume_checkpoint if recorded, else the "
                             "seeded init). 0 = no style, 1 = the finetuned "
                             "transfer (default), >1 exaggerates the style")
+    group.add_argument("--style_mix", default="", type=str,
+                       help="blend styles: 'ckptA.pt:0.6,ckptB.pt:0.4' sets "
+                            "the encoder to base + sum w_i*(ft_i - base) "
+                            "(replaces the loaded model's own style; "
+                            "checkpoints must share its prior/warm start)")
     group.add_argument("--model_parallel", default=1, type=int,
                        help="tensor-parallel serving degree: run the style "
                             "transfer sampling through ShardedSampler on a "

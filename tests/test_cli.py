@@ -253,7 +253,7 @@ class TestCLIPipeline:
         ckpt = os.path.join(save_dir, sorted(
             f for f in os.listdir(save_dir) if f.startswith("model"))[-1])
 
-        def bundle_at(strength):
+        def bundle_at(strength, mix=""):
             from argparse import Namespace
 
             with open(os.path.join(save_dir, "args.json")) as f:
@@ -261,8 +261,12 @@ class TestCLIPipeline:
             args = Namespace(**saved)
             args.model_path = ckpt
             args.style_strength = strength
+            args.style_mix = mix
             b = model_util.build_model(args)
-            model_util.apply_style_strength(b, args)
+            if mix:
+                model_util.apply_style_mix(b, args)
+            else:
+                model_util.apply_style_strength(b, args)
             return b.params["params"]["style_encoder"], b.cfg
 
         ft_enc, cfg = bundle_at(1.0)
@@ -281,6 +285,12 @@ class TestCLIPipeline:
         # the finetune must actually have moved the encoder
         assert any(np.abs(np.asarray(f) - np.asarray(b)).max() > 1e-6
                    for b, f in zip(flat(base), flat(ft_enc)))
+
+        # --style_mix with a single entry at weight 0.5 == strength 0.5
+        mix_enc, _ = bundle_at(1.0, mix=f"{ckpt}:0.5")
+        for m, h in zip(flat(mix_enc), flat(half_enc)):
+            np.testing.assert_allclose(np.asarray(m), np.asarray(h),
+                                       rtol=1e-6, atol=1e-7)
 
         out = demo_main([
             "--model_path", ckpt, "--input_content", "306neutral_running.npy",

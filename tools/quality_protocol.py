@@ -158,7 +158,7 @@ def make_corpus(root: str, clips_per_pair: int = 8, seed: int = 0,
 def prepare_assets(work: str, *, prior_steps: int = 500, batch_size: int = 16,
                    diffusion_steps: int = 100, latent_dim: int = 64,
                    layers: int = 2, seed: int = 10,
-                   semantic_steps: int = 0) -> dict:
+                   semantic_steps: int = 0, styles: dict = None) -> dict:
     """Stage 1+2: corpus + pretrained prior (reusable across finetune runs).
 
     semantic_steps > 0 additionally trains the semantic discriminator
@@ -170,7 +170,7 @@ def prepare_assets(work: str, *, prior_steps: int = 500, batch_size: int = 16,
     if os.path.exists(work):
         shutil.rmtree(work)
     data_root = pjoin(work, "data")
-    make_corpus(data_root, seed=seed)
+    make_corpus(data_root, seed=seed, styles=styles)
     prior_dir = pjoin(work, "prior")
     pretrain_main([
         "--dataset", "stylexia_posrot", "--data_dir", data_root,
@@ -319,6 +319,75 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
     }
 
 
+MIX_STYLES = dict(STYLES, proud=dict(amp=0.45, freq_s=16.0))
+
+
+def evaluate_mixing(work: str, *, prior_steps: int = 1500,
+                    finetune_steps: int = 200, lr: float = 1e-3,
+                    seed: int = 10,
+                    weights=((1.0, 0.0), (0.5, 0.5), (0.0, 1.0))) -> dict:
+    """Style mixing (--style_mix): finetune TWO styles off one warm start,
+    blend their task vectors at several weights, and score each blend's
+    style distance to BOTH style examples. A working mix interpolates:
+    pure A is close to A / far from B, pure B the reverse, 50/50 sits
+    between. Content is a held-out neutral walking clip throughout."""
+    from motionstyle.cli.demo_style_transfer import main as demo_main
+    from motionstyle.cli.finetune_style_diffusion import main as ft_main
+    from motionstyle.eval.style_metrics import transfer_report
+
+    assets = prepare_assets(work, prior_steps=prior_steps, seed=seed,
+                            styles=MIX_STYLES)
+    data_root = assets["data_root"]
+    skip = int(0.7 * assets["diffusion_steps"])
+    examples = {"angry": "624angry_jumping.npy", "proud": "640proud_jumping.npy"}
+    ckpts = {}
+    for style, example in examples.items():
+        ft_dir = ft_main([
+            "--dataset", "stylexia_posrot", "--data_dir", data_root,
+            "--save_dir", pjoin(work, f"ft_{style}"),
+            "--style_example", example,
+            "--mdm_path", assets["mdm_path"],
+            "--resume_checkpoint", assets["warm_path"],
+            "--num_steps", str(finetune_steps), "--lr", str(lr),
+            "--batch_size", str(assets["batch_size"]),
+            "--overwrite", "--train_platform_type", "NoPlatform",
+            "--skip_render", "--layers", str(assets["layers"]),
+            "--latent_dim", str(assets["latent_dim"]),
+            "--diffusion_steps", str(assets["diffusion_steps"]),
+            "--skip_steps", str(skip), "--semantic_guidance", "0",
+            "--seed", str(seed),
+        ])
+        names = sorted(f for f in os.listdir(ft_dir)
+                       if f.startswith("model") and f[5:14].isdigit())
+        ckpts[style] = pjoin(ft_dir, names[-1])
+
+    content_clip = "600neutral_walking.npy"
+    content = np.load(pjoin(data_root, "new_joint_vecs", content_clip))
+    ex_clips = {s: np.load(pjoin(data_root, "new_joint_vecs", f))
+                for s, f in examples.items()}
+
+    out = {}
+    for wa, wb in weights:
+        mix = f"{ckpts['angry']}:{wa},{ckpts['proud']}:{wb}"
+        out_dir = demo_main([
+            "--model_path", ckpts["angry"], "--input_content", content_clip,
+            "--style_example", examples["angry"], "--data_dir", data_root,
+            "--output_dir", pjoin(work, f"demo_mix_{wa}_{wb}"),
+            "--skip_render", "--seed", str(seed), "--style_mix", mix,
+        ])
+        d = np.load(pjoin(out_dir, "results.npy"), allow_pickle=True).item()
+        hml = d["hml"][0][: int(d["lengths"][0])]
+        out[(wa, wb)] = {
+            s: transfer_report(hml, content, ex_clips[s])["style_dist_to_example"]
+            for s in examples
+        }
+        out[(wa, wb)]["root_err"] = transfer_report(
+            hml, content, ex_clips["angry"])["root_horizontal_max_abs_err"]
+    return {"weights": out, "ckpts": ckpts,
+            "config": dict(prior_steps=prior_steps,
+                           finetune_steps=finetune_steps, lr=lr, seed=seed)}
+
+
 def run_protocol(work: str, *, prior_steps: int = 1500, finetune_steps: int = 200,
                  lr: float = 1e-3, diffusion_steps: int = 100,
                  batch_size: int = 16, latent_dim: int = 64, layers: int = 2,
@@ -371,6 +440,9 @@ def main(argv=None):
     p.add_argument("--strengths", default="", type=str,
                    help="comma-separated style_strength values to sweep on "
                         "the final checkpoint (e.g. '0,0.25,0.5,1,1.5')")
+    p.add_argument("--mixing", action="store_true",
+                   help="style-mixing evaluation: two finetunes off one "
+                        "warm start, blended at several --style_mix weights")
     p.add_argument("--semantic", action="store_true",
                    help="full reference loss at latent 512: train the "
                         "semantic discriminator in-framework and finetune "
@@ -386,6 +458,16 @@ def main(argv=None):
     if args.lr:
         kw["lr"] = args.lr
     strengths = tuple(float(s) for s in args.strengths.split(",") if s)
+    if args.mixing:
+        result = evaluate_mixing(args.work, seed=args.seed,
+                                 prior_steps=kw.get("prior_steps", 1500),
+                                 finetune_steps=kw.get("finetune_steps", 200),
+                                 lr=kw.get("lr", 1e-3))
+        print("style mixing (wa, wb) -> dist to angry / dist to proud / root err:")
+        for (wa, wb), r in result["weights"].items():
+            print(f"  ({wa}, {wb}): {r['angry']:.4f} / {r['proud']:.4f} / "
+                  f"{r['root_err']:.2e}")
+        return result
     if args.semantic:
         assets = prepare_assets(args.work, prior_steps=kw.get("prior_steps", 1500),
                                 latent_dim=512, layers=2, seed=args.seed,
