@@ -102,17 +102,19 @@ def _style_dir(name: str):
 
 
 def make_clip(style: str, content: str, seed: int,
-              styles: dict = None, contents: dict = None) -> np.ndarray:
-    """One procedural clip (T, 181) in the denormalized StyleXia layout."""
+              styles: dict = None, contents: dict = None,
+              n_frames: int = T_FRAMES) -> np.ndarray:
+    """One procedural clip (T, 181) in the denormalized StyleXia layout.
+    n_frames > T_FRAMES extends the cycle pattern (the long-form content)."""
     c = (contents or CONTENTS)[content]
     s = (styles or STYLES)[style]
     base, amp, phase, harm = _content_proto(content)
     sdir = _style_dir(style)
     r = np.random.RandomState(seed)
-    t = np.arange(T_FRAMES) / T_FRAMES
+    t = np.arange(n_frames) / T_FRAMES
     clip_phase = r.uniform(0, 2 * np.pi)
 
-    out = np.zeros((T_FRAMES, DIM), dtype=np.float32)
+    out = np.zeros((n_frames, DIM), dtype=np.float32)
     # root channels: yaw vel / xz vel / height (recover_root_rot_pos
     # integrates 0:3 by cumsum — keep magnitudes moderate)
     out[:, 0] = 0.002 * np.sin(2 * np.pi * c["freq"] * t + clip_phase)
@@ -126,7 +128,7 @@ def make_clip(style: str, content: str, seed: int,
         2 * np.pi * c["freq"] * harm[None] * tt + phase[None] + clip_phase)
     pose = pose + s["amp"] * sdir[None] * np.sin(
         2 * np.pi * s["freq_s"] * tt + clip_phase)
-    pose = pose + 0.02 * r.randn(T_FRAMES, DIM - POSE_START)
+    pose = pose + 0.02 * r.randn(n_frames, DIM - POSE_START)
     out[:, POSE_START:] = pose
     return out
 
@@ -386,6 +388,63 @@ def evaluate_mixing(work: str, *, prior_steps: int = 1500,
     return {"weights": out, "ckpts": ckpts,
             "config": dict(prior_steps=prior_steps,
                            finetune_steps=finetune_steps, lr=lr, seed=seed)}
+
+
+def evaluate_longform(work: str, ft_dir: str, *, n_frames: int = 274,
+                      seed: int = 10) -> dict:
+    """Long-form transfer quality (--long_frames): synthesize a LONG
+    procedural neutral-walking content (same generator, extended cycles),
+    restyle it through the demo CLI's windowed path, and score (a) overall
+    style/content/root metrics over the full length, (b) per-window style
+    distances (stylization must not decay across windows), (c) decoded-root
+    seam smoothness (no teleports at window boundaries)."""
+    from motionstyle.cli.demo_style_transfer import main as demo_main
+    from motionstyle.core.features import recover_root_rot_pos
+    from motionstyle.eval.style_metrics import transfer_report
+
+    import jax.numpy as jnp
+
+    data_root = pjoin(work, "data")
+    long_name = f"699neutral_walking_long{n_frames}.npy"
+    clip = make_clip("neutral", "walking", seed=seed * 10007 + 699,
+                     n_frames=n_frames)
+    np.save(pjoin(data_root, "new_joint_vecs", long_name), clip)
+
+    names = sorted(f for f in os.listdir(ft_dir)
+                   if f.startswith("model") and f[5:14].isdigit())
+    out_dir = demo_main([
+        "--model_path", pjoin(ft_dir, names[-1]),
+        "--input_content", long_name,
+        "--style_example", "624angry_jumping.npy", "--data_dir", data_root,
+        "--output_dir", pjoin(work, "demo_longform"), "--skip_render",
+        "--seed", str(seed), "--long_frames", str(n_frames),
+    ])
+    d = np.load(pjoin(out_dir, "results.npy"), allow_pickle=True).item()
+    hml = d["hml"][0][:n_frames]
+    style_ex = np.load(pjoin(data_root, "new_joint_vecs",
+                             "624angry_jumping.npy"))
+    overall = transfer_report(hml, clip, style_ex)
+
+    window, overlap = T_FRAMES, 10
+    stride = window - overlap
+    per_window = []
+    for k in range((n_frames - overlap) // stride):
+        lo = k * stride
+        seg = slice(lo, min(lo + window, n_frames))
+        per_window.append(round(float(transfer_report(
+            hml[seg], clip[seg], style_ex)["style_dist_to_example"]), 4))
+
+    _, pos = recover_root_rot_pos(jnp.asarray(hml, jnp.float32))
+    step = np.linalg.norm(np.diff(np.asarray(pos), axis=0), axis=-1)
+    seams = [window - overlap // 2 + k * stride for k in range(
+        (n_frames - window) // stride + 1)]
+    seam_steps = [float(step[max(0, s - 5):s + 5].max()) for s in seams]
+    return {
+        "overall": overall, "per_window_style_dist": per_window,
+        "seam_max_step": round(max(seam_steps), 5),
+        "interior_max_step": round(float(step.max()), 5),
+        "n_frames": n_frames,
+    }
 
 
 def run_protocol(work: str, *, prior_steps: int = 1500, finetune_steps: int = 200,
