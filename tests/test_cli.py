@@ -54,6 +54,47 @@ class TestCLIPipeline:
         assert results["num_samples"] == 1 and results["num_repetitions"] == 1
         assert np.isfinite(results["motion"]).all()
 
+    def test_bandai_finetune_then_demo(self, tmp_path):
+        """The second style-dataset family end to end: bandai naming
+        (style = parts[-2], content = parts[-3]), 190-dim layout, 196-frame
+        window, caption synthesis, through finetune + demo."""
+        from motionstyle.cli.demo_style_transfer import main as demo_main
+        from motionstyle.cli.finetune_style_diffusion import main as ft_main
+
+        root = tmp_path / "bandai"
+        (root / "new_joint_vecs").mkdir(parents=True)
+        r = np.random.RandomState(0)
+        for f in ["dataset-2_walk-turn-right_feminine_018.npy",
+                  "dataset-2_walk_normal_001.npy",
+                  "dataset-2_run_exhausted_003.npy",
+                  "dataset-2_walk_angry_004.npy"]:
+            np.save(root / "new_joint_vecs" / f,
+                    (r.randn(int(r.randint(45, 120)), 190) * 0.5).astype(np.float32))
+        np.save(root / "Mean.npy", (r.randn(190) * 0.1).astype(np.float32))
+        np.save(root / "Std.npy", (np.abs(r.randn(190)) + 0.5).astype(np.float32))
+
+        save_dir = ft_main([
+            "--dataset", "bandai-2_posrot", "--save_dir", str(tmp_path / "ft"),
+            "--style_example", "dataset-2_walk-turn-right_feminine_018.npy",
+            "--data_dir", str(root),
+            "--num_steps", "1", "--batch_size", "1", "--overwrite",
+            "--train_platform_type", "NoPlatform", "--skip_render",
+            "--layers", "1", "--latent_dim", "64", "--diffusion_steps", "40",
+            "--skip_steps", "28", "--semantic_guidance", "0",
+        ])
+        ckpts = sorted(f for f in os.listdir(save_dir) if f.startswith("model"))
+        assert ckpts
+
+        out = demo_main([
+            "--model_path", os.path.join(save_dir, ckpts[-1]),
+            "--input_content", "dataset-2_walk_normal_001.npy",
+            "--data_dir", str(root), "--skip_render",
+        ])
+        results = np.load(os.path.join(out, "results.npy"),
+                          allow_pickle=True).item()
+        assert results["motion"].shape == (1, 21, 3, 196)
+        assert np.isfinite(results["motion"]).all()
+
     def test_humanml_demo_content_from_prior(self, tmp_path):
         """humanml demo generates the content motion from the frozen prior
         (reference sample/demo_style_transfer.py:144-176) instead of loading
