@@ -81,6 +81,14 @@ def main(argv=None):
     # caption: 'A person is {content} {style}' (:129-136)
     if args.input_text:
         texts = [args.input_text] * args.num_samples
+    elif args.dataset.startswith("bandai"):
+        # the reference only parses xia-style names here (:132-135 — on
+        # bandai names it yields garbage); use the bandai scheme the
+        # dataset itself parses (dataset.py naming: ..._{content}_{style}_{id})
+        cparts = args.input_content[:-4].split("_")[-3].split("-")
+        cparts[0] += "s"
+        style_label = name.split("_")[-2].replace("-", " ")
+        texts = [f"A person {' '.join(cparts)} {style_label}"] * args.num_samples
     else:
         contents = args.input_content.split("_")[-1][:-4]
         style_label = name.split("_")[0][3:]

@@ -71,7 +71,8 @@ def build_engine(args):
                              stop_timesteps=stop, dump_all_xstart=True)
     engine = ServingEngine(sampler, item_shape, max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms,
-                           deterministic=bool(args.deterministic))
+                           deterministic=bool(args.deterministic),
+                           max_queue=args.max_queue)
 
     mask = np.asarray(get_inpainting_mask(
         args.inpainting_mask, (1,) + item_shape, dataset=args.dataset),
@@ -151,6 +152,10 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--port", default=8500, type=int)
     parser.add_argument("--max_batch", default=8, type=int)
     parser.add_argument("--max_wait_ms", default=5.0, type=float)
+    parser.add_argument("--max_queue", default=256, type=int,
+                        help="bound the admission queue: submits past this "
+                             "fail fast with HTTP 500 (backpressure); 0 = "
+                             "unbounded")
     parser.add_argument("--style_strength", default=1.0, type=float,
                         help="scale the learned style task vector (0 = no "
                              "style, 1 = finetuned, >1 exaggerated)")
@@ -176,6 +181,16 @@ def main(argv=None):
     engine, decode, handle = build_engine(args)
     server = MotionServer(engine, host=args.host, port=args.port,
                           decode=decode, handle=handle)
+
+    import signal
+    import threading
+
+    def _graceful(signum, _frame):
+        # stop accepting, finish in-flight batches, fail queued waiters
+        print(f"signal {signum}: draining and shutting down")
+        threading.Thread(target=server.close, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
     print(f"serving {args.dataset} style transfer on "
           f"http://{args.host}:{server.port} (POST /v1/sample)")
     try:

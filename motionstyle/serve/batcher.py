@@ -56,27 +56,48 @@ class DynamicBatcher:
 
     def __init__(self, run_batch: Callable, max_batch: int = 8,
                  max_wait_ms: float = 5.0,
-                 buckets: Sequence[int] = (1, 2, 4, 8)):
+                 buckets: Sequence[int] = (1, 2, 4, 8),
+                 max_queue: int = 0):
+        """max_queue > 0 bounds the admission queue: submits past the bound
+        fail fast with RuntimeError (backpressure) instead of growing an
+        unbounded backlog whose tail latency the client gave up on anyway."""
         assert max_batch <= max(buckets)
         self.run_batch = run_batch
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.buckets = tuple(sorted(buckets))
         self.stats = BatcherStats()
-        self._q: queue.Queue = queue.Queue()
+        self._q: queue.Queue = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, item) -> Future:
+        if self._stop.is_set():
+            raise RuntimeError("batcher is shut down")
         fut: Future = Future()
-        self._q.put((item, fut))
+        try:
+            self._q.put_nowait((item, fut))
+        except queue.Full:
+            raise RuntimeError(
+                f"request queue full ({self._q.maxsize}); shed load or raise "
+                "max_queue") from None
         return fut
 
     def close(self):
         self._stop.set()
-        self._q.put(None)  # wake the worker
+        try:
+            self._q.put_nowait(None)  # wake the worker
+        except queue.Full:
+            pass
         self._thread.join(timeout=5)
+        while True:  # fail anything still queued instead of hanging waiters
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("batcher is shut down"))
 
     # -- worker ---------------------------------------------------------
 

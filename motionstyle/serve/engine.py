@@ -65,7 +65,8 @@ class ServingEngine:
     def __init__(self, sampler: ShardedSampler, item_shape: tuple,
                  max_batch: int = 8, max_wait_ms: float = 5.0,
                  buckets: Sequence[int] = (1, 2, 4, 8),
-                 deterministic: bool = False, pin_host_noise: bool = False):
+                 deterministic: bool = False, pin_host_noise: bool = False,
+                 max_queue: int = 0):
         self.sampler = sampler
         self.item_shape = tuple(item_shape)
         self.pin_host_noise = pin_host_noise
@@ -83,7 +84,8 @@ class ServingEngine:
         # eval steps; the stack still covers every step, unused rows ignored)
         self._batcher = DynamicBatcher(self._run_groups, max_batch=max_batch,
                                        max_wait_ms=max_wait_ms,
-                                       buckets=self.buckets)
+                                       buckets=self.buckets,
+                                       max_queue=max_queue)
 
     # -- public API -----------------------------------------------------
 

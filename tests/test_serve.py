@@ -54,6 +54,59 @@ class TestBatcher:
         finally:
             b.close()
 
+    def test_bounded_queue_backpressure(self):
+        import threading
+
+        gate = threading.Event()
+
+        def run(items):
+            gate.wait(timeout=10)
+            return items
+
+        b = DynamicBatcher(run, max_batch=1, max_wait_ms=1, max_queue=2)
+        try:
+            futs = [b.submit(i) for i in range(2)]  # worker takes 1, queue 1
+            import time
+
+            time.sleep(0.1)
+            b.submit(2)  # fills the queue again
+            with pytest.raises(RuntimeError, match="queue full"):
+                for i in range(3, 10):
+                    b.submit(i)
+            gate.set()
+            assert futs[0].result(timeout=5) == 0
+        finally:
+            gate.set()
+            b.close()
+
+    def test_close_fails_queued_waiters(self):
+        import threading
+        import time
+
+        busy, release = threading.Event(), threading.Event()
+
+        def run(items):
+            busy.set()
+            release.wait(timeout=10)
+            return items
+
+        b = DynamicBatcher(run, max_batch=1, max_wait_ms=1)
+        first = b.submit(0)
+        assert busy.wait(timeout=5)  # worker is inside run(batch 0)
+        queued = b.submit(1)  # sits in the admission queue
+
+        closer = threading.Thread(target=b.close)
+        closer.start()
+        time.sleep(0.2)  # close() has set _stop and is joining the worker
+        release.set()  # batch 0 completes; worker sees _stop and exits
+        closer.join(timeout=10)
+
+        assert first.result(timeout=5) == 0  # in-flight work finished
+        with pytest.raises(RuntimeError, match="shut down"):
+            queued.result(timeout=5)  # queued work failed, not hung
+        with pytest.raises(RuntimeError, match="shut down"):
+            b.submit(2)
+
     def test_bucket_for(self):
         assert bucket_for(1, (1, 2, 4)) == 1
         assert bucket_for(3, (1, 2, 4)) == 4

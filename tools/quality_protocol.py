@@ -46,6 +46,20 @@ T_FRAMES = 76
 DIM = 181
 POSE_START = 4
 
+# Dataset-family profiles: both style families share the root4-first
+# hml_vec structure (data/masks.py layouts); they differ in channel count,
+# window length and the filename scheme the dataset parses style/content
+# from (data/datasets.py StyleMotionDataset.__init__).
+PROFILES = {
+    "stylexia_posrot": dict(
+        dim=181, frames=76,
+        fname=lambda idx, style, content: f"{idx:03d}{style}_{content}.npy"),
+    "bandai-2_posrot": dict(
+        dim=190, frames=196,
+        fname=lambda idx, style, content:
+            f"dataset-2_{content}_{style}_{idx:03d}.npy"),
+}
+
 CONTENTS = {
     # freq = base cycles per clip; vz = forward speed; bounce = root-height
     # oscillation (jumping); rooty = rest height
@@ -86,35 +100,36 @@ def make_rich_specs(n_styles: int, n_contents: int, seed: int = 0):
     return styles, contents
 
 
-def _content_proto(name: str):
+def _content_proto(name: str, dim: int = DIM):
     r = np.random.RandomState(abs(hash(("content", name))) % (2 ** 31))
-    base = r.randn(DIM - POSE_START) * 0.4
-    amp = r.uniform(0.08, 0.35, DIM - POSE_START)
-    phase = r.uniform(0, 2 * np.pi, DIM - POSE_START)
-    harm = r.randint(1, 3, DIM - POSE_START).astype(np.float64)
+    base = r.randn(dim - POSE_START) * 0.4
+    amp = r.uniform(0.08, 0.35, dim - POSE_START)
+    phase = r.uniform(0, 2 * np.pi, dim - POSE_START)
+    harm = r.randint(1, 3, dim - POSE_START).astype(np.float64)
     return base, amp, phase, harm
 
 
-def _style_dir(name: str):
+def _style_dir(name: str, dim: int = DIM):
     r = np.random.RandomState(abs(hash(("style", name))) % (2 ** 31))
-    d = r.randn(DIM - POSE_START)
-    return d / np.linalg.norm(d) * np.sqrt(DIM - POSE_START)
+    d = r.randn(dim - POSE_START)
+    return d / np.linalg.norm(d) * np.sqrt(dim - POSE_START)
 
 
 def make_clip(style: str, content: str, seed: int,
               styles: dict = None, contents: dict = None,
-              n_frames: int = T_FRAMES) -> np.ndarray:
-    """One procedural clip (T, 181) in the denormalized StyleXia layout.
+              n_frames: int = T_FRAMES, dim: int = DIM) -> np.ndarray:
+    """One procedural clip (T, dim) in the denormalized posrot layout
+    (root4 + pose channels — shared by the StyleXia and Bandai families).
     n_frames > T_FRAMES extends the cycle pattern (the long-form content)."""
     c = (contents or CONTENTS)[content]
     s = (styles or STYLES)[style]
-    base, amp, phase, harm = _content_proto(content)
-    sdir = _style_dir(style)
+    base, amp, phase, harm = _content_proto(content, dim)
+    sdir = _style_dir(style, dim)
     r = np.random.RandomState(seed)
     t = np.arange(n_frames) / T_FRAMES
     clip_phase = r.uniform(0, 2 * np.pi)
 
-    out = np.zeros((n_frames, DIM), dtype=np.float32)
+    out = np.zeros((n_frames, dim), dtype=np.float32)
     # root channels: yaw vel / xz vel / height (recover_root_rot_pos
     # integrates 0:3 by cumsum — keep magnitudes moderate)
     out[:, 0] = 0.002 * np.sin(2 * np.pi * c["freq"] * t + clip_phase)
@@ -128,14 +143,16 @@ def make_clip(style: str, content: str, seed: int,
         2 * np.pi * c["freq"] * harm[None] * tt + phase[None] + clip_phase)
     pose = pose + s["amp"] * sdir[None] * np.sin(
         2 * np.pi * s["freq_s"] * tt + clip_phase)
-    pose = pose + 0.02 * r.randn(n_frames, DIM - POSE_START)
+    pose = pose + 0.02 * r.randn(n_frames, dim - POSE_START)
     out[:, POSE_START:] = pose
     return out
 
 
 def make_corpus(root: str, clips_per_pair: int = 8, seed: int = 0,
-                styles: dict = None, contents: dict = None) -> list:
+                styles: dict = None, contents: dict = None,
+                dataset: str = "stylexia_posrot") -> list:
     """Write the corpus + Mean/Std npy files; returns the filenames."""
+    profile = PROFILES[dataset]
     vec_dir = pjoin(root, "new_joint_vecs")
     os.makedirs(vec_dir, exist_ok=True)
     names, all_clips = [], []
@@ -144,8 +161,10 @@ def make_corpus(root: str, clips_per_pair: int = 8, seed: int = 0,
         for content in (contents or CONTENTS):
             for k in range(clips_per_pair):
                 clip = make_clip(style, content, seed=seed * 10007 + idx,
-                                 styles=styles, contents=contents)
-                name = f"{idx:03d}{style}_{content}.npy"
+                                 styles=styles, contents=contents,
+                                 n_frames=profile["frames"],
+                                 dim=profile["dim"])
+                name = profile["fname"](idx, style, content)
                 np.save(pjoin(vec_dir, name), clip)
                 names.append(name)
                 all_clips.append(clip)
@@ -160,7 +179,8 @@ def make_corpus(root: str, clips_per_pair: int = 8, seed: int = 0,
 def prepare_assets(work: str, *, prior_steps: int = 500, batch_size: int = 16,
                    diffusion_steps: int = 100, latent_dim: int = 64,
                    layers: int = 2, seed: int = 10,
-                   semantic_steps: int = 0, styles: dict = None) -> dict:
+                   semantic_steps: int = 0, styles: dict = None,
+                   dataset: str = "stylexia_posrot") -> dict:
     """Stage 1+2: corpus + pretrained prior (reusable across finetune runs).
 
     semantic_steps > 0 additionally trains the semantic discriminator
@@ -172,17 +192,17 @@ def prepare_assets(work: str, *, prior_steps: int = 500, batch_size: int = 16,
     if os.path.exists(work):
         shutil.rmtree(work)
     data_root = pjoin(work, "data")
-    make_corpus(data_root, seed=seed, styles=styles)
+    make_corpus(data_root, seed=seed, styles=styles, dataset=dataset)
     prior_dir = pjoin(work, "prior")
     pretrain_main([
-        "--dataset", "stylexia_posrot", "--data_dir", data_root,
+        "--dataset", dataset, "--data_dir", data_root,
         "--save_dir", prior_dir, "--num_steps", str(prior_steps),
         "--batch_size", str(batch_size), "--layers", str(layers),
         "--latent_dim", str(latent_dim),
         "--diffusion_steps", str(diffusion_steps), "--seed", str(seed),
         "--log_interval", "100",
     ])
-    assets = dict(work=work, data_root=data_root,
+    assets = dict(work=work, data_root=data_root, dataset=dataset,
                   mdm_path=pjoin(prior_dir, "mdm.pt"),
                   warm_path=pjoin(prior_dir, "model_pretrained.pt"),
                   semantic_path="",
@@ -193,7 +213,7 @@ def prepare_assets(work: str, *, prior_steps: int = 500, batch_size: int = 16,
         from motionstyle.cli.train_semantic_discriminator import main as sem_main
 
         assets["semantic_path"] = sem_main([
-            "--dataset", "stylexia_posrot", "--data_dir", data_root,
+            "--dataset", dataset, "--data_dir", data_root,
             "--save_dir", pjoin(work, "semantic"),
             "--mdm_path", assets["mdm_path"],
             "--num_steps", str(semantic_steps),
@@ -242,8 +262,9 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
         assert assets.get("semantic_path"), "prepare_assets(semantic_steps=...) first"
         sem_args = ["--semantic_discriminator_path", assets["semantic_path"],
                     "--Ls", str(ls_weight)]
+    dataset = assets.get("dataset", "stylexia_posrot")
     ft_dir = ft_main([
-        "--dataset", "stylexia_posrot", "--data_dir", data_root,
+        "--dataset", dataset, "--data_dir", data_root,
         "--save_dir", pjoin(work, f"ft_{tag}"), "--style_example", style_example,
         "--mdm_path", assets["mdm_path"],
         "--resume_checkpoint", assets["warm_path"],
@@ -453,11 +474,17 @@ def run_protocol(work: str, *, prior_steps: int = 1500, finetune_steps: int = 20
                  seed: int = 10, save_interval: int = 100, ladder: bool = False,
                  style_example: str = "624angry_jumping.npy",
                  content_clip: str = "600neutral_walking.npy",
-                 strengths: tuple = ()) -> dict:
+                 strengths: tuple = (),
+                 dataset: str = "stylexia_posrot") -> dict:
+    if dataset != "stylexia_posrot" and style_example == "624angry_jumping.npy":
+        fname = PROFILES[dataset]["fname"]
+        style_example = fname(624, "angry", "jumping")
+        content_clip = fname(600, "neutral", "walking")
     assets = prepare_assets(work, prior_steps=prior_steps,
                             batch_size=batch_size,
                             diffusion_steps=diffusion_steps,
-                            latent_dim=latent_dim, layers=layers, seed=seed)
+                            latent_dim=latent_dim, layers=layers, seed=seed,
+                            dataset=dataset)
     return evaluate_transfer(assets, finetune_steps=finetune_steps, lr=lr,
                              save_interval=save_interval, ladder=ladder,
                              style_example=style_example,
@@ -496,6 +523,8 @@ def main(argv=None):
     p.add_argument("--finetune_steps", default=0, type=int)
     p.add_argument("--lr", default=0.0, type=float)
     p.add_argument("--seed", default=10, type=int)
+    p.add_argument("--dataset", default="stylexia_posrot",
+                   choices=sorted(PROFILES))
     p.add_argument("--strengths", default="", type=str,
                    help="comma-separated style_strength values to sweep on "
                         "the final checkpoint (e.g. '0,0.25,0.5,1,1.5')")
@@ -535,7 +564,8 @@ def main(argv=None):
                                    lr=kw.get("lr", 1e-3), semantic_guidance=True,
                                    strengths=strengths)
     else:
-        result = run_protocol(args.work, seed=args.seed, strengths=strengths, **kw)
+        result = run_protocol(args.work, seed=args.seed, strengths=strengths,
+                              dataset=args.dataset, **kw)
     print(format_markdown(result))
     if result.get("strength_sweep"):
         print("\nstrength sweep (style_strength -> style_dist / content_sim / root_err):")
