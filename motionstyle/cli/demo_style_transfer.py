@@ -85,10 +85,19 @@ def main(argv=None):
         # the reference only parses xia-style names here (:132-135 — on
         # bandai names it yields garbage); use the bandai scheme the
         # dataset itself parses (dataset.py naming: ..._{content}_{style}_{id})
-        cparts = args.input_content[:-4].split("_")[-3].split("-")
-        cparts[0] += "s"
-        style_label = name.split("_")[-2].replace("-", " ")
-        texts = [f"A person {' '.join(cparts)} {style_label}"] * args.num_samples
+        cfields = os.path.basename(args.input_content)[:-4].split("_")
+        nfields = name.split("_")
+        if len(cfields) >= 3 and len(nfields) >= 2:
+            cparts = cfields[-3].split("-")
+            cparts[0] += "s"
+            style_label = nfields[-2].replace("-", " ")
+            texts = [f"A person {' '.join(cparts)} {style_label}"] * args.num_samples
+        else:
+            print("WARNING: content/checkpoint names do not follow the "
+                  "bandai '..._{content}_{style}_{id}' scheme "
+                  f"({args.input_content!r} / {name!r}); pass --input_text "
+                  "for a meaningful caption")
+            texts = ["A person moves"] * args.num_samples
     else:
         contents = args.input_content.split("_")[-1][:-4]
         style_label = name.split("_")[0][3:]
@@ -278,7 +287,8 @@ def main(argv=None):
         if long_ctx is not None:
             from motionstyle.diffusion.longform import longform_sample
 
-            early = dump_all_xstart and sched_ddim.num_timesteps - skip >= 5
+            stop, pick = sampling.min_latency_plan(
+                sched_ddim.num_timesteps, skip)
 
             def run_window(init, inp, wrng):
                 res = sampling.sample_loop(
@@ -286,11 +296,9 @@ def main(argv=None):
                     shape=(args.num_samples, sample_t2m.shape[1], 1, max_frames),
                     init_image=(None if init is None else jnp.asarray(init)),
                     method="ddim", skip_timesteps=skip,
-                    stop_timesteps=4 if early else None,
+                    stop_timesteps=stop if dump_all_xstart else None,
                     inpainting=inp, dump_all_xstart=dump_all_xstart)
-                if dump_all_xstart:
-                    return res[-1] if early else res[-5]
-                return res
+                return res[pick] if dump_all_xstart else res
 
             sample = longform_sample(
                 run_window, m_length, max_frames, overlap=10, rng=sub,
@@ -300,29 +308,23 @@ def main(argv=None):
                 {"init_image": sample_t2m, "cond": {"enc_text": enc_text},
                  "inpainting": inpainting}, sub)
             sample = result[-5] if dump_all_xstart else result
-        elif dump_all_xstart and sched_ddim.num_timesteps - skip >= 5:
-            # the posrot early-stop pick (x0 five steps from the end,
-            # :259-260) is the x0 predicted at t=4 of the respaced chain —
-            # so stop the chain THERE instead of running the remaining
-            # steps whose dump entries are discarded. Bit-identical output
+        else:
+            # posrot datasets take the x0 prediction 5 steps early (an
+            # intentional under-denoise, :259-260); humanml the final
+            # sample. min_latency_plan early-stops the chain at t=4 when
+            # that pick allows it — bit-identical output
             # (tests/test_diffusion.py::test_early_stop_equals_dump_pick)
             # in (S-4)/2 of the denoiser evals: 2 instead of 6 at skip 14.
+            stop, pick = sampling.min_latency_plan(
+                sched_ddim.num_timesteps, skip)
             result = sampling.sample_loop(
                 sched_ddim, model_fn, {"enc_text": enc_text}, sub,
                 shape=tuple(sample_t2m.shape), init_image=sample_t2m, method="ddim",
-                skip_timesteps=skip, stop_timesteps=4, inpainting=inpainting,
-                dump_all_xstart=True,
+                skip_timesteps=skip,
+                stop_timesteps=stop if dump_all_xstart else None,
+                inpainting=inpainting, dump_all_xstart=dump_all_xstart,
             )
-            sample = result[-1]
-        else:
-            result = sampling.sample_loop(
-                sched_ddim, model_fn, {"enc_text": enc_text}, sub,
-                shape=tuple(sample_t2m.shape), init_image=sample_t2m, method="ddim",
-                skip_timesteps=skip, inpainting=inpainting, dump_all_xstart=dump_all_xstart,
-            )
-            # posrot datasets take the x0 prediction 5 steps early (an
-            # intentional under-denoise, :259-260); humanml the final sample
-            sample = result[-5] if dump_all_xstart else result
+            sample = result[pick] if dump_all_xstart else result
         denorm = ds.inv_transform(np.asarray(sample)[:, :, 0, :].transpose(0, 2, 1))
         all_hml.append(denorm)
         joints = np.asarray(recover_from_ric(jnp.asarray(denorm, dtype=jnp.float32), joint_num))

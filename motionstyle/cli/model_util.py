@@ -178,9 +178,19 @@ def _style_base(bundle, args):
             saved = json.load(f)
         rc = saved.get("resume_checkpoint", "") or ""
         seed = saved.get("seed", seed)
-    if rc and os.path.isdir(rc):
-        rc = find_resume_checkpoint(rc, "model") or ""
-    if rc and os.path.exists(rc):
+    if rc:
+        orig = rc
+        if os.path.isdir(rc):
+            rc = find_resume_checkpoint(rc, "model") or ""
+        if not (rc and os.path.exists(rc)):
+            # falling back to the seeded init here would silently corrupt
+            # every task vector: strength 0 would no longer recover the
+            # pre-finetune model and blends would mix against a wrong base
+            raise SystemExit(
+                f"style base: args.json records resume_checkpoint {orig!r} "
+                "but no checkpoint exists there; restore the warm-start "
+                "file (or fix args.json) before using --style_strength/"
+                "--style_mix")
         print(f"style base: resume checkpoint {rc}")
         base_sd = load_torch_state_dict(rc)
     return assemble_style_diffusion_params(

@@ -63,16 +63,17 @@ def build_engine(args):
 
     # the measured min-latency plan: DDIM chain early-stopped at t=4, last
     # dumped x0 == the demo's dump[-5] pick (bit-equal, BASELINE.md r3);
-    # short chains (< 5 live steps) run to t=0 like the demo's guard
-    # (demo_style_transfer.py:228)
-    stop = 4 if sched_ddim.num_timesteps - skip >= 5 else None
+    # short chains run to t=0 and keep the demo's dump[-5] pick
+    from motionstyle.diffusion.sampling import min_latency_plan
+
+    stop, pick = min_latency_plan(sched_ddim.num_timesteps, skip)
     sampler = ShardedSampler(mesh, sched_ddim, builder, bundle.params,
                              method="ddim", skip_timesteps=skip,
                              stop_timesteps=stop, dump_all_xstart=True)
     engine = ServingEngine(sampler, item_shape, max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms,
                            deterministic=bool(args.deterministic),
-                           max_queue=args.max_queue)
+                           max_queue=args.max_queue, dump_pick=pick)
 
     mask = np.asarray(get_inpainting_mask(
         args.inpainting_mask, (1,) + item_shape, dataset=args.dataset),
@@ -121,8 +122,12 @@ def build_engine(args):
                 seed=(seed + 7919 * (k + 1)) & 0x7FFFFFFF))[None]
 
         long_content = content.T[None, :, None, :]  # (1, C, 1, T)
-        long_mask = np.broadcast_to(mask[None, :, :, :1],
-                                    long_content.shape).copy()
+        # build the mask at FULL length (time-varying masks like `prefix`
+        # differ per frame; broadcasting the t=0 column would pin the whole
+        # clip) — same construction as the demo's long path
+        long_mask = np.asarray(get_inpainting_mask(
+            args.inpainting_mask, long_content.shape, dataset=args.dataset),
+            np.float32)
         out = longform_sample(run_window, content.shape[0], nframes,
                               overlap=10, content=long_content,
                               content_mask=long_mask)
@@ -185,10 +190,19 @@ def main(argv=None):
     import signal
     import threading
 
+    # close() must run off the serve_forever thread (httpd.shutdown() waits
+    # for that loop to exit), and must NOT be a daemon thread: serve_forever
+    # returns as soon as shutdown() lands, and a daemon closer would be
+    # killed at interpreter exit mid-drain — abandoning in-flight batches
+    # and queued waiters. Join it after the loop returns.
+    closers = []
+
     def _graceful(signum, _frame):
         # stop accepting, finish in-flight batches, fail queued waiters
         print(f"signal {signum}: draining and shutting down")
-        threading.Thread(target=server.close, daemon=True).start()
+        t = threading.Thread(target=server.close)
+        t.start()
+        closers.append(t)
 
     signal.signal(signal.SIGTERM, _graceful)
     print(f"serving {args.dataset} style transfer on "
@@ -197,6 +211,8 @@ def main(argv=None):
         server.serve_forever()
     except KeyboardInterrupt:
         server.close()
+    for t in closers:
+        t.join()
 
 
 if __name__ == "__main__":

@@ -39,6 +39,26 @@ def _timestep_indices(num_timesteps: int, skip_timesteps: int, stop_timesteps: O
     return idx
 
 
+def min_latency_plan(num_timesteps: int, skip_timesteps: int) -> tuple:
+    """(stop_timesteps, dump_pick) for the posrot demo's under-denoise pick.
+
+    The demo keeps the x0 predicted five steps from the end of the chain
+    (dump[-5] — demo_style_transfer.py parity with the reference's
+    sample pick, :259-260). When the chain has >= 5 live steps that x0 is
+    the one predicted at t=4, so early-stopping THERE is bit-equal
+    (tests/test_diffusion.py::test_early_stop_equals_dump_pick) and the
+    pick becomes dump[-1]; shorter chains run to t=0 with the pick clamped
+    to the earliest dumped x0 (the reference's fixed -5 would raise there).
+    Single source of truth for the demo, the serve CLI, and long-form
+    windows — the contract must not diverge between paths."""
+    live = num_timesteps - skip_timesteps
+    if live >= 5:
+        return 4, -1
+    # the reference's fixed dump[-5] is undefined on shorter chains (it
+    # would raise); clamp to the earliest dumped x0 instead
+    return None, -min(5, live)
+
+
 def _ddpm_update(sched, pmv, x, t, noise, inpainting):
     if inpainting is not None:
         noise = noise * (1.0 - inpainting.mask)

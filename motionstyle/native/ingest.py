@@ -18,10 +18,21 @@ _lib = None
 _lib_tried = False
 
 
-def _load():
+def _load(allow_build: bool = True):
     global _lib, _lib_tried
     if _lib_tried:
         return _lib
+    if not allow_build:
+        # only use an already-built library: callers on otherwise pure-Python
+        # paths (e.g. post/bvh.py) must not spawn a g++ build as a side
+        # effect of their first call. Don't mark tried — a later opt-in
+        # caller may still build.
+        import os
+
+        from motionstyle.native.build import LIB
+
+        if not os.path.exists(LIB):
+            return None
     _lib_tried = True
     from motionstyle.native.build import build
 
@@ -92,11 +103,15 @@ def window_normalize_collate(motions: Sequence[np.ndarray],
     return out
 
 
-def parse_floats(text: str, force_numpy: bool = False) -> np.ndarray:
+def parse_floats(text: str, force_numpy: bool = False,
+                 allow_build: bool = True) -> np.ndarray:
     """Parse whitespace-separated floats (BVH MOTION tables) in one native
     strtof pass — no per-token Python strings. Fallback: numpy's own string
-    parsing via text.split()."""
-    lib = None if force_numpy else _load()
+    parsing via text.split(). The native pass STOPS at the first non-numeric
+    byte — callers must validate the returned count against the expected
+    token count (the fallback raises instead). allow_build=False uses the
+    native library only if it is already built (no g++ side effect)."""
+    lib = None if force_numpy else _load(allow_build)
     if lib is None:
         return np.array(text.split(), np.float32) if text.strip() else \
             np.empty((0,), np.float32)

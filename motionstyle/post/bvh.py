@@ -132,10 +132,15 @@ def read_bvh(filename: str, start=None, end=None, end_sites: bool = False,
     offsets = np.array(offsets, dtype=np.float32)
     parents = np.array(parents, dtype=int)
     # the MOTION table dominates parse time on real files: one native strtof
-    # pass over the whole block (motionstyle/native, numpy-split fallback)
+    # pass over the whole block (motionstyle/native, numpy-split fallback;
+    # allow_build=False — parsing a BVH must never spawn a compiler). The
+    # native pass stops at the first non-numeric byte, so require the EXACT
+    # expected count (rows x cols) — divisibility alone would silently
+    # truncate a file with a garbage line at a row boundary; anything short
+    # falls through to the strict parse, which raises like float() did.
     n_cols = sum(len(c) for c in joint_channels)
-    flat = parse_floats("".join(motion_rows))
-    if n_cols and len(flat) % n_cols == 0:
+    flat = parse_floats("".join(motion_rows), allow_build=False)
+    if n_cols and len(flat) == len(motion_rows) * n_cols:
         motion = flat.reshape(-1, n_cols)
     else:  # ragged/odd files: preserve the strict row-major error behavior
         motion = np.array([r.split() for r in motion_rows], dtype=np.float32)

@@ -69,23 +69,29 @@ class DynamicBatcher:
         self.stats = BatcherStats()
         self._q: queue.Queue = queue.Queue(maxsize=max_queue)
         self._stop = threading.Event()
+        # guards the stop-check + enqueue pair in submit() against close():
+        # without it an item enqueued between close()'s drain and the final
+        # stop-set would leave its Future unresolved forever
+        self._admit = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, item) -> Future:
-        if self._stop.is_set():
-            raise RuntimeError("batcher is shut down")
         fut: Future = Future()
-        try:
-            self._q.put_nowait((item, fut))
-        except queue.Full:
-            raise RuntimeError(
-                f"request queue full ({self._q.maxsize}); shed load or raise "
-                "max_queue") from None
+        with self._admit:
+            if self._stop.is_set():
+                raise RuntimeError("batcher is shut down")
+            try:
+                self._q.put_nowait((item, fut))
+            except queue.Full:
+                raise RuntimeError(
+                    f"request queue full ({self._q.maxsize}); shed load or "
+                    "raise max_queue") from None
         return fut
 
     def close(self):
-        self._stop.set()
+        with self._admit:
+            self._stop.set()
         try:
             self._q.put_nowait(None)  # wake the worker
         except queue.Full:

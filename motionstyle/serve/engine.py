@@ -66,10 +66,14 @@ class ServingEngine:
                  max_batch: int = 8, max_wait_ms: float = 5.0,
                  buckets: Sequence[int] = (1, 2, 4, 8),
                  deterministic: bool = False, pin_host_noise: bool = False,
-                 max_queue: int = 0):
+                 max_queue: int = 0, dump_pick: int = -1):
         self.sampler = sampler
         self.item_shape = tuple(item_shape)
         self.pin_host_noise = pin_host_noise
+        # which entry of a dump_all_xstart stack to serve — pair it with the
+        # sampler's stop_timesteps via sampling.min_latency_plan so serving
+        # matches the demo's pick on short chains too
+        self.dump_pick = dump_pick
         # device batches shard over the mesh 'data' axis: every bucket must
         # be a multiple of it (shard_batch requires divisibility)
         dp = dict(zip(sampler.mesh.axis_names,
@@ -167,6 +171,6 @@ class ServingEngine:
                                              motion=batch["init_image"])
         out = np.asarray(self.sampler(batch, jax.random.PRNGKey(0)))
         if out.ndim == len(self.item_shape) + 2:
-            # dump_all_xstart stacks (S, B, ...): serve the final prediction
-            out = out[-1]
+            # dump_all_xstart stacks (S, B, ...): serve the configured pick
+            out = out[self.dump_pick]
         return [out[i] for i in range(n)]

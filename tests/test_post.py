@@ -94,6 +94,24 @@ class TestBVH:
         chans = [l for l in open(path) if "CHANNELS" in l]
         assert len({l.split("CHANNELS")[1].strip() for l in chans}) > 2
 
+    def test_corrupt_motion_row_raises(self, tmp_path):
+        """A non-numeric line inside the MOTION table must raise, not
+        silently truncate — the native strtof pass stops at the first bad
+        byte, and a garbage line at a ROW BOUNDARY keeps the float count
+        divisible by n_cols, so only an exact-count check catches it."""
+        anim = self._make_anim()
+        path = str(tmp_path / "ok.bvh")
+        save_bvh(path, anim, 1 / 20)
+        lines = open(path).read().splitlines(keepends=True)
+        first_row = next(i for i, l in enumerate(lines)
+                         if l.startswith("Frame Time")) + 1
+        bad = lines[:first_row + 2] + ["corrupted @@@ line\n"] + \
+            lines[first_row + 2:]
+        badpath = str(tmp_path / "bad.bvh")
+        open(badpath, "w").write("".join(bad))
+        with pytest.raises(ValueError):
+            read_bvh(badpath)
+
     def test_read_bvh_order_override(self, tmp_path):
         """The reference-API `order` argument overrides declared channels."""
         anim = self._make_anim()

@@ -296,6 +296,60 @@ class TestServeCLI:
             server.close()
 
 
+class TestServeLongformMask:
+    def test_time_varying_mask_built_at_full_length(self, tmp_path):
+        """--inpainting_mask prefix is time-varying: the long-form serve
+        path must build it at full length (regression: broadcasting the
+        t=0 column — all ones for prefix — pinned the WHOLE clip to the
+        content, silently disabling stylization past the window)."""
+        from motionstyle.cli.serve import build_engine, parse_args
+        from motionstyle.data.masks import get_inpainting_mask
+
+        save_dir = tmp_path / "ft" / "350angry_jumping"
+        save_dir.mkdir(parents=True)
+        with open(save_dir / "args.json", "w") as f:
+            json.dump({"dataset": "stylexia_posrot", "layers": 1,
+                       "latent_dim": 32, "diffusion_steps": 40,
+                       "skip_steps": 28}, f)
+        args = parse_args([
+            "--model_path", str(save_dir / "model000000001.pt"),
+            "--dataset", "stylexia_posrot",
+            "--layers", "1", "--latent_dim", "32",
+            "--diffusion_steps", "40", "--skip_steps", "28",
+            "--timestep_respacing", "ddim5",
+            "--inpainting_mask", "prefix", "--max_wait_ms", "1",
+        ])
+        engine, _decode, handle = build_engine(args)
+        try:
+            long_content = np.random.RandomState(11).randn(142, 181).astype(
+                np.float32)  # 76 + 66: two windows
+            out = np.asarray(handle({"content": long_content.tolist(),
+                                     "text": "a person walks angrily",
+                                     "seed": 4}), np.float32)
+            assert out.shape == (181, 1, 142)
+            full_mask = np.asarray(get_inpainting_mask(
+                "prefix", (1, 181, 1, 142), dataset="stylexia_posrot"),
+                np.float32)[0]
+            init = long_content.T[:, None, :]
+            # pinned prefix frames preserved exactly...
+            np.testing.assert_array_equal(out * full_mask, init * full_mask)
+            # ...and frames past the prefix are actually resampled
+            assert np.abs((out - init) * (1 - full_mask)).max() > 1e-4
+        finally:
+            engine.close()
+
+
+class TestMinLatencyPlan:
+    def test_plan(self):
+        from motionstyle.diffusion.sampling import min_latency_plan
+
+        assert min_latency_plan(20, 14) == (4, -1)   # the demo config
+        assert min_latency_plan(5, 0) == (4, -1)
+        # short chains: run to t=0, pick clamped to the stack length
+        assert min_latency_plan(20, 16) == (None, -4)
+        assert min_latency_plan(4, 2) == (None, -2)
+
+
 class TestHTTPServer:
     def test_end_to_end(self, engine_setup):
         from motionstyle.serve.server import MotionServer, default_decode

@@ -1,0 +1,140 @@
+"""Distillation ladder: measured FID-vs-steps for the progressive distiller.
+
+Closes the loop COVERAGE.md promises for `cli/distill_prior.py`: quality of
+each halved-grid student, scored with the sensitivity-validated in-framework
+evaluator (the instrument BASELINE.md's speed-vs-quality section built).
+
+Protocol (all in-framework, zero external assets):
+  1. rich procedural corpus (tools/quality_protocol.make_rich_specs — 8x4
+     distinct captions so R-precision is meaningful)
+  2. text-conditioned prior, T=64 cosine       (cli/pretrain_prior.py)
+  3. trained evaluator: movement AE + matching (cli/train_evaluator.py)
+  4. progressive distillation 64 -> 32 -> 16 -> 8 -> 4 (cli/distill_prior.py)
+  5. cli/eval_metrics.py per rung, same evaluator:
+       - teacher on its full DDIM-64 grid (the exact chain)
+       - teacher forced onto DDIM-8 / DDIM-4 grids (controls: few-step
+         sampling WITHOUT distillation — what the students must beat)
+       - each student on its own grid (ddim32/16/8/4)
+     Sampling runs guidance 1.0 (the conditional model the stages actually
+     distilled); a final student-4 row at guidance 2.5 measures the cost of
+     composing CFG with a student that never saw the guided mixture
+     (Salimans & Ho distill the unguided model; guided distillation is
+     Meng et al. 2023 and out of scope).
+
+Speed column: denoiser evaluations per clip — sampling cost is exactly
+linear in grid size (the BENCH per-step cost applies unchanged; there is no
+per-step dispatch overhead inside the lax.scan sampler to amortize).
+
+Run:  PYTHONPATH=. python tools/distill_ladder.py --work /tmp/distill_ladder
+Quick CI-scale smoke: --quick (tiny budgets; numbers meaningless).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from os.path import join as pjoin
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.rprecision_protocol import eval_config, prepare
+
+
+def distill(assets: dict, *, stages: int = 4, steps_per_stage: int = 600,
+            lr: float = 1e-4, batch_size: int = 32) -> list:
+    from motionstyle.cli.distill_prior import main as distill_main
+
+    return distill_main([
+        "--dataset", "stylexia_posrot", "--data_dir", assets["data_root"],
+        "--mdm_path", assets["mdm_path"],
+        "--save_dir", pjoin(assets["work"], "distilled"),
+        "--layers", str(assets["layers"]),
+        "--latent_dim", str(assets["latent_dim"]),
+        "--diffusion_steps", str(assets["diffusion_steps"]),
+        "--stages", str(stages), "--steps_per_stage", str(steps_per_stage),
+        "--lr", str(lr), "--batch_size", str(batch_size),
+        "--seed", str(assets["seed"]), "--log_interval", "100",
+    ])
+
+
+def eval_rung(assets: dict, *, model_path: str, grid: int, guidance: float,
+              num_samples: int, replications: int, batch_size: int) -> dict:
+    """One eval_metrics run on a specific checkpoint + DDIM grid."""
+    sub = dict(assets, mdm_path=model_path)
+    return eval_config(
+        sub, guidance=guidance, num_samples=num_samples,
+        replications=replications, batch_size=batch_size,
+        extra=["--timestep_respacing", f"ddim{grid}", "--use_ddim", "1"])
+
+
+def run_protocol(work: str, *, stages: int = 4, steps_per_stage: int = 600,
+                 num_samples: int = 128, replications: int = 3,
+                 batch_size: int = 32, **kw) -> dict:
+    assets = prepare(work, batch_size=batch_size,
+                     diffusion_steps=2 ** stages * 4, **kw)
+    students = distill(assets, stages=stages,
+                       steps_per_stage=steps_per_stage,
+                       batch_size=batch_size)
+    t = assets["diffusion_steps"]
+    ev = lambda path, grid, g=1.0: eval_rung(
+        assets, model_path=path, grid=grid, guidance=g,
+        num_samples=num_samples, replications=replications,
+        batch_size=batch_size)
+
+    results = {f"teacher_ddim{t}": ev(assets["mdm_path"], t)}
+    # controls: the undistilled teacher forced onto the smallest grids
+    for grid in (8, 4):
+        results[f"teacher_ddim{grid}"] = ev(assets["mdm_path"], grid)
+    grid = t
+    for path in students:
+        grid //= 2
+        results[f"student_ddim{grid}"] = ev(path, grid)
+    results["student_ddim4_cfg2.5"] = ev(students[-1], 4, g=2.5)
+    return dict(assets=assets, students=students, results=results)
+
+
+def format_markdown(out: dict) -> str:
+    lines = [
+        "| config | evals/clip | FID | matching | gen R@1 | diversity |",
+        "|---|---|---|---|---|---|",
+    ]
+    g = lambda r, k: r.get(k, float("nan"))
+    for name, r in out["results"].items():
+        evals = int(name.rsplit("ddim", 1)[-1].split("_")[0])
+        lines.append(
+            f"| {name} | {evals} | {g(r, 'FID'):.3f} "
+            f"| {g(r, 'matching_score'):.3f} "
+            f"| {g(r, 'R_precision_top_1'):.3f} | {g(r, 'diversity'):.2f} |")
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="/tmp/distill_ladder")
+    ap.add_argument("--stages", default=4, type=int)
+    ap.add_argument("--steps_per_stage", default=600, type=int)
+    ap.add_argument("--prior_steps", default=3000, type=int)
+    ap.add_argument("--ae_steps", default=300, type=int)
+    ap.add_argument("--match_steps", default=900, type=int)
+    ap.add_argument("--num_samples", default=128, type=int)
+    ap.add_argument("--replications", default=3, type=int)
+    ap.add_argument("--seed", default=10, type=int)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny budgets: pipeline-exercise only")
+    args = ap.parse_args(argv)
+    kw = dict(stages=args.stages, steps_per_stage=args.steps_per_stage,
+              prior_steps=args.prior_steps, ae_steps=args.ae_steps,
+              match_steps=args.match_steps, num_samples=args.num_samples,
+              replications=args.replications, seed=args.seed)
+    if args.quick:
+        kw.update(stages=2, steps_per_stage=8, prior_steps=20, ae_steps=8,
+                  match_steps=8, num_samples=8, replications=1)
+    out = run_protocol(args.work, **kw)
+    print(json.dumps(out["results"], indent=2))
+    print(format_markdown(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

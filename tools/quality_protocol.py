@@ -457,13 +457,19 @@ def evaluate_longform(work: str, ft_dir: str, *, n_frames: int = 274,
 
     _, pos = recover_root_rot_pos(jnp.asarray(hml, jnp.float32))
     step = np.linalg.norm(np.diff(np.asarray(pos), axis=0), axis=-1)
-    seams = [window - overlap // 2 + k * stride for k in range(
-        (n_frames - window) // stride + 1)]
+    # one seam per consecutive-window pair (n_windows - 1 of them), centered
+    # in each overlap region; "interior" EXCLUDES the seam neighborhoods so
+    # the comparison can actually fail on a seam teleport
+    n_windows = (n_frames - overlap) // stride
+    seams = [window - overlap // 2 + k * stride for k in range(n_windows - 1)]
+    seam_mask = np.zeros(len(step), dtype=bool)
+    for s in seams:
+        seam_mask[max(0, s - 5):s + 5] = True
     seam_steps = [float(step[max(0, s - 5):s + 5].max()) for s in seams]
     return {
         "overall": overall, "per_window_style_dist": per_window,
         "seam_max_step": round(max(seam_steps), 5),
-        "interior_max_step": round(float(step.max()), 5),
+        "interior_max_step": round(float(step[~seam_mask].max()), 5),
         "n_frames": n_frames,
     }
 

@@ -82,7 +82,8 @@ def prepare(work: str, *, n_styles: int = 8, n_contents: int = 4,
 
 def eval_config(assets: dict, *, guidance: float = 2.5, forecast_stride: int = 1,
                 forecast_order: int = 1, num_samples: int = 128,
-                replications: int = 3, batch_size: int = 32) -> dict:
+                replications: int = 3, batch_size: int = 32,
+                extra: list = ()) -> dict:
     from motionstyle.cli.eval_metrics import main as eval_main
 
     argv = [
@@ -101,6 +102,7 @@ def eval_config(assets: dict, *, guidance: float = 2.5, forecast_stride: int = 1
     if forecast_stride > 1:
         argv += ["--forecast_stride", str(forecast_stride),
                  "--forecast_order", str(forecast_order)]
+    argv += list(extra)
     return eval_main(argv)
 
 
