@@ -50,6 +50,11 @@ def main(argv=None):
     parser.add_argument("--stages", default=3, type=int,
                         help="number of halvings: diffusion_steps -> /2^stages")
     parser.add_argument("--steps_per_stage", default=400, type=int)
+    parser.add_argument("--distill_guidance", default=0.0, type=float,
+                        help="> 0: distill the classifier-free-GUIDED "
+                             "teacher at this fixed scale; the student then "
+                             "samples guided outputs with a plain "
+                             "conditional forward (guidance_param 1.0)")
     parser.add_argument("--num_frames", default=60, type=int)
     parser.add_argument("--log_interval", default=50, type=int)
     args = parser.parse_args(argv)
@@ -95,7 +100,8 @@ def main(argv=None):
     cfg = DistillConfig(save_dir=args.save_dir, lr=args.lr,
                         weight_decay=args.weight_decay,
                         steps_per_stage=args.steps_per_stage,
-                        log_interval=args.log_interval, seed=args.seed)
+                        log_interval=args.log_interval, seed=args.seed,
+                        guidance=args.distill_guidance)
     distiller = ProgressiveDistiller(cfg, bundle.model, bundle.params,
                                      args.noise_schedule, args.diffusion_steps)
 

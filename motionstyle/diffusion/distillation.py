@@ -102,6 +102,12 @@ class DistillConfig:
     steps_per_stage: int = 400
     log_interval: int = 50
     seed: int = 10
+    # > 0: GUIDED distillation (Meng, Rombach & Salimans 2023 w-conditioning
+    # specialized to one fixed w): the teacher runs classifier-free-guided
+    # (ddpm.cfg_model_fn at this scale) inside every two-step target, so the
+    # student's plain conditional forward learns the guided map — sampling
+    # the student needs NO cfg (one denoiser eval, guidance_param 1.0).
+    guidance: float = 0.0
 
 
 class ProgressiveDistiller:
@@ -157,6 +163,11 @@ class ProgressiveDistiller:
             x_t = ddpm.q_sample(sched, x0_data, t_hi, noise)
             cond = {"enc_text": batch["enc_text"]}
             teacher_fn = lambda x, t, c: apply_prior(teacher_params, x, t, c)
+            if self.cfg.guidance > 0:
+                teacher_fn = ddpm.cfg_model_fn(
+                    teacher_fn,
+                    jnp.full((x0_data.shape[0],), self.cfg.guidance,
+                             jnp.float32))
             x0_tgt = distill_target(sched, teacher_fn, x_t, j, cond)
 
             def loss_fn(p):

@@ -131,6 +131,31 @@ class TestDistillCLI:
         assert {"FID", "matching_score", "diversity"}.issubset(out), out
         assert all(np.isfinite(v) for v in out.values()), out
 
+    def test_guided_distillation_differs_from_plain(self, distill_root,
+                                                    tmp_path):
+        """--distill_guidance w wraps the teacher in cfg_model_fn: same
+        seeds, same data, but the guided targets differ from the plain
+        conditional ones, so the student parameters must diverge."""
+        import torch
+
+        from motionstyle.cli.distill_prior import main as distill_main
+
+        common = [
+            "--dataset", "stylexia_posrot", "--data_dir", distill_root,
+            "--layers", "1", "--latent_dim", "32",
+            "--diffusion_steps", "8", "--stages", "1",
+            "--steps_per_stage", "4", "--batch_size", "4",
+            "--num_frames", "48", "--log_interval", "5",
+        ]
+        p0 = distill_main(common + ["--save_dir", str(tmp_path / "plain")])
+        pg = distill_main(common + ["--save_dir", str(tmp_path / "guided"),
+                                    "--distill_guidance", "3.0"])
+        a = torch.load(p0[-1], map_location="cpu", weights_only=False)
+        b = torch.load(pg[-1], map_location="cpu", weights_only=False)
+        assert a.keys() == b.keys()
+        deltas = [float((a[k] - b[k]).abs().max()) for k in a]
+        assert max(deltas) > 1e-6, "guided run did not change the targets"
+
     def test_stage_parity_check_rejects_odd_grids(self, distill_root, tmp_path):
         from motionstyle.cli.distill_prior import main as distill_main
 

@@ -42,20 +42,34 @@ from tools.rprecision_protocol import eval_config, prepare
 
 
 def distill(assets: dict, *, stages: int = 4, steps_per_stage: int = 600,
-            lr: float = 1e-4, batch_size: int = 32) -> list:
+            lr: float = 1e-4, batch_size: int = 32,
+            guidance: float = 0.0) -> list:
     from motionstyle.cli.distill_prior import main as distill_main
 
+    sub = "distilled" if guidance <= 0 else f"distilled_cfg{guidance:g}"
     return distill_main([
         "--dataset", "stylexia_posrot", "--data_dir", assets["data_root"],
         "--mdm_path", assets["mdm_path"],
-        "--save_dir", pjoin(assets["work"], "distilled"),
+        "--save_dir", pjoin(assets["work"], sub),
         "--layers", str(assets["layers"]),
         "--latent_dim", str(assets["latent_dim"]),
         "--diffusion_steps", str(assets["diffusion_steps"]),
         "--stages", str(stages), "--steps_per_stage", str(steps_per_stage),
         "--lr", str(lr), "--batch_size", str(batch_size),
+        "--distill_guidance", str(guidance),
         "--seed", str(assets["seed"]), "--log_interval", "100",
     ])
+
+
+def load_assets(work: str, *, latent_dim: int = 64, layers: int = 2,
+                diffusion_steps: int = 64, seed: int = 10) -> dict:
+    """Reconstruct the assets dict from a prepare()d work dir (the paths are
+    deterministic), so the guided arm can reuse an existing prior/evaluator."""
+    return dict(work=work, data_root=pjoin(work, "data"),
+                mdm_path=pjoin(work, "prior", "mdm.pt"),
+                evaluator_path=pjoin(work, "evaluator", "finest.tar"),
+                latent_dim=latent_dim, layers=layers,
+                diffusion_steps=diffusion_steps, seed=seed)
 
 
 def eval_rung(assets: dict, *, model_path: str, grid: int, guidance: float,
@@ -94,6 +108,32 @@ def run_protocol(work: str, *, stages: int = 4, steps_per_stage: int = 600,
     return dict(assets=assets, students=students, results=results)
 
 
+def run_guided_arm(work: str, *, w: float = 2.5, stages: int = 4,
+                   steps_per_stage: int = 600, num_samples: int = 128,
+                   replications: int = 3, batch_size: int = 32,
+                   **asset_kw) -> dict:
+    """Guided distillation (fixed-w) on an existing prepare()d work dir:
+    the reference row is the TEACHER sampled with cfg at w on its full
+    grid (the chain the guided student must match in 1/16th the evals,
+    each eval itself half the cost — no cfg doubling); the guided student
+    evaluates with a PLAIN conditional forward (guidance 1.0)."""
+    assets = load_assets(work, **asset_kw)
+    students = distill(assets, stages=stages, steps_per_stage=steps_per_stage,
+                       batch_size=batch_size, guidance=w)
+    t = assets["diffusion_steps"]
+    ev = lambda path, grid, g: eval_rung(
+        assets, model_path=path, grid=grid, guidance=g,
+        num_samples=num_samples, replications=replications,
+        batch_size=batch_size)
+    results = {
+        f"teacher_ddim{t}_cfg{w:g}": ev(assets["mdm_path"], t, w),
+        f"gstudent_ddim4 (plain fwd)": ev(students[-1], 4, 1.0),
+        # control: the unguided-distilled student CANNOT reach the guided
+        # chain by applying cfg at sampling (run_protocol's cfg2.5 row)
+    }
+    return dict(assets=assets, students=students, results=results)
+
+
 def format_markdown(out: dict) -> str:
     lines = [
         "| config | evals/clip | FID | matching | gen R@1 | diversity |",
@@ -101,7 +141,7 @@ def format_markdown(out: dict) -> str:
     ]
     g = lambda r, k: r.get(k, float("nan"))
     for name, r in out["results"].items():
-        evals = int(name.rsplit("ddim", 1)[-1].split("_")[0])
+        evals = int(name.rsplit("ddim", 1)[-1].split("_")[0].split(" ")[0])
         lines.append(
             f"| {name} | {evals} | {g(r, 'FID'):.3f} "
             f"| {g(r, 'matching_score'):.3f} "
@@ -122,7 +162,20 @@ def main(argv=None):
     ap.add_argument("--seed", default=10, type=int)
     ap.add_argument("--quick", action="store_true",
                     help="tiny budgets: pipeline-exercise only")
+    ap.add_argument("--guided_only", default=0.0, type=float,
+                    help="> 0: skip prepare+plain ladder; run the guided-"
+                         "distillation arm at this cfg scale on an "
+                         "existing --work dir")
     args = ap.parse_args(argv)
+    if args.guided_only > 0:
+        out = run_guided_arm(
+            args.work, w=args.guided_only, stages=args.stages,
+            steps_per_stage=args.steps_per_stage,
+            num_samples=args.num_samples, replications=args.replications,
+            diffusion_steps=2 ** args.stages * 4, seed=args.seed)
+        print(json.dumps(out["results"], indent=2))
+        print(format_markdown(out))
+        return out
     kw = dict(stages=args.stages, steps_per_stage=args.steps_per_stage,
               prior_steps=args.prior_steps, ae_steps=args.ae_steps,
               match_steps=args.match_steps, num_samples=args.num_samples,
