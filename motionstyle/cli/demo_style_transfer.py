@@ -193,6 +193,11 @@ def main(argv=None):
 
     dump_all_xstart = args.dataset != "humanml"  # :240-243
     skip = int(args.skip_steps / args.diffusion_steps * sched_ddim.num_timesteps)
+    # one early-stop/dump-pick contract for every serving path (plain,
+    # model-/pipeline-parallel, long-form): see sampling.min_latency_plan
+    ml_stop, ml_pick = sampling.min_latency_plan(sched_ddim.num_timesteps, skip)
+    if not dump_all_xstart:
+        ml_stop = None
     sharded_sampler = None
     if getattr(args, "model_parallel", 1) > 1:
         # tensor-parallel serving: Megatron-shard the transformer over a
@@ -223,7 +228,8 @@ def main(argv=None):
 
         sharded_sampler = ShardedSampler(
             mesh, sched_ddim, _builder, bundle.params,
-            method="ddim", skip_timesteps=skip, dump_all_xstart=dump_all_xstart)
+            method="ddim", skip_timesteps=skip, stop_timesteps=ml_stop,
+            dump_all_xstart=dump_all_xstart)
     elif getattr(args, "pipeline_parallel", 1) > 1:
         # pipeline-parallel serving: stage the style encoder's layer stack
         # over a 'pipe' axis and stream microbatches through it (GPipe,
@@ -263,7 +269,8 @@ def main(argv=None):
 
         sharded_sampler = ShardedSampler(
             mesh, sched_ddim, _pp_builder, bundle.params,
-            method="ddim", skip_timesteps=skip, dump_all_xstart=dump_all_xstart)
+            method="ddim", skip_timesteps=skip, stop_timesteps=ml_stop,
+            dump_all_xstart=dump_all_xstart)
 
     content_src = (long_ctx[0] if long_ctx is not None
                    else np.asarray(sample_t2m))
@@ -287,18 +294,15 @@ def main(argv=None):
         if long_ctx is not None:
             from motionstyle.diffusion.longform import longform_sample
 
-            stop, pick = sampling.min_latency_plan(
-                sched_ddim.num_timesteps, skip)
-
             def run_window(init, inp, wrng):
                 res = sampling.sample_loop(
                     sched_ddim, model_fn, {"enc_text": enc_text}, wrng,
                     shape=(args.num_samples, sample_t2m.shape[1], 1, max_frames),
                     init_image=(None if init is None else jnp.asarray(init)),
                     method="ddim", skip_timesteps=skip,
-                    stop_timesteps=stop if dump_all_xstart else None,
+                    stop_timesteps=ml_stop,
                     inpainting=inp, dump_all_xstart=dump_all_xstart)
-                return res[pick] if dump_all_xstart else res
+                return res[ml_pick] if dump_all_xstart else res
 
             sample = longform_sample(
                 run_window, m_length, max_frames, overlap=10, rng=sub,
@@ -307,7 +311,7 @@ def main(argv=None):
             result = sharded_sampler(
                 {"init_image": sample_t2m, "cond": {"enc_text": enc_text},
                  "inpainting": inpainting}, sub)
-            sample = result[-5] if dump_all_xstart else result
+            sample = result[ml_pick] if dump_all_xstart else result
         else:
             # posrot datasets take the x0 prediction 5 steps early (an
             # intentional under-denoise, :259-260); humanml the final
@@ -315,16 +319,13 @@ def main(argv=None):
             # that pick allows it — bit-identical output
             # (tests/test_diffusion.py::test_early_stop_equals_dump_pick)
             # in (S-4)/2 of the denoiser evals: 2 instead of 6 at skip 14.
-            stop, pick = sampling.min_latency_plan(
-                sched_ddim.num_timesteps, skip)
             result = sampling.sample_loop(
                 sched_ddim, model_fn, {"enc_text": enc_text}, sub,
                 shape=tuple(sample_t2m.shape), init_image=sample_t2m, method="ddim",
-                skip_timesteps=skip,
-                stop_timesteps=stop if dump_all_xstart else None,
+                skip_timesteps=skip, stop_timesteps=ml_stop,
                 inpainting=inpainting, dump_all_xstart=dump_all_xstart,
             )
-            sample = result[pick] if dump_all_xstart else result
+            sample = result[ml_pick] if dump_all_xstart else result
         denorm = ds.inv_transform(np.asarray(sample)[:, :, 0, :].transpose(0, 2, 1))
         all_hml.append(denorm)
         joints = np.asarray(recover_from_ric(jnp.asarray(denorm, dtype=jnp.float32), joint_num))

@@ -103,10 +103,12 @@ class DistillConfig:
     log_interval: int = 50
     seed: int = 10
     # > 0: GUIDED distillation (Meng, Rombach & Salimans 2023 w-conditioning
-    # specialized to one fixed w): the teacher runs classifier-free-guided
-    # (ddpm.cfg_model_fn at this scale) inside every two-step target, so the
-    # student's plain conditional forward learns the guided map — sampling
-    # the student needs NO cfg (one denoiser eval, guidance_param 1.0).
+    # specialized to one fixed w): the ORIGINAL teacher runs classifier-
+    # free-guided (ddpm.cfg_model_fn at this scale) inside the FIRST stage's
+    # two-step targets; later stages distill plain, because their teacher
+    # (the previous student) already bakes the guided map into its plain
+    # conditional forward (see stage_guidance). Sampling any student needs
+    # NO cfg (one denoiser eval, guidance_param 1.0).
     guidance: float = 0.0
 
 
@@ -129,6 +131,7 @@ class ProgressiveDistiller:
         self.noise_schedule = noise_schedule
         self.diffusion_steps = diffusion_steps
         self.rng = jax.random.PRNGKey(cfg.seed)
+        self._stage_no = 0
 
         def label(path, _):
             return "trainable" if str(path[0].key) == "mdm" else "frozen"
@@ -143,7 +146,18 @@ class ProgressiveDistiller:
         respacing = None if n == self.diffusion_steps else f"ddim{n}"
         return make_schedule(self.noise_schedule, self.diffusion_steps, respacing)
 
-    def _build_stage_step(self, sched: DiffusionSchedule):
+    def stage_guidance(self, stage_idx: int) -> float:
+        """CFG scale applied to the TEACHER at a given halving stage.
+
+        Guidance wraps only the ORIGINAL teacher (stage 0). From stage 1 on
+        the teacher is the previous student, whose plain conditional forward
+        already bakes in the guided map — re-wrapping it in cfg_model_fn
+        would compound the guidance against an uncond branch the
+        distillation loss never trained (Meng et al. 2023 guide the first
+        distillation only, then distill plain)."""
+        return self.cfg.guidance if stage_idx == 0 else 0.0
+
+    def _build_stage_step(self, sched: DiffusionSchedule, guidance: float):
         from motionstyle.models.denoiser import StyleDiffusion
 
         model = self.model
@@ -163,11 +177,10 @@ class ProgressiveDistiller:
             x_t = ddpm.q_sample(sched, x0_data, t_hi, noise)
             cond = {"enc_text": batch["enc_text"]}
             teacher_fn = lambda x, t, c: apply_prior(teacher_params, x, t, c)
-            if self.cfg.guidance > 0:
+            if guidance > 0:
                 teacher_fn = ddpm.cfg_model_fn(
                     teacher_fn,
-                    jnp.full((x0_data.shape[0],), self.cfg.guidance,
-                             jnp.float32))
+                    jnp.full((x0_data.shape[0],), guidance, jnp.float32))
             x0_tgt = distill_target(sched, teacher_fn, x_t, j, cond)
 
             def loss_fn(p):
@@ -194,7 +207,9 @@ class ProgressiveDistiller:
         teacher."""
         assert n_teacher % 2 == 0 and n_teacher >= 2, n_teacher
         sched = self._stage_sched(n_teacher)
-        step_fn = self._build_stage_step(sched)
+        step_fn = self._build_stage_step(
+            sched, self.stage_guidance(self._stage_no))
+        self._stage_no += 1
         opt_state = self.tx.init(self.params)
         loss = float("nan")
         step = 0

@@ -23,15 +23,19 @@ def _load(allow_build: bool = True):
     if _lib_tried:
         return _lib
     if not allow_build:
-        # only use an already-built library: callers on otherwise pure-Python
-        # paths (e.g. post/bvh.py) must not spawn a g++ build as a side
-        # effect of their first call. Don't mark tried — a later opt-in
-        # caller may still build.
+        # only use an already-built, UP-TO-DATE library: callers on
+        # otherwise pure-Python paths (e.g. post/bvh.py) must not spawn a
+        # g++ build as a side effect of their first call — including the
+        # rebuild build() triggers when the source is newer than the
+        # binary. Don't mark tried — a later opt-in caller may still build.
         import os
 
-        from motionstyle.native.build import LIB
+        from motionstyle.native.build import LIB, SRC
 
         if not os.path.exists(LIB):
+            return None
+        if os.path.exists(SRC) and \
+                os.path.getmtime(SRC) > os.path.getmtime(LIB):
             return None
     _lib_tried = True
     from motionstyle.native.build import build

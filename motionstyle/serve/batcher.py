@@ -89,14 +89,20 @@ class DynamicBatcher:
                     "raise max_queue") from None
         return fut
 
-    def close(self):
+    def close(self, drain_timeout: float = 600.0):
+        """Stop admitting, let the worker FINISH its in-flight batch (up to
+        drain_timeout — generous because a first-of-its-bucket batch can sit
+        behind a ~95 s TPU compile), then fail anything still queued."""
         with self._admit:
             self._stop.set()
         try:
             self._q.put_nowait(None)  # wake the worker
         except queue.Full:
             pass
-        self._thread.join(timeout=5)
+        self._thread.join(timeout=drain_timeout)
+        if self._thread.is_alive():
+            print(f"WARNING: batcher worker still busy after "
+                  f"{drain_timeout:.0f}s drain; abandoning in-flight batch")
         while True:  # fail anything still queued instead of hanging waiters
             try:
                 item = self._q.get_nowait()

@@ -156,6 +156,22 @@ class TestDistillCLI:
         deltas = [float((a[k] - b[k]).abs().max()) for k in a]
         assert max(deltas) > 1e-6, "guided run did not change the targets"
 
+    def test_guidance_applies_to_first_stage_only(self):
+        """From stage 1 on the teacher is the previous student whose plain
+        forward already bakes in the guidance — re-wrapping it would
+        compound w across stages (Meng et al. distill guided once)."""
+        from motionstyle.diffusion.distillation import (
+            DistillConfig,
+            ProgressiveDistiller,
+        )
+
+        cfg = DistillConfig(save_dir="/tmp/unused", guidance=2.5)
+        d = ProgressiveDistiller.__new__(ProgressiveDistiller)
+        d.cfg = cfg
+        assert d.stage_guidance(0) == 2.5
+        assert d.stage_guidance(1) == 0.0
+        assert d.stage_guidance(3) == 0.0
+
     def test_stage_parity_check_rejects_odd_grids(self, distill_root, tmp_path):
         from motionstyle.cli.distill_prior import main as distill_main
 

@@ -446,10 +446,15 @@ def evaluate_longform(work: str, ft_dir: str, *, n_frames: int = 274,
                              "624angry_jumping.npy"))
     overall = transfer_report(hml, clip, style_ex)
 
+    from motionstyle.diffusion.longform import plan_windows
+
     window, overlap = T_FRAMES, 10
-    stride = window - overlap
+    # the ACTUAL window plan (ceil on the extra-window count; the floor
+    # variant undercounted windows off the stride grid, dropping the last
+    # real seam into "interior" — exactly what this check must catch)
+    n_windows, stride = plan_windows(n_frames, window, overlap)
     per_window = []
-    for k in range((n_frames - overlap) // stride):
+    for k in range(n_windows):
         lo = k * stride
         seg = slice(lo, min(lo + window, n_frames))
         per_window.append(round(float(transfer_report(
@@ -460,15 +465,15 @@ def evaluate_longform(work: str, ft_dir: str, *, n_frames: int = 274,
     # one seam per consecutive-window pair (n_windows - 1 of them), centered
     # in each overlap region; "interior" EXCLUDES the seam neighborhoods so
     # the comparison can actually fail on a seam teleport
-    n_windows = (n_frames - overlap) // stride
     seams = [window - overlap // 2 + k * stride for k in range(n_windows - 1)]
+    seams = [s for s in seams if s - 5 < len(step)]  # trimmed-output clamp
     seam_mask = np.zeros(len(step), dtype=bool)
     for s in seams:
         seam_mask[max(0, s - 5):s + 5] = True
     seam_steps = [float(step[max(0, s - 5):s + 5].max()) for s in seams]
     return {
         "overall": overall, "per_window_style_dist": per_window,
-        "seam_max_step": round(max(seam_steps), 5),
+        "seam_max_step": round(max(seam_steps), 5) if seam_steps else 0.0,
         "interior_max_step": round(float(step[~seam_mask].max()), 5),
         "n_frames": n_frames,
     }
