@@ -29,9 +29,12 @@ from motionstyle.core import rotations as rot
 from motionstyle.core.params import chains_to_parents
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class Skeleton:
-    """Static skeleton description. Hashable/static for jit closures."""
+    """Static skeleton description. eq=False keeps the identity-based
+    __hash__ (the ndarray fields would make the dataclass-generated hash
+    raise), so instances work as weak/static keys for jit-runner caches
+    (post/ik.py)."""
 
     raw_offsets: np.ndarray  # (J, 3) unit bone directions
     kinematic_chain: tuple  # tuple of tuples of joint indices

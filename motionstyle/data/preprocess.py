@@ -29,7 +29,7 @@ from motionstyle.models.smpl import SMPL
 TRANS_MATRIX = np.array([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0], [1.0, 0.0, 0.0]])
 
 
-def _resample_grid(n_frames: int, downsample_rate: float):
+def _resample_grid(downsample_rate: float):
     frac = Fraction(downsample_rate).limit_denominator(1000)
     up = lcm(frac.numerator, frac.denominator) // frac.numerator
     down = lcm(frac.numerator, frac.denominator) // frac.denominator
@@ -39,7 +39,7 @@ def _resample_grid(n_frames: int, downsample_rate: float):
 
 def downsample_quats(rotations: np.ndarray, positions: np.ndarray, rate: float):
     """(T, J, 4) quats + (T, 3) transl resampled by a fractional rate."""
-    t, down = _resample_grid(len(rotations), rate)
+    t, down = _resample_grid(rate)
     q0, q1 = jnp.asarray(rotations[:-1]), jnp.asarray(rotations[1:])
     # (U, T-1, J, 4) slerp grid, interleave, then stride
     new_q = np.stack([np.asarray(rot.qslerp(q0, q1, float(ti))) for ti in t])
@@ -50,7 +50,7 @@ def downsample_quats(rotations: np.ndarray, positions: np.ndarray, rate: float):
 
 
 def downsample_joints(joints: np.ndarray, rate: float) -> np.ndarray:
-    t, down = _resample_grid(len(joints), rate)
+    t, down = _resample_grid(rate)
     new_j = np.stack([joints[:-1] * (1 - ti) + joints[1:] * ti for ti in t])
     new_j = new_j.transpose(1, 0, 2, 3).reshape((-1,) + joints.shape[1:])
     return new_j[::down]

@@ -77,7 +77,7 @@ def read_bvh(filename: str, start=None, end=None, end_sites: bool = False,
     with open(filename) as f:
         for line in f:
             if in_motion:
-                if m := re.match(r"\s*Frames:\s+(\d+)", line):
+                if m := re.match(r"\s*Frames:\s*(\d+)", line):
                     frames = int(m.group(1))
                     continue
                 if m := re.match(r"\s*Frame Time:\s*([\d.eE+-]+)", line):
@@ -104,8 +104,13 @@ def read_bvh(filename: str, start=None, end=None, end_sites: bool = False,
                     joint_channels.append([])
                     parents.append(active)
                     active = len(parents) - 1
+                if "{" in line:  # 'End Site {' brace on the same line: the
+                    # brace handler below never sees it
+                    if not end_sites:
+                        in_end_site = True
+                    pending_end = False
                 continue
-            if m := re.match(r"\s*OFFSET\s+([\-\d.eE]+)\s+([\-\d.eE]+)\s+([\-\d.eE]+)", line):
+            if m := re.match(r"\s*OFFSET\s+([-+\d.eE]+)\s+([-+\d.eE]+)\s+([-+\d.eE]+)", line):
                 vals = [float(m.group(i)) for i in (1, 2, 3)]
                 if in_end_site and not end_sites:
                     end_offsets[active] = np.array(vals)
@@ -145,6 +150,9 @@ def read_bvh(filename: str, start=None, end=None, end_sites: bool = False,
     else:  # ragged/odd files: preserve the strict row-major error behavior
         motion = np.array([r.split() for r in motion_rows], dtype=np.float32)
     T = motion.shape[0]
+    if frames is not None and frames != T:
+        print(f"WARNING: {filename}: header declares Frames: {frames} but "
+              f"the MOTION table has {T} rows; using {T}")
 
     quats = np.zeros((T, J, 4), dtype=np.float32)
     quats[..., 0] = 1.0
@@ -193,13 +201,17 @@ def resample_anim(anim: Anim, rate: float) -> Anim:
                 anim.parents, anim.bones, anim.end_offsets, anim.frametime * rate)
 
 
-def save_bvh(filename: str, anim: Anim, frametime: float = 1.0 / 20.0,
+def save_bvh(filename: str, anim: Anim, frametime: Optional[float] = None,
              order="zyx", positions: bool = False) -> None:
     """Write an Anim as BVH: 6 channels on the root (+all joints when
     positions=True), 3 rotation channels elsewhere, End Sites from
     anim.end_offsets (zero end sites added to leaves otherwise).
     `order` is one euler order string, or a length-J sequence of per-joint
-    order strings (mirrors read_bvh's per-joint channel support)."""
+    order strings (mirrors read_bvh's per-joint channel support).
+    frametime defaults to anim.frametime (so read->resample->save keeps the
+    adjusted rate); pass a float to override."""
+    if frametime is None:
+        frametime = anim.frametime
     J = anim.quats.shape[1]
     orders = [order] * J if isinstance(order, str) else list(order)
     assert len(orders) == J, (len(orders), J)

@@ -9,6 +9,7 @@ compile-friendly (SURVEY.md §7 hard-part 4).
 """
 from __future__ import annotations
 
+import weakref
 from typing import NamedTuple, Optional
 
 import jax
@@ -36,6 +37,15 @@ class IKResult(NamedTuple):
     loss: jax.Array
 
 
+# compiled-runner caches: a fresh @jax.jit per call would re-trace and
+# re-compile both Adam loops on EVERY invocation (the remote TPU compile
+# relay makes that seconds-to-minutes per rep). Keyed by skeleton instance
+# (weak — fitters die with their skeleton) resp. parents tuple, plus
+# shapes and the static loop hyperparameters.
+_HMLVEC_RUNNERS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_QUATS_RUNNERS: dict = {}
+
+
 def fit_hmlvec_ik(
     data: jax.Array,
     skeleton: Skeleton,
@@ -56,28 +66,34 @@ def fit_hmlvec_ik(
     cont6d = data[..., 4 + (joints_num - 1) * 3 :].reshape(data.shape[:-1] + (joints_num, 6))
     params = {"cont6d": cont6d, "r_pos": r_pos, "r_rot_quat": r_rot_quat}
 
-    tx = optax.adam(lr, b1=0.9, b2=0.999)
+    cache = _HMLVEC_RUNNERS.setdefault(skeleton, {})
+    key = (tuple(jnp.shape(data)), tuple(jnp.shape(target_joints)),
+           iters, lr, sigma)
+    if key not in cache:
+        tx = optax.adam(lr, b1=0.9, b2=0.999)
 
-    def loss_fn(p):
-        glb = skeleton.forward_kinematics_real_cont6d(
-            p["cont6d"], p["r_pos"], p["r_rot_quat"], real_offsets
-        )
-        return gmof(glb - target_joints, sigma).sum()
+        def loss_fn(p, offs, target):
+            glb = skeleton.forward_kinematics_real_cont6d(
+                p["cont6d"], p["r_pos"], p["r_rot_quat"], offs
+            )
+            return gmof(glb - target, sigma).sum()
 
-    @jax.jit
-    def run(params):
-        opt_state = tx.init(params)
+        @jax.jit
+        def run(params, offs, target):
+            opt_state = tx.init(params)
 
-        def body(_, carry):
-            p, s = carry
-            grads = jax.grad(loss_fn)(p)
-            updates, s = tx.update(grads, s, p)
-            return optax.apply_updates(p, updates), s
+            def body(_, carry):
+                p, s = carry
+                grads = jax.grad(loss_fn)(p, offs, target)
+                updates, s = tx.update(grads, s, p)
+                return optax.apply_updates(p, updates), s
 
-        p, _ = jax.lax.fori_loop(0, iters, body, (params, opt_state))
-        return p, loss_fn(p)
+            p, _ = jax.lax.fori_loop(0, iters, body, (params, opt_state))
+            return p, loss_fn(p, offs, target)
 
-    p, loss = run(params)
+        cache[key] = run
+
+    p, loss = cache[key](params, real_offsets, target_joints)
     return IKResult(p["cont6d"], p["r_pos"], p["r_rot_quat"], loss)
 
 
@@ -94,27 +110,32 @@ def fit_quats_ik(
     Parity: InverseKinematics_quats (Kinematics.py:94-130). Returns cont6d.
     """
     cont6d0 = rot.quaternion_to_cont6d(quats)
-    tx = optax.adam(lr)
+    key = (tuple(np.asarray(parents).tolist()), tuple(jnp.shape(cont6d0)),
+           tuple(jnp.shape(target_joints)), iters, lr)
+    if key not in _QUATS_RUNNERS:
+        tx = optax.adam(lr)
 
-    def loss_fn(c6):
-        q = rot.cont6d_to_quaternion(c6)
-        _, glb = rot.quat_fk(q, pos, parents)
-        return jnp.mean((glb - target_joints) ** 2)
+        def loss_fn(c6, pos, target):
+            q = rot.cont6d_to_quaternion(c6)
+            _, glb = rot.quat_fk(q, pos, parents)
+            return jnp.mean((glb - target) ** 2)
 
-    @jax.jit
-    def run(c6):
-        opt_state = tx.init(c6)
+        @jax.jit
+        def run(c6, pos, target):
+            opt_state = tx.init(c6)
 
-        def body(_, carry):
-            c, s = carry
-            grads = jax.grad(loss_fn)(c)
-            updates, s = tx.update(grads, s, c)
-            return optax.apply_updates(c, updates), s
+            def body(_, carry):
+                c, s = carry
+                grads = jax.grad(loss_fn)(c, pos, target)
+                updates, s = tx.update(grads, s, c)
+                return optax.apply_updates(c, updates), s
 
-        c, _ = jax.lax.fori_loop(0, iters, body, (c6, opt_state))
-        return c
+            c, _ = jax.lax.fori_loop(0, iters, body, (c6, opt_state))
+            return c
 
-    return run(cont6d0)
+        _QUATS_RUNNERS[key] = run
+
+    return _QUATS_RUNNERS[key](cont6d0, pos, target_joints)
 
 
 def fit_joints_bvh(

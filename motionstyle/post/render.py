@@ -69,7 +69,9 @@ def plot_3d_motion(
         ax.set_ylim3d([0, radius])
         ax.set_zlim3d([-radius / 3.0, radius * 2 / 3.0])
         fig.suptitle(title, fontsize=10)
-        ax.grid(b=False)
+        # matplotlib >= 3.6: grid(b=...) lands in **kwargs and is ignored
+        # while `visible` defaults to True — must use visible=False
+        ax.grid(visible=False)
 
     def plot_xz_plane(minx, maxx, miny, minz, maxz):
         verts = [[minx, miny, minz], [minx, miny, maxz], [maxx, miny, maxz], [maxx, miny, minz]]
@@ -81,8 +83,11 @@ def plot_3d_motion(
 
     def update(index):
         ax.clear()
+        ax.grid(visible=False)
         ax.view_init(elev=120, azim=-90)
-        ax.dist = 7.5
+        # the reference's `ax.dist = 7.5` (plot_script.py) was removed in
+        # matplotlib 3.7; zoom = default_dist / 7.5 reproduces the framing
+        ax.set_box_aspect(None, zoom=10.0 / 7.5)
         ax.set_xlim3d([-radius / 2, radius / 2])
         ax.set_ylim3d([0, radius])
         ax.set_zlim3d([-radius / 3.0, radius * 2 / 3.0])

@@ -28,6 +28,7 @@ import numpy as np
 import optax
 
 from motionstyle.core import rotations as rot
+from motionstyle.post.ik import gmof
 from motionstyle.models.smpl import SMPL
 
 # joints2smpl/src/config.py
@@ -42,9 +43,6 @@ AMASS_IDX = list(range(22))
 GMM_MODEL_DIR = os.environ.get("GMM_MODEL_DIR", "./visualize/joints2smpl/smpl_models/")
 
 
-def gmof(x, sigma):
-    x2, s2 = x ** 2, sigma ** 2
-    return (s2 * x2) / (s2 + x2)
 
 
 def angle_prior(body_pose: jax.Array) -> jax.Array:
@@ -104,8 +102,11 @@ def camera_fitting_loss_3d(model_joints, camera_t, camera_t_est, j3d,
     """Torso alignment + depth anchor; parity customloss.py:196-226."""
     sel = jnp.asarray(joints_idx)
     err = gmof((model_joints[:, sel] + camera_t[:, None]) - j3d[:, sel], sigma=100).sum(axis=(1, 2))
+    # the reference broadcasts the (B,1,3) depth term against the (B,4,3)
+    # joint error BEFORE summing (customloss.py:219-226), so the depth
+    # anchor counts once per torso joint
     depth = (depth_loss_weight ** 2) * ((camera_t - camera_t_est) ** 2).sum(-1)
-    return (err + depth).sum()
+    return (err + len(joints_idx) * depth).sum()
 
 
 def body_fitting_loss_3d(
@@ -157,6 +158,7 @@ class SMPLify3D:
             self.smpl_index = list(range(24))
             self.corr_index = list(range(24))
         self._torso_smpl = [JOINT_MAP[j] for j in ("RHip", "LHip", "RShoulder", "LShoulder")]
+        self._fit_cache: dict = {}
 
     def _joints_of(self, pose_aa, betas):
         mats = rot.axis_angle_to_matrix(pose_aa.reshape(-1, 24, 3))
@@ -165,13 +167,35 @@ class SMPLify3D:
 
     def __call__(self, init_pose: jax.Array, init_betas: jax.Array,
                  init_cam_t: jax.Array, j3d: jax.Array, conf_3d=1.0,
-                 seq_ind: int = 0) -> SMPLifyResult:
-        """init_pose (B, 72) axis-angle, init_betas (B, 10), j3d (B, J, 3)."""
+                 seq_ind: int = 0,
+                 num_iters: Optional[int] = None) -> SMPLifyResult:
+        """init_pose (B, 72) axis-angle, init_betas (B, 10), j3d (B, J, 3).
+        num_iters overrides the constructor's stage-2 iteration count.
+
+        The whole two-stage fit compiles ONCE per (shapes, fit-betas) and is
+        cached on the instance — per-rep callers (motions2hik) previously
+        re-jitted both Adam loops on every invocation, paying the remote
+        TPU compile relay each time."""
+        conf = jnp.asarray(conf_3d) * jnp.ones(len(self.corr_index))
+        fit_betas = bool(seq_ind == 0)
+        iters = self.num_iters if num_iters is None else int(num_iters)
+        key = (tuple(jnp.shape(init_pose)), tuple(jnp.shape(init_betas)),
+               tuple(jnp.shape(j3d)), tuple(jnp.shape(conf)), fit_betas,
+               iters)
+        if key not in self._fit_cache:
+            from functools import partial
+
+            self._fit_cache[key] = jax.jit(
+                partial(self._fit, fit_betas=fit_betas, num_iters=iters))
+        return self._fit_cache[key](init_pose, init_betas, j3d, conf)
+
+    def _fit(self, init_pose: jax.Array, init_betas: jax.Array,
+             j3d: jax.Array, conf: jax.Array, *,
+             fit_betas: bool, num_iters: int) -> SMPLifyResult:
         body_pose = init_pose[:, 3:]
         global_orient = init_pose[:, :3]
         betas = init_betas
         preserve_pose = init_pose[:, 3:]
-        conf = jnp.asarray(conf_3d) * jnp.ones(len(self.corr_index))
 
         joints0, _ = self._joints_of(init_pose, betas)
         # camera init via torso centroid offset (guess_init_3d, smplify.py:18)
@@ -191,8 +215,6 @@ class SMPLify3D:
         global_orient, cam_t = p1["orient"], p1["cam"]
 
         # ---- stage 2: full body (+betas on the first clip of a sequence) ----
-        fit_betas = seq_ind == 0
-
         def body_loss(p):
             b = p["betas"] if fit_betas else betas
             pose = jnp.concatenate([p["orient"], p["body"]], axis=-1)
@@ -206,7 +228,7 @@ class SMPLify3D:
         init2 = {"body": body_pose, "orient": global_orient, "cam": cam_t}
         if fit_betas:
             init2["betas"] = betas
-        p2 = self._optimize(body_loss, init2, iters=self.num_iters)
+        p2 = self._optimize(body_loss, init2, iters=num_iters)
         body_pose, global_orient, cam_t = p2["body"], p2["orient"], p2["cam"]
         betas = p2.get("betas", betas)
 
@@ -216,22 +238,20 @@ class SMPLify3D:
         return SMPLifyResult(verts, joints, pose, betas, cam_t, joint_loss)
 
     def _optimize(self, loss_fn, params, iters):
+        """Adam fori_loop; traced under the cached __call__ jit (no own
+        @jax.jit — that would re-trace per call through the fresh loss
+        closures)."""
         tx = optax.adam(self.step_size, b1=0.9, b2=0.999)
+        s = tx.init(params)
 
-        @jax.jit
-        def run(p):
-            s = tx.init(p)
+        def body(_, carry):
+            p, s = carry
+            g = jax.grad(loss_fn)(p)
+            u, s = tx.update(g, s, p)
+            return optax.apply_updates(p, u), s
 
-            def body(_, carry):
-                p, s = carry
-                g = jax.grad(loss_fn)(p)
-                u, s = tx.update(g, s, p)
-                return optax.apply_updates(p, u), s
-
-            p, _ = jax.lax.fori_loop(0, iters, body, (p, s))
-            return p
-
-        return run(params)
+        p, _ = jax.lax.fori_loop(0, iters, body, (params, s))
+        return p
 
 
 class Joints2SMPL:
@@ -248,7 +268,9 @@ class Joints2SMPL:
         self.mean_pose = mean_pose if mean_pose is not None else np.zeros(72, np.float32)
         self.mean_shape = mean_shape if mean_shape is not None else np.zeros(10, np.float32)
 
-    def joint2smpl(self, input_joints: np.ndarray, init_params: Optional[dict] = None):
+    def joint2smpl(self, input_joints: np.ndarray,
+                   init_params: Optional[dict] = None,
+                   num_iters: Optional[int] = None):
         B = input_joints.shape[0]
         j3d = jnp.asarray(input_joints, dtype=jnp.float32)
         if init_params is None:
@@ -263,7 +285,8 @@ class Joints2SMPL:
         conf = np.ones(22, dtype=np.float32)
         if self.fix_foot:
             conf[[7, 8, 10, 11]] = 1.5
-        res = self.smplify(pred_pose, pred_betas, pred_cam, j3d, conf_3d=jnp.asarray(conf))
+        res = self.smplify(pred_pose, pred_betas, pred_cam, j3d,
+                           conf_3d=jnp.asarray(conf), num_iters=num_iters)
 
         thetas = res.pose.reshape(B, 24, 3)
         thetas = rot.matrix_to_rotation_6d(rot.axis_angle_to_matrix(thetas))  # (B, 24, 6)

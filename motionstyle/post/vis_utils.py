@@ -28,7 +28,7 @@ def joints2rotation(joints: np.ndarray, j2s: Joints2SMPL, num_smplify_iters: int
     """joints (T, J, 3) -> (1, 25, 6, T) fitted rot6d pose tensor."""
     joints = np.array(joints, copy=True)
     joints[:, :, 1] -= joints.min(axis=0).min(axis=0)[1]
-    motion_tensor, _ = j2s.joint2smpl(joints)
+    motion_tensor, _ = j2s.joint2smpl(joints, num_iters=num_smplify_iters)
     return motion_tensor
 
 

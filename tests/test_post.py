@@ -112,6 +112,40 @@ class TestBVH:
         with pytest.raises(ValueError):
             read_bvh(badpath)
 
+    def test_parser_format_variants(self, tmp_path):
+        """Real-world BVH format variants: 'End Site {' brace on the same
+        line, OFFSET in %e notation with '+' exponents, 'Frames:' without a
+        space — all must parse to the same skeleton as the canonical form."""
+        anim = self._make_anim()
+        path = str(tmp_path / "canon.bvh")
+        save_bvh(path, anim, 1 / 20)
+        text = open(path).read()
+        import re as _re
+        # fold every 'End Site' block opener onto one line
+        variant = _re.sub(r"End Site\s*\n\s*\{", "End Site {", text)
+        variant = variant.replace("Frames: ", "Frames:")
+        variant = _re.sub(
+            r"OFFSET ([-\d.e]+) ([-\d.e]+) ([-\d.e]+)",
+            lambda m: "OFFSET " + " ".join(
+                f"{float(g):e}" for g in m.groups()),
+            variant)
+        assert "e+" in variant  # the %e form actually exercises '+'
+        vpath = str(tmp_path / "variant.bvh")
+        open(vpath, "w").write(variant)
+        a = read_bvh(path)
+        b = read_bvh(vpath)
+        assert a.bones == b.bones
+        np.testing.assert_array_equal(a.parents, b.parents)
+        np.testing.assert_allclose(b.offsets, a.offsets, atol=1e-5)
+        np.testing.assert_allclose(b.quats, a.quats, atol=1e-5)
+
+    def test_save_bvh_keeps_anim_frametime(self, tmp_path):
+        anim = self._make_anim()
+        anim.frametime = 1 / 60
+        path = str(tmp_path / "ft.bvh")
+        save_bvh(path, anim)  # no explicit frametime -> anim's own
+        assert abs(read_bvh(path).frametime - 1 / 60) < 1e-6
+
     def test_read_bvh_order_override(self, tmp_path):
         """The reference-API `order` argument overrides declared channels."""
         anim = self._make_anim()
