@@ -65,17 +65,17 @@ def longform_sample(
     n_windows, stride = plan_windows(n_frames, window, overlap)
     if content is not None:
         content = np.asarray(content, np.float32)
+        # default mask BEFORE padding: pad frames must be mask=0 (generated)
+        # like the explicit-mask path, not frozen synthetic zeros
+        content_mask = (np.ones_like(content) if content_mask is None
+                        else np.asarray(content_mask, np.float32))
         need = window + (n_windows - 1) * stride
         if content.shape[-1] < need:
             pad = np.zeros(content.shape[:-1] + (need - content.shape[-1],),
                            np.float32)
             content = np.concatenate([content, pad], axis=-1)
-            if content_mask is not None:
-                content_mask = np.concatenate(
-                    [np.asarray(content_mask, np.float32),
-                     np.zeros_like(pad)], axis=-1)
-        content_mask = (np.ones_like(content) if content_mask is None
-                        else np.asarray(content_mask, np.float32))
+            content_mask = np.concatenate([content_mask,
+                                           np.zeros_like(pad)], axis=-1)
 
     def window_inputs(k: int, prev_tail):
         off = k * stride
@@ -102,5 +102,7 @@ def longform_sample(
                          np.float32)
         # the inpainting blend guarantees out[..., :overlap] == tail exactly
         chunks.append(out if k == 0 else out[..., overlap:])
-        tail = out[..., -overlap:]
+        # overlap=0 (independent windows): out[..., -0:] would be the FULL
+        # window, corrupting the next init's empty slice assignment
+        tail = out[..., -overlap:] if overlap else None
     return np.concatenate(chunks, axis=-1)[..., :n_frames]

@@ -8,7 +8,6 @@ in the mesh.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -19,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from motionstyle.diffusion import sampling
 from motionstyle.diffusion.ddpm import Inpainting, ModelFn
 from motionstyle.diffusion.schedule import DiffusionSchedule
-from motionstyle.parallel.mesh import batch_spec, shard_batch, shard_params
+from motionstyle.parallel.mesh import shard_batch, shard_params
 
 
 class ShardedSampler:
@@ -77,6 +76,15 @@ class ShardedSampler:
         return cls(mesh, sched, model_fn_builder, params, method="ddim",
                    skip_timesteps=14, stop_timesteps=4, dump_all_xstart=True)
 
+    def needs_step_noise(self) -> bool:
+        """False when the configured chain never consumes per-step noise:
+        DDIM at eta=0 multiplies it by sigma=0 (sampling.py:_ddim_update),
+        so pinning the (S, B, C, 1, T) stack would be pure waste on the hot
+        serving path — the init noise alone pins the result bit-exactly."""
+        kw = self.sample_kwargs
+        return not (kw.get("method") == "ddim"
+                    and float(kw.get("eta", 0.0)) == 0.0)
+
     def n_live_steps(self) -> int:
         """Scan length implied by this sampler's skip/stop kwargs (the
         pinned step-noise stack must cover exactly these steps)."""
@@ -109,10 +117,11 @@ class ShardedSampler:
                     keys = jax.vmap(jax.random.PRNGKey)(item_seeds)
                     noise = jax.vmap(lambda k: jax.random.normal(
                         jax.random.fold_in(k, 0), item_shape, jnp.float32))(keys)
-                    per_item = jax.vmap(lambda k: jax.random.normal(
-                        jax.random.fold_in(k, 1), (n_steps,) + item_shape,
-                        jnp.float32))(keys)
-                    step_noise = jnp.moveaxis(per_item, 0, 1)  # (S, B, ...)
+                    if self.needs_step_noise():
+                        per_item = jax.vmap(lambda k: jax.random.normal(
+                            jax.random.fold_in(k, 1), (n_steps,) + item_shape,
+                            jnp.float32))(keys)
+                        step_noise = jnp.moveaxis(per_item, 0, 1)  # (S, B, ...)
                 pinned = ({} if noise is None else {"noise": noise}) | \
                     ({} if step_noise is None else {"step_noise": step_noise})
                 if self.parallel_window > 0:

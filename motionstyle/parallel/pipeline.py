@@ -24,7 +24,6 @@ collectives inside the layer, which this model's size does not motivate.)
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

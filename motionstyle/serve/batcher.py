@@ -51,7 +51,9 @@ class DynamicBatcher:
     """Coalesce submit()ed items into run_batch calls on a worker thread.
 
     run_batch(items: list) -> list of per-item results (same order/length).
-    Exceptions from run_batch propagate to every waiting future of the batch.
+    An Exception INSTANCE in the result list fails just that item's future
+    (per-group isolation — serve/engine.py:_run_groups); an exception
+    RAISED by run_batch propagates to every waiting future of the batch.
     """
 
     def __init__(self, run_batch: Callable, max_batch: int = 8,
@@ -158,4 +160,7 @@ class DynamicBatcher:
                         fut.set_exception(ex)
                 continue
             for (_, fut), res in zip(pairs, results):
-                fut.set_result(res)
+                if isinstance(res, Exception):
+                    fut.set_exception(res)
+                else:
+                    fut.set_result(res)

@@ -67,6 +67,15 @@ class ServingEngine:
                  buckets: Sequence[int] = (1, 2, 4, 8),
                  deterministic: bool = False, pin_host_noise: bool = False,
                  max_queue: int = 0, dump_pick: int = -1):
+        if getattr(sampler, "parallel_window", 0) > 0:
+            # fail at construction, not at the first request's trace (and
+            # never silently under python -O): the engine ALWAYS pins
+            # per-item noise, which the Picard sampler cannot honor
+            raise ValueError(
+                "ServingEngine requires per-item pinned noise, which "
+                "parallel_window samplers do not support; serve the "
+                "sequential sampler (it is also the measured-faster one "
+                "on TPU — BASELINE.md)")
         self.sampler = sampler
         self.item_shape = tuple(item_shape)
         self.pin_host_noise = pin_host_noise
@@ -117,20 +126,27 @@ class ServingEngine:
 
     @staticmethod
     def _compat_key(r: Request):
-        """Requests sharing a device batch must agree on structure."""
-        return (tuple(sorted(r.cond)), r.init_image is not None,
-                r.inpainting_mask is not None)
+        """Requests sharing a device batch must agree on structure AND cond
+        shapes — two requests with the same cond key at different shapes
+        must not land in one np.stack."""
+        return (tuple((k, tuple(np.shape(v))) for k, v in sorted(r.cond.items())),
+                r.init_image is not None, r.inpainting_mask is not None)
 
     def _run_groups(self, items: list) -> list:
         """Split a coalesced batch into structurally compatible groups (a
         mixed-endpoint queue must not break shape/key homogeneity), run each,
-        and restore submission order."""
+        and restore submission order. A group that fails maps its OWN items
+        to the exception (the batcher set_exception()s those futures) —
+        co-batched groups keep their results instead of sharing the blast."""
         groups: dict = {}
         for i, r in enumerate(items):
             groups.setdefault(self._compat_key(r), []).append(i)
         results = [None] * len(items)
         for idxs in groups.values():
-            out = self._run([items[i] for i in idxs])
+            try:
+                out = self._run([items[i] for i in idxs])
+            except Exception as ex:  # noqa: BLE001 — isolated per group
+                out = [ex] * len(idxs)
             for i, res in zip(idxs, out):
                 results[i] = res
         return results
@@ -156,7 +172,10 @@ class ServingEngine:
         if self.pin_host_noise:
             per = [self._item_noise(r.seed) for r in padded]
             batch["noise"] = np.stack([p[0] for p in per])
-            batch["step_noise"] = np.stack([p[1] for p in per], axis=1)
+            if self.sampler.needs_step_noise():
+                # DDIM eta=0 never consumes the per-step stack (sigma=0);
+                # skip materializing/shipping S x B x C x T on the hot path
+                batch["step_noise"] = np.stack([p[1] for p in per], axis=1)
         else:
             batch["item_seeds"] = np.asarray([r.seed for r in padded], np.int32)
         if padded[0].init_image is not None:

@@ -82,22 +82,28 @@ class MotionServer:
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
+        self._serving = False
 
     @property
     def port(self) -> int:
         return self.httpd.server_address[1]
 
     def start_background(self):
+        self._serving = True
         self._thread = threading.Thread(target=self.httpd.serve_forever,
                                         daemon=True)
         self._thread.start()
         return self
 
     def serve_forever(self):
+        self._serving = True
         self.httpd.serve_forever()
 
     def close(self):
-        self.httpd.shutdown()
+        if self._serving:
+            # shutdown() waits on an event only a running serve_forever loop
+            # sets — calling it on a never-started server deadlocks forever
+            self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)

@@ -68,6 +68,36 @@ class TestLongformSample:
         # windows must differ (not a frozen repeat of window 0)
         assert np.abs(out[..., :50] - out[..., 66:116]).max() > 1e-3
 
+    def test_overlap_zero_independent_windows(self, sampler_setup):
+        """overlap=0 is legal (independent windows): out[..., -0:] must not
+        be treated as a full-window tail (regression: broadcast crash on
+        window 1)."""
+        run_window, sampler, (C, W) = sampler_setup
+        out = longform_sample(run_window, 2 * W, W, overlap=0,
+                              rng=jax.random.PRNGKey(2))
+        assert out.shape == (2, C, 1, 2 * W)
+        assert np.isfinite(out).all()
+
+    def test_default_mask_padding_is_generated(self, sampler_setup):
+        """Free continuation PAST the content (content shorter than
+        n_frames, content_mask=None): the frames beyond the content must be
+        GENERATED, not pinned to the synthetic zero padding (regression:
+        the default ones-mask was built after zero-padding, freezing the
+        continuation at exactly 0)."""
+        run_window, sampler, (C, W) = sampler_setup
+        r = np.random.RandomState(3)
+        n_content, n_frames = W + 20, W + 66  # 2 windows; tail past content
+        content = r.randn(2, C, 1, n_content).astype(np.float32)
+        out = longform_sample(run_window, n_frames, W, overlap=10,
+                              rng=jax.random.PRNGKey(3), content=content)
+        assert out.shape == (2, C, 1, n_frames)
+        # real frames are mask=1: echoed exactly
+        np.testing.assert_allclose(out[..., :n_content], content, atol=1e-5)
+        # continuation frames are sampled, not the frozen zero padding
+        tail = out[..., n_content:]
+        assert np.isfinite(tail).all()
+        assert np.abs(tail).max() > 1e-3, "continuation pinned to zero pad"
+
     def test_overlap_frames_continue_exactly(self, sampler_setup):
         """Window k's first `overlap` frames equal window k-1's tail — the
         stitched sequence has no seam by construction."""

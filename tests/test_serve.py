@@ -296,6 +296,78 @@ class TestServeCLI:
             server.close()
 
 
+class TestEngineRobustness:
+    def test_malformed_cond_does_not_poison_cobatched(self, engine_setup):
+        """A request whose cond shape is wrong (here: enc_text of dim 9
+        against the model's 16) lands in its OWN group via the shape-aware
+        compat key and fails alone; the valid co-batched request succeeds."""
+        from motionstyle.serve.engine import Request
+
+        r = np.random.RandomState(0)
+        good = engine_setup.submit(_request(1))
+        mask = np.zeros((12, 1, 8), np.float32)
+        bad = engine_setup.submit(Request(
+            {"enc_text": r.randn(9).astype(np.float32)},
+            init_image=r.randn(12, 1, 8).astype(np.float32),
+            inpainting_mask=mask, seed=3))
+        assert np.isfinite(np.asarray(good.result(timeout=300))).all()
+        with pytest.raises(Exception):
+            bad.result(timeout=300)
+
+    def test_group_failure_is_isolated(self):
+        """A failing group fails ITS futures; co-batched groups keep their
+        results (the batcher honors Exception instances per item)."""
+        from motionstyle.serve.engine import Request, ServingEngine
+
+        eng = ServingEngine.__new__(ServingEngine)  # unit: stub the device run
+
+        def fake_run(items):
+            if items[0].cond["kind"].shape == (1,):
+                raise RuntimeError("bad group")
+            return [np.float32(7.0)] * len(items)
+
+        eng._run = fake_run
+        reqs = [Request({"kind": np.zeros(2, np.float32)}),
+                Request({"kind": np.zeros(1, np.float32)}),
+                Request({"kind": np.zeros(2, np.float32)})]
+        out = eng._run_groups(reqs)
+        assert out[0] == 7.0 and out[2] == 7.0
+        assert isinstance(out[1], RuntimeError)
+
+    def test_parallel_window_sampler_rejected_at_construction(self):
+        from motionstyle.parallel.inference import ShardedSampler
+        from motionstyle.serve.engine import ServingEngine
+
+        sampler = ShardedSampler.__new__(ShardedSampler)
+        sampler.parallel_window = 8
+        with pytest.raises(ValueError, match="parallel_window"):
+            ServingEngine(sampler, (12, 1, 8))
+
+    def test_ddim_eta0_skips_step_noise(self, engine_setup):
+        """The default serving chain (DDIM eta=0) never consumes per-step
+        noise; the sampler must say so and the pinned-noise contract must
+        still hold on the init noise alone (bit-equal per seed)."""
+        assert engine_setup.sampler.needs_step_noise() is False
+        a = np.asarray(engine_setup.sample(_request(11)))
+        b = np.asarray(engine_setup.sample(_request(11)))
+        np.testing.assert_array_equal(a, b)
+
+    def test_close_before_serve_does_not_deadlock(self, engine_setup):
+        import threading
+
+        from motionstyle.serve.server import MotionServer
+
+        class _Eng:
+            def close(self):
+                pass
+
+        srv = MotionServer(_Eng(), port=0, decode=lambda p: p)
+        done = threading.Event()
+        t = threading.Thread(target=lambda: (srv.close(), done.set()))
+        t.start()
+        assert done.wait(timeout=10), "close() deadlocked on unstarted server"
+
+
 class TestServeLongformMask:
     def test_time_varying_mask_built_at_full_length(self, tmp_path):
         """--inpainting_mask prefix is time-varying: the long-form serve
