@@ -78,6 +78,21 @@ def main(argv=None):
 
     validate_sampling_args(args)
 
+    # This CLI evaluates the PRIOR (denoiser_fn(style=False) below), so a
+    # checkpoint given as --model_path must populate the mdm subtree —
+    # build_model's --model_path slot loads STYLE-ENCODER weights, which
+    # the prior path never touches; routing it there would silently score
+    # a seeded-init prior (identical outputs for every checkpoint).
+    if getattr(args, "model_path", "") and not getattr(args, "mdm_path", ""):
+        args.mdm_path, args.model_path = args.model_path, ""
+
+    from motionstyle.utils import fixseed
+
+    # pin the GLOBAL numpy stream too: the loader's shuffle draws from it,
+    # so back-to-back in-process evals would otherwise see different data
+    # orders (run-to-run FID jitter with identical models)
+    fixseed(args.seed)
+
     max_frames = 196 if args.dataset in ("humanml", "bandai-1_posrot", "bandai-2_posrot") else 76
     loader = get_dataset_loader(args.dataset, args.batch_size, max_frames,
                                 split=args.split, data_root=args.data_dir or None)

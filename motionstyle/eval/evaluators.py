@@ -74,7 +74,7 @@ class WordVectorizer:
         return vec
 
     def __getitem__(self, item: str):
-        word, pos = item.split("/") if "/" in item else (item, "OTHER")
+        word, pos = item.rsplit("/", 1) if "/" in item else (item, "OTHER")
         if self.word2vec is not None:
             word_vec = self.word2vec.get(word, self.word2vec.get("unk", np.zeros(self.dim_word)))
         else:

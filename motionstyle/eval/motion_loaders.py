@@ -46,9 +46,14 @@ class GeneratedMotionDataset:
         nbatch = len(ground_truth_loader)
         if num_samples_limit is not None:
             nbatch = min(nbatch, num_samples_limit // ground_truth_loader.batch_size + 1)
-        if mm_num_samples > 0:
+        if mm_num_samples > 0 and mm_num_repeats > 0:
+            # clamp to the batches that exist (CompV6 path guards the same
+            # way); mm_num_repeats == 0 would yield no repeats AND drop the
+            # batch from generated_motion, so treat it as mm disabled
+            n_mm = min(mm_num_samples // ground_truth_loader.batch_size + 1,
+                       nbatch)
             mm_idxs = np.sort(np.random.RandomState(seed).choice(
-                nbatch, mm_num_samples // ground_truth_loader.batch_size + 1, replace=False))
+                nbatch, n_mm, replace=False))
         else:
             mm_idxs = []
 
@@ -278,7 +283,11 @@ def evaluate_matching_and_fid(
     mu_gt, cov_gt = metrics.calculate_activation_statistics(gt_motion)
     mu, cov = metrics.calculate_activation_statistics(gen_motion)
     out["FID"] = metrics.calculate_frechet_distance(mu_gt, cov_gt, mu, cov)
-    dt = min(diversity_times, len(gen_items) - 1)
+    dt = min(diversity_times, len(gen_items) - 1, len(gt_items) - 1)
+    if dt <= 0:
+        raise ValueError(
+            f"diversity needs >= 2 items per set (gt {len(gt_items)}, "
+            f"gen {len(gen_items)})")
     out["diversity_gt"] = metrics.calculate_diversity(gt_motion, dt, rng=np.random.RandomState(seed))
     out["diversity"] = metrics.calculate_diversity(gen_motion, dt, rng=np.random.RandomState(seed))
     return out

@@ -291,7 +291,9 @@ class CompV6Generator:
         movs, mus = [], []
         for i in range(mov_len):
             att_vec, _ = self.att.apply({"params": params["att"]}, h_dec[-1], word_hids)
-            tta = m_lens // self.unit_length - i
+            # clamp like train_step: shorter clips in a mixed-length batch
+            # must not index the pe table with negative steps
+            tta = jnp.maximum(m_lens // self.unit_length - i, 0)
             rng, sub = jax.random.split(rng)
             z, mu, logvar, h_pri = self.seq_pri.apply(
                 {"params": params["seq_pri"]}, jnp.concatenate([mov_in, att_vec], -1), h_pri, tta, sub)

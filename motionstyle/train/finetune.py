@@ -16,9 +16,7 @@ between this framework and the PyTorch implementation.
 from __future__ import annotations
 
 import os
-import re
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Optional
 
 import jax
@@ -77,9 +75,12 @@ def parse_resume_step_from_filename(filename: str) -> int:
 def find_resume_checkpoint(save_dir: str, mode: str = "model") -> Optional[str]:
     """Latest '{mode}NNNNNNNNN.pt' in save_dir; parity: training_loop.py:374."""
     files = [f for f in os.listdir(save_dir) if f.endswith(".pt") and f.startswith(mode)]
-    if not files:
+    # tolerate non-step names in the dir (e.g. pretrain.py's
+    # model_pretrained.pt) instead of crashing the resume scan
+    steps = sorted(int(f[len(mode): len(mode) + 9]) for f in files
+                   if f[len(mode): len(mode) + 9].isdigit())
+    if not steps:
         return None
-    steps = sorted(int(f[len(mode): len(mode) + 9]) for f in files)
     return os.path.join(save_dir, f"{mode}{steps[-1]:09d}.pt")
 
 
@@ -258,7 +259,8 @@ class StyleFinetuneTrainer:
         self.params, self.opt_state, terms = self._train_step(self.params, self.opt_state, sub, batch)
         self._log_terms(terms)
         self.step += 1
-        if (self.step - 1 + self.resume_step) % self.cfg.save_interval == 0:
+        if self.cfg.save_interval and \
+                (self.step - 1 + self.resume_step) % self.cfg.save_interval == 0:
             self.save()
         elif getattr(self, "preempted", False):
             self.save()  # step boundary save on SIGTERM/SIGINT
@@ -276,7 +278,9 @@ class StyleFinetuneTrainer:
             for k, v in terms.items():
                 self.platform.report_scalar(
                     name=k, value=float(np.asarray(v).mean()),
-                    iteration=self.step, group_name="Loss",
+                    # same step the KV logger reports: resume-offset, and
+                    # step is pre-increment here (called before step += 1)
+                    iteration=self.step + self.resume_step, group_name="Loss",
                 )
 
     # ------------------------------------------------------------------

@@ -6,6 +6,8 @@ reference's optional import would need).
 """
 from __future__ import annotations
 
+import os
+
 
 class TrainPlatform:
     def __init__(self, save_dir):
@@ -43,15 +45,16 @@ class ClearmlPlatform(TrainPlatform):
         try:
             from clearml import Task
 
-            path, name = save_dir.rsplit("/", 1)
+            name = os.path.basename(os.path.normpath(save_dir)) or save_dir
             self.task = Task.init(project_name="motionstyle", task_name=name)
             self.logger = self.task.get_logger()
-        except ImportError:
-            print("clearml not installed; falling back to NoPlatform behavior")
+        except Exception as ex:  # degrade to no-op like the docstring says
+            print(f"clearml unavailable ({type(ex).__name__}: {ex}); "
+                  "falling back to NoPlatform behavior")
             self.task = None
             self.logger = None
 
-    def report_scalar(self, name, value, iteration, group_name):
+    def report_scalar(self, name, value, iteration, group_name=None):
         if self.logger is not None:
             self.logger.report_scalar(title=group_name, series=name, iteration=iteration, value=value)
 

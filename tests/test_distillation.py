@@ -121,15 +121,25 @@ class TestDistillCLI:
             ["mdm_4step.pt", "mdm_2step.pt"]
         assert all(os.path.exists(p) for p in paths)
 
-        out = eval_main([
+        eval_argv = [
             "--dataset", "stylexia_posrot", "--data_dir", distill_root,
-            "--model_path", paths[-1], "--layers", "1", "--latent_dim", "32",
+            "--layers", "1", "--latent_dim", "32",
             "--diffusion_steps", "8", "--timestep_respacing", "ddim2",
             "--use_ddim", "1", "--num_samples", "2", "--batch_size", "2",
             "--replication_times", "1", "--guidance_param", "1.0",
-        ])
+        ]
+        out = eval_main(eval_argv + ["--model_path", paths[-1]])
         assert {"FID", "matching_score", "diversity"}.issubset(out), out
         assert all(np.isfinite(v) for v in out.values()), out
+
+        # --model_path on this PRIOR-eval CLI must reach the mdm subtree:
+        # identical metrics to --mdm_path, and different from the seeded
+        # prior (regression: it used to load the style-encoder slot, so
+        # every checkpoint silently scored the same seeded-init prior)
+        via_mdm = eval_main(eval_argv + ["--mdm_path", paths[-1]])
+        assert out == via_mdm, (out, via_mdm)
+        seeded = eval_main(eval_argv)
+        assert out["FID"] != seeded["FID"], "checkpoint did not change eval"
 
     def test_guided_distillation_differs_from_plain(self, distill_root,
                                                     tmp_path):

@@ -134,6 +134,98 @@ def run_guided_arm(work: str, *, w: float = 2.5, stages: int = 4,
     return dict(assets=assets, students=students, results=results)
 
 
+def _load_prior(assets: dict, model_path: str, respacing: str):
+    """(model_fn, sched, encode_text) for one checkpoint on one DDIM grid,
+    via the same CLI machinery eval_metrics uses."""
+    from argparse import ArgumentParser
+
+    from motionstyle.cli import model_util
+    from motionstyle.cli.parser_util import (
+        add_base_options,
+        add_data_options,
+        add_diffusion_options,
+        add_model_options,
+    )
+
+    p = ArgumentParser()
+    add_base_options(p)
+    add_data_options(p)
+    add_diffusion_options(p)
+    add_model_options(p)
+    args = p.parse_args([
+        "--dataset", "stylexia_posrot", "--data_dir", assets["data_root"],
+        "--layers", str(assets["layers"]),
+        "--latent_dim", str(assets["latent_dim"]),
+        "--diffusion_steps", str(assets["diffusion_steps"]),
+    ])
+    # the PRIOR subtree is what we sample: load via mdm_path (model_path
+    # is build_model's style-encoder slot — eval_metrics maps it the same)
+    args.model_path = ""
+    args.mdm_path = model_path
+    args.semantic_discriminator_path = ""
+    bundle, sched, _ = model_util.creat_serval_diffusion(args, respacing)
+    return bundle, sched
+
+
+def deviation_arm(assets: dict, students: list, *, batch: int = 32,
+                  seed: int = 0, guided: dict | None = None) -> dict:
+    """The SENSITIVE instrument: pinned-init deviation from the teacher's
+    full-grid DDIM ODE (eta=0 is deterministic given init noise + cond, so
+    every delta is attributable to the grid/checkpoint — the methodology of
+    BASELINE.md's int8/forecast deviation rows). Reports rel-L2 and corr vs
+    the teacher's 64-step output for each student on its own grid and for
+    the UNDISTILLED teacher forced onto the same small grids (the control
+    the students must beat — the FID arm cannot separate them at protocol
+    scale). `guided={"w": 2.5, "students": [...]}` additionally scores the
+    guided arm against the teacher's cfg-w full chain."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from motionstyle.diffusion import sampling
+    from motionstyle.diffusion.ddpm import cfg_model_fn
+
+    t = assets["diffusion_steps"]
+    bundle, _ = _load_prior(assets, assets["mdm_path"], f"ddim{t}")
+    texts = [f"a person performs motion {i}" for i in range(batch)]
+    enc = bundle.encode_text(texts, "stylexia_posrot")
+    njoints = 181
+    init = jax.random.normal(jax.random.PRNGKey(seed),
+                             (batch, njoints, 1, 60), jnp.float32)
+
+    def run(model_path: str, grid: int, w: float = 0.0):
+        b, sched = _load_prior(assets, model_path, f"ddim{grid}")
+        fn = b.denoiser_fn(style=False)
+        if w > 0:
+            fn = cfg_model_fn(fn, jnp.full((batch,), w))
+        # same init noise on every grid: respaced chains share t_max
+        return np.asarray(sampling.sample_loop(
+            sched, fn, {"enc_text": enc}, jax.random.PRNGKey(0),
+            noise=init, method="ddim"))
+
+    def dev(x, ref):
+        rel = float(np.linalg.norm(x - ref) / np.linalg.norm(ref))
+        corr = float(np.corrcoef(x.ravel(), ref.ravel())[0, 1])
+        return {"rel": round(rel, 4), "corr": round(corr, 5)}
+
+    ref = run(assets["mdm_path"], t)
+    out = {}
+    grids = [t // 2 ** (k + 1) for k in range(len(students))]
+    for grid in grids:
+        out[f"teacher_ddim{grid}"] = dev(run(assets["mdm_path"], grid), ref)
+    for path, grid in zip(students, grids):
+        out[f"student_ddim{grid}"] = dev(run(path, grid), ref)
+    if guided:
+        w = guided["w"]
+        gref = run(assets["mdm_path"], t, w=w)
+        gs = guided["students"][-1]
+        ggrid = grids[len(guided["students"]) - 1]
+        out[f"gstudent_ddim{ggrid}_vs_cfg{w:g}"] = dev(run(gs, ggrid), gref)
+        out[f"plain_student_cfg{w:g}_vs_cfg{w:g}"] = dev(
+            run(students[len(guided["students"]) - 1], ggrid, w=w), gref)
+    return out
+
+
 def format_markdown(out: dict) -> str:
     lines = [
         "| config | evals/clip | FID | matching | gen R@1 | diversity |",
@@ -166,7 +258,27 @@ def main(argv=None):
                     help="> 0: skip prepare+plain ladder; run the guided-"
                          "distillation arm at this cfg scale on an "
                          "existing --work dir")
+    ap.add_argument("--deviation_only", action="store_true",
+                    help="score existing checkpoints in --work with the "
+                         "pinned-init deviation instrument (optionally "
+                         "with --guided_w for the guided pair)")
+    ap.add_argument("--guided_w", default=0.0, type=float)
     args = ap.parse_args(argv)
+    if args.deviation_only:
+        assets = load_assets(args.work, diffusion_steps=2 ** args.stages * 4,
+                             seed=args.seed)
+        t = assets["diffusion_steps"]
+        students = [pjoin(args.work, "distilled", f"mdm_{t // 2 ** (k + 1)}step.pt")
+                    for k in range(args.stages)]
+        guided = None
+        if args.guided_w > 0:
+            gdir = pjoin(args.work, f"distilled_cfg{args.guided_w:g}")
+            gstudents = [pjoin(gdir, f"mdm_{t // 2 ** (k + 1)}step.pt")
+                         for k in range(args.stages)]
+            guided = {"w": args.guided_w, "students": gstudents}
+        out = deviation_arm(assets, students, seed=args.seed, guided=guided)
+        print(json.dumps(out, indent=2))
+        return out
     if args.guided_only > 0:
         out = run_guided_arm(
             args.work, w=args.guided_only, stages=args.stages,
