@@ -95,15 +95,21 @@ def p_mean_variance(
         model_output = model_output * (1.0 - inpainting.mask) + inpainting.motion * inpainting.mask
     pred_xstart = jnp.clip(model_output, -1.0, 1.0) if clip_denoised else model_output
     mean = q_posterior_mean(sched, pred_xstart, x, t)
-    if sigma_small:
-        log_variance = sched.extract(sched.posterior_log_variance_clipped, t, x.ndim)
-    else:
-        # FIXED_LARGE: log(append(posterior_variance[1], betas[1:]))
-        fixed_large = jnp.log(
-            jnp.concatenate([sched.posterior_variance[1:2], sched.betas[1:]])
-        )
-        log_variance = sched.extract(fixed_large, t, x.ndim)
+    log_variance = step_log_variance(sched, t, x.ndim, sigma_small)
     return PMeanVariance(mean, log_variance, pred_xstart)
+
+
+def step_log_variance(sched, t, ndim: int, sigma_small: bool):
+    """Per-step log variance table: FIXED_SMALL (clipped posterior) or
+    FIXED_LARGE = log(append(posterior_variance[1], betas[1:])) — the only
+    two configs the reference exercises. Shared with the forecast sampler
+    so the table cannot drift between paths."""
+    if sigma_small:
+        return sched.extract(sched.posterior_log_variance_clipped, t, ndim)
+    fixed_large = jnp.log(
+        jnp.concatenate([sched.posterior_variance[1:2], sched.betas[1:]])
+    )
+    return sched.extract(fixed_large, t, ndim)
 
 
 def masked_l2(a: jax.Array, b: jax.Array, mask: jax.Array) -> jax.Array:

@@ -5,7 +5,10 @@ A NEW capability beyond the reference (which samples its prior with a python
 DDIM loop only — diffusion/gaussian_diffusion.py:714-791): each stage trains
 a student, initialized from the teacher, whose ONE deterministic DDIM step
 matches TWO teacher DDIM steps, halving the sampling grid per stage
-(N -> N/2 -> ... -> 1). Unlike the training-free forecast sampler
+(N -> N/2 -> ...; grids of >= 4 steps are the supported ladder — the
+respaced grid tops out at original step T - T/N, so very short grids
+train on near-clean marginals while serving feeds pure noise there;
+run_stage warns when a stage crosses that line). Unlike the training-free forecast sampler
 (forecast_sampling.py) this costs a short finetune but compounds to far
 fewer denoiser evaluations at matched quality (measured in BASELINE.md with
 the in-framework-trained evaluator of cli/train_evaluator.py).
@@ -206,15 +209,30 @@ class ProgressiveDistiller:
         Returns the final loss; afterwards the student params are the new
         teacher."""
         assert n_teacher % 2 == 0 and n_teacher >= 2, n_teacher
+        n_student = n_teacher // 2
+        # the respaced grid tops out at original step T - T/N: the student's
+        # serving chain feeds pure N(0,1) at that index, which is only
+        # in-distribution while alphas_cumprod there is ~0. Deep ladders
+        # (grids < 4) train almost entirely on near-clean marginals while
+        # sampling starts from noise — warn instead of silently degrading.
+        top_acp = float(np.asarray(
+            self._stage_sched(n_student).alphas_cumprod)[-1])
+        if top_acp > 0.05:
+            print(f"WARNING: {n_student}-step grid tops out at "
+                  f"alphas_cumprod {top_acp:.3f} — sampling this student "
+                  "from pure noise is out of its training distribution; "
+                  "grids of >= 4 steps are the supported ladder")
         sched = self._stage_sched(n_teacher)
         step_fn = self._build_stage_step(
             sched, self.stage_guidance(self._stage_no))
         self._stage_no += 1
         opt_state = self.tx.init(self.params)
-        loss = float("nan")
+        loss = None
         step = 0
         while step < self.cfg.steps_per_stage:
+            yielded = False
             for motion, cond in data:
+                yielded = True
                 if step >= self.cfg.steps_per_stage:
                     break
                 self.rng, sub = jax.random.split(self.rng)
@@ -225,13 +243,20 @@ class ProgressiveDistiller:
                 }
                 self.params, opt_state, loss = step_fn(
                     self.params, self.teacher_params, opt_state, sub, batch)
-                loss = float(np.asarray(loss))
                 if self.cfg.log_interval and step % self.cfg.log_interval == 0:
+                    # host sync only when logging — an unconditional float()
+                    # here would serialize every dispatch through the relay
+                    loss_f = float(np.asarray(loss))
                     print(f"distill[{n_teacher}->{n_teacher//2}] "
-                          f"step[{step}]: loss[{loss:0.5f}]")
-                    logger.logkv(f"distill_{n_teacher}_loss", loss)
+                          f"step[{step}]: loss[{loss_f:0.5f}]")
+                    logger.logkv(f"distill_{n_teacher}_loss", loss_f)
                     logger.dumpkvs()
                 step += 1
+            if not yielded:
+                raise ValueError(
+                    "data yielded no batches — run_stage cycles its iterator "
+                    "until the stage budget, so it must be re-iterable")
+        loss = float("nan") if loss is None else float(np.asarray(loss))
         self.teacher_params = jax.tree_util.tree_map(
             lambda a: jnp.array(a, copy=True), self.params)
         return loss

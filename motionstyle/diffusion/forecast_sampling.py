@@ -149,13 +149,7 @@ def forecast_sample_loop(
         new_nevals = nevals + jnp.where(evalp, 1.0, 0.0)
 
         mean = ddpm.q_posterior_mean(sched, x0, x, t)
-        if sigma_small:
-            log_variance = sched.extract(sched.posterior_log_variance_clipped, t, x.ndim)
-        else:  # FIXED_LARGE, as in ddpm.p_mean_variance
-            fixed_large = jnp.log(
-                jnp.concatenate([sched.posterior_variance[1:2], sched.betas[1:]])
-            )
-            log_variance = sched.extract(fixed_large, t, x.ndim)
+        log_variance = ddpm.step_log_variance(sched, t, x.ndim, sigma_small)
         pmv = PMeanVariance(mean, log_variance, x0)
         noise_step = injected if inject_noise else jax.random.normal(sub, shape, dtype=x.dtype)
         if is_ddim:

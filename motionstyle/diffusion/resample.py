@@ -59,14 +59,19 @@ class LossSecondMomentResampler:
 
     def sample(self, rng: jax.Array, batch: int, data_range=None):
         w = self.weights()
+        support = self.num_timesteps
         if data_range is not None:
             keep = np.zeros_like(w)
             rng_idx = range(*(data_range if isinstance(data_range, tuple) else (0, data_range)))
             keep[list(rng_idx)] = 1.0
             w = w * keep
+            support = len(rng_idx)
         p = w / w.sum()
         t = jax.random.choice(rng, self.num_timesteps, shape=(batch,), p=jnp.asarray(p))
-        weights = 1.0 / (self.num_timesteps * jnp.asarray(p)[t])
+        # unbiased importance weights are 1/(|support| * p[t]) — using the
+        # full horizon for a restricted range would scale the loss by
+        # T/|range|
+        weights = 1.0 / (support * jnp.asarray(p)[t])
         return t.astype(jnp.int32), weights.astype(jnp.float32)
 
     def update_with_local_losses(self, ts, losses):

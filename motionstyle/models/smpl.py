@@ -139,7 +139,10 @@ def random_smpl_model(rng: np.random.RandomState, n_verts: int = 64) -> SMPLMode
         j_regressor=(np.abs(rng.rand(24, n_verts)) / n_verts).astype(np.float32),
         lbs_weights=(w / w.sum(-1, keepdims=True)).astype(np.float32),
         parents=parents,
-        j_regressor_extra=(np.abs(rng.rand(5, n_verts)) / n_verts).astype(np.float32),
+        # 9 extra rows like the real J_regressor_extra.npy, so every joint
+        # map (vibe tops out at index 53 = 24 + 21 + 9) works on the
+        # asset-free fallback too
+        j_regressor_extra=(np.abs(rng.rand(9, n_verts)) / n_verts).astype(np.float32),
     )
 
 
@@ -241,6 +244,14 @@ class SMPL:
         all_joints = jnp.concatenate([joints24, surface, extra], axis=1)
         out = {"vertices": verts}
         for name, idx in self.maps.items():
-            valid = idx[idx < all_joints.shape[1]]
-            out[name] = all_joints[:, valid]
+            if (idx >= all_joints.shape[1]).any():
+                # compacting the joint axis here would silently shift every
+                # later joint for fixed-index consumers (chains, ROOT
+                # lookups); the reference raises IndexError in this case too
+                raise IndexError(
+                    f"joint map '{name}' needs indices up to {int(idx.max())}"
+                    f" but only {all_joints.shape[1]} joints are available — "
+                    "is J_regressor_extra.npy missing next to the SMPL "
+                    "model?")
+            out[name] = all_joints[:, idx]
         return out
