@@ -228,14 +228,14 @@ def process_file(
     r_rot = quat_params[:, 0].copy()
     velocity = positions[1:, 0] - positions[:-1, 0]
     velocity = np.asarray(rot.qrot(jnp.asarray(r_rot[1:]), jnp.asarray(velocity)))
-    r_velocity = np.asarray(rot.qmul(jnp.asarray(r_rot[1:]), jnp.asarray(_qinv(r_rot[:-1]))))
+    r_velocity = np.asarray(rot.qmul(jnp.asarray(r_rot[1:]), jnp.asarray(rot.qinv_np(r_rot[:-1]))))
 
     # RIFKE local positions
     local_pos = positions.copy()
     local_pos[..., 0] -= local_pos[:, 0:1, 0]
     local_pos[..., 2] -= local_pos[:, 0:1, 2]
     local_pos = np.asarray(
-        rot.qrot(jnp.asarray(np.repeat(_qinv(r_rot)[:, None], local_pos.shape[1], axis=1)), jnp.asarray(local_pos))
+        rot.qrot(jnp.asarray(np.repeat(rot.qinv_np(r_rot)[:, None], local_pos.shape[1], axis=1)), jnp.asarray(local_pos))
     )
 
     root_y = local_pos[:, 0, 1:2]
@@ -246,7 +246,7 @@ def process_file(
     ric_data = local_pos[:, 1:].reshape(len(local_pos), -1)
     local_vel = np.asarray(
         rot.qrot(
-            jnp.asarray(np.repeat(_qinv(r_rot)[:-1, None], global_positions.shape[1], axis=1)),
+            jnp.asarray(np.repeat(rot.qinv_np(r_rot)[:-1, None], global_positions.shape[1], axis=1)),
             jnp.asarray(global_positions[1:] - global_positions[:-1]),
         )
     ).reshape(len(positions) - 1, -1)
@@ -283,16 +283,16 @@ def process_file_with_rotation(
     quat_params = quat_params.astype(np.float32)
     r_rot = quat_params[:, 0].copy()
     velocity = positions[1:, 0] - positions[:-1, 0]
-    velocity = np.asarray(rot.qrot(jnp.asarray(_qinv(r_rot[1:])), jnp.asarray(velocity)))
-    r_velocity = np.asarray(rot.qmul(jnp.asarray(r_rot[1:]), jnp.asarray(_qinv(r_rot[:-1]))))
+    velocity = np.asarray(rot.qrot(jnp.asarray(rot.qinv_np(r_rot[1:])), jnp.asarray(velocity)))
+    r_velocity = np.asarray(rot.qmul(jnp.asarray(r_rot[1:]), jnp.asarray(rot.qinv_np(r_rot[:-1]))))
 
     local_pos = positions.copy()
     local_pos[..., 0] -= local_pos[:, 0:1, 0]
     local_pos[..., 2] -= local_pos[:, 0:1, 2]
     local_pos = np.asarray(
-        rot.qrot(jnp.asarray(np.repeat(_qinv(r_rot)[:, None], local_pos.shape[1], axis=1)), jnp.asarray(local_pos))
+        rot.qrot(jnp.asarray(np.repeat(rot.qinv_np(r_rot)[:, None], local_pos.shape[1], axis=1)), jnp.asarray(local_pos))
     )
-    rotations[:, 0, :] = np.asarray(rot.qmul(jnp.asarray(_qinv(r_rot)), jnp.asarray(rotations[:, 0, :])))
+    rotations[:, 0, :] = np.asarray(rot.qmul(jnp.asarray(rot.qinv_np(r_rot)), jnp.asarray(rotations[:, 0, :])))
 
     root_y = local_pos[:, 0, 1:2]
     r_velocity_y = np.arcsin(r_velocity[:, 2:3])
@@ -328,7 +328,3 @@ def uniform_skeleton(
     return np.asarray(joints)
 
 
-def _qinv(q: np.ndarray) -> np.ndarray:
-    out = np.array(q, copy=True)
-    out[..., 1:] = -out[..., 1:]
-    return out

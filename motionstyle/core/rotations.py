@@ -348,6 +348,15 @@ def lerp(p0: jax.Array, p1: jax.Array, t) -> jax.Array:
     return p0 + jnp.asarray(t) * (p1 - p0)
 
 
+def qinv_np(q):
+    """Host-side unit-quaternion inverse (conjugate), (w,x,y,z)."""
+    import numpy as np
+
+    out = np.array(q, copy=True)
+    out[..., 1:] = -out[..., 1:]
+    return out
+
+
 def qfix_np(q):
     """Host-side (numpy) quaternion continuity fix over axis 0."""
     import numpy as np

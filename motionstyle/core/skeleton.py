@@ -181,13 +181,9 @@ class Skeleton:
                 v = v / np.maximum(vlen, 1e-8)
                 rot_u_v = np.asarray(rot.qbetween(jnp.asarray(u), jnp.asarray(v)))
                 rot_u_v = np.where(degenerate, np.asarray(rot.qmul(jnp.asarray(R), jnp.asarray(np.broadcast_to(ident, rot_u_v.shape)))), rot_u_v)
-                r_loc = np.asarray(rot.qmul(jnp.asarray(_qinv_np(R)), jnp.asarray(rot_u_v)))
+                r_loc = np.asarray(rot.qmul(jnp.asarray(rot.qinv_np(R)), jnp.asarray(rot_u_v)))
                 quat_params[:, chain[j + 1]] = r_loc
                 R = np.asarray(rot.qmul(jnp.asarray(R), jnp.asarray(r_loc)))
         return quat_params
 
 
-def _qinv_np(q):
-    out = np.array(q, copy=True)
-    out[..., 1:] = -out[..., 1:]
-    return out

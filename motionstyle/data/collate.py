@@ -128,7 +128,8 @@ def get_dataset_loader(name: str, batch_size: int, num_frames: int, split: str =
                 print("WARNING: --native_loader requested but the C++ ingest "
                       "library is unavailable (no toolchain?); using numpy path")
     if loader is None:
-        collate_fn = t2m_collate if name in ("humanml", "t2m") else t2m_style_collate
+        # kit items carry (caption, motion, len, tokens, name) like t2m
+        collate_fn = t2m_collate if name in ("humanml", "t2m", "kit") else t2m_style_collate
         loader = DataLoader(dataset, batch_size, collate_fn, shuffle=shuffle,
                             drop_last=True)
     if prefetch > 0:

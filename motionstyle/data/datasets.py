@@ -167,7 +167,10 @@ class StyleMotionDataset(_BaseMotionDataset):
         self.rng = rng or np.random.RandomState(0)
         is_xia = opt.dataset_name == "stylexia_posrot"
         offset = offset if offset is not None else (10 if is_xia else 40)
-        min_motion_len = 8 if is_xia else 40
+        # reference: StyleXia min=8 (dataset.py:387); BandaiDataset:213 is
+        # `40 if dataset_name in ['bandai-1','bandai-2'] else 24` — the
+        # posrot names this framework serves fall through to 24
+        min_motion_len = 8 if is_xia else 24
         subjects = self.SUBJECTS_XIA if is_xia else self.SUBJECTS_BANDAI
         if split == "eval":
             split = "test"
@@ -226,6 +229,12 @@ class StyleMotionDataset(_BaseMotionDataset):
         self.name_list = [name_list[i] for i in order]
         self.length_arr = np.array([length_list[i] for i in order])
         self.data_dict = data_dict
+        if not self.name_list and split == "test":
+            # the reference fails on its missing split import; an empty
+            # eval set silently reporting metrics over nothing is worse
+            raise SystemExit(
+                f"{opt.dataset_name} test split is empty -- provide the "
+                "splits file (see _load_test_list) or evaluate --split train")
 
     @staticmethod
     def _load_test_list(opt: DataOpt) -> list:
@@ -234,6 +243,9 @@ class StyleMotionDataset(_BaseMotionDataset):
         if os.path.exists(path):
             with open(path) as f:
                 return [l.strip() for l in f if l.strip()]
+        print(f"WARNING: no bandai split file at {path}; the reference pins "
+              "its held-out clips in dataset/bandaiN_split.py — without it "
+              "the test split is EMPTY and train uses every clip")
         return []
 
     def __len__(self):

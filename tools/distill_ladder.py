@@ -187,7 +187,15 @@ def deviation_arm(assets: dict, students: list, *, batch: int = 32,
 
     t = assets["diffusion_steps"]
     bundle, _ = _load_prior(assets, assets["mdm_path"], f"ddim{t}")
-    texts = [f"a person performs motion {i}" for i in range(batch)]
+    # in-distribution captions: the corpus' own synthesized texts (OOD
+    # captions would measure chaotic extrapolation, not grid fidelity)
+    from motionstyle.data.collate import get_dataset_loader
+
+    loader = get_dataset_loader("stylexia_posrot", batch, 60, split="train",
+                                data_root=assets["data_root"])
+    _, cond0 = next(iter(loader))
+    texts = list(cond0["y"]["text"])[:batch]
+    texts = (texts * (batch // max(1, len(texts)) + 1))[:batch]
     enc = bundle.encode_text(texts, "stylexia_posrot")
     njoints = 181
     init = jax.random.normal(jax.random.PRNGKey(seed),
