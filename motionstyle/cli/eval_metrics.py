@@ -96,6 +96,12 @@ def main(argv=None):
     max_frames = 196 if args.dataset in ("humanml", "bandai-1_posrot", "bandai-2_posrot") else 76
     loader = get_dataset_loader(args.dataset, args.batch_size, max_frames,
                                 split=args.split, data_root=args.data_dir or None)
+    if len(loader) == 0:
+        raise SystemExit(
+            f"{args.dataset} split '{args.split}' yields no batches — "
+            "metrics over nothing are meaningless (missing splits file? "
+            "batch_size larger than the split?); fix the split or use "
+            "--split train")
 
     bundle, sched_respaced, sched_full = model_util.creat_serval_diffusion(
         args, args.timestep_respacing)

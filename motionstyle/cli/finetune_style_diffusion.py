@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 from os.path import join as pjoin
 
 import jax
@@ -27,16 +26,14 @@ from motionstyle.cli.parser_util import finetune_inpainting_style_args
 from motionstyle.core import params as skel_params
 from motionstyle.core.features import recover_from_ric
 from motionstyle.core.skeleton import Skeleton
-from motionstyle.data import masks as mask_lib
 from motionstyle.data.collate import (
-    collate,
     get_dataset_loader,
     lengths_to_mask,
     require_batches,
 )
 from motionstyle.data.masks import BVH_JOINT_NAMES, get_inpainting_mask
 from motionstyle.diffusion import sampling
-from motionstyle.diffusion.ddpm import Inpainting, cfg_model_fn
+from motionstyle.diffusion.ddpm import Inpainting
 from motionstyle.train import logging as logger
 from motionstyle.train import platforms
 from motionstyle.train.finetune import FinetuneConfig, StyleFinetuneTrainer
@@ -66,7 +63,9 @@ def skeleton_assets(dataset: str):
 
 
 def style_caption(dataset: str, style_example: str):
-    """Neutral-content caption + style word; parity: f_s_d.py:113-138."""
+    """Neutral-content caption + style word; parity: f_s_d.py:113-138.
+    Path-safe: only the example's basename carries the naming scheme."""
+    style_example = os.path.basename(style_example) if style_example else ""
     if dataset == "humanml":
         return "a figure skips in a circle", "happily"
     if dataset.startswith("bandai"):
@@ -107,7 +106,10 @@ def main(argv=None):
 
     if os.path.exists(args.save_dir) and not args.overwrite and os.listdir(args.save_dir):
         raise FileExistsError(f"save_dir [{args.save_dir}] already exists.")
-    args.save_dir = pjoin(args.save_dir, args.style_example[:-4])
+    # basename: an absolute --style_example must not hijack save_dir
+    # (os.path.join discards the left side on absolute right operands)
+    args.save_dir = pjoin(args.save_dir,
+                          os.path.basename(args.style_example)[:-4])
     os.makedirs(args.save_dir, exist_ok=True)
     model_util.warn_if_clip_fallback(args)  # sets args.clip_fallback
     with open(pjoin(args.save_dir, "args.json"), "w") as fw:
@@ -152,16 +154,26 @@ def main(argv=None):
     enc_neutral = bundle.encode_text([caption], args.dataset)
     rng = jax.random.PRNGKey(args.seed)
     rng, sub = jax.random.split(rng)
-    # stop at 0.9T (the reference hardcodes 900 for T=1000, f_s_d.py:149)
-    xstarts = sampling.sample_loop(
-        sched_full, bundle.denoiser_fn(style=False), {"enc_text": enc_neutral}, sub,
-        shape=(1, bundle.cfg.njoints, bundle.cfg.nfeats, max_frames),
-        init_image=input_motions, method="ddpm",
-        skip_timesteps=0, stop_timesteps=int(0.9 * args.diffusion_steps),
-        inpainting=Inpainting(inp_mask, input_motions),
-        dump_all_xstart=True,
-    )
-    neutral = xstarts[-1]
+    if args.dataset == "humanml":
+        # the reference runs the FULL chain and keeps the final sample for
+        # humanml (f_s_d.py:155-167) — no early stop, no x0 pick
+        neutral = sampling.sample_loop(
+            sched_full, bundle.denoiser_fn(style=False), {"enc_text": enc_neutral}, sub,
+            shape=(1, bundle.cfg.njoints, bundle.cfg.nfeats, max_frames),
+            init_image=input_motions, method="ddpm",
+            inpainting=Inpainting(inp_mask, input_motions),
+        )
+    else:
+        # stop at 0.9T (the reference hardcodes 900 for T=1000, f_s_d.py:195)
+        xstarts = sampling.sample_loop(
+            sched_full, bundle.denoiser_fn(style=False), {"enc_text": enc_neutral}, sub,
+            shape=(1, bundle.cfg.njoints, bundle.cfg.nfeats, max_frames),
+            init_image=input_motions, method="ddpm",
+            skip_timesteps=0, stop_timesteps=int(0.9 * args.diffusion_steps),
+            inpainting=Inpainting(inp_mask, input_motions),
+            dump_all_xstart=True,
+        )
+        neutral = xstarts[-1]
 
     if not args.skip_render:
         _render_neutral(args, ds, neutral, input_motions, m_length, joint_num,
@@ -189,28 +201,11 @@ def main(argv=None):
         parallel_unroll=bool(getattr(args, "parallel_finetune", 0)),
         orbax_checkpoints=bool(getattr(args, "orbax_checkpoints", 0)),
     )
-    mesh = None
-    mp = max(1, getattr(args, "model_parallel", 1))
-    if getattr(args, "data_parallel", 0) or mp > 1:
-        import math
+    from motionstyle.parallel.mesh import cli_training_mesh
 
-        from motionstyle.parallel.mesh import make_mesh
-
-        ndev = len(jax.devices())
-        if ndev % mp != 0:
-            raise ValueError(
-                f"--model_parallel {mp} does not divide the visible device "
-                f"count {ndev}")
-        # data axis must divide the batch; use the largest common divisor
-        # of the devices left after the model axis takes its share
-        dp = (math.gcd(ndev // mp, max(1, args.batch_size))
-              if getattr(args, "data_parallel", 0) else 1)
-        if dp * mp > 1:
-            mesh = make_mesh(dp * mp, model_parallel=mp)
-            print(f"finetune sharded over a ({dp} data x {mp} model) mesh")
-        else:
-            print("--data_parallel: batch size shares no divisor with the "
-                  "device count; running single-device")
+    mesh = cli_training_mesh(bool(getattr(args, "data_parallel", 0)),
+                             getattr(args, "model_parallel", 1),
+                             args.batch_size, label="finetune")
     trainer = StyleFinetuneTrainer(ft_cfg, bundle.model, bundle.params, sched, platform,
                                    mesh=mesh)
     print("Total params: %.2fM trainable" % (
@@ -223,9 +218,16 @@ def main(argv=None):
         for motion, cond in data:
             if step >= args.num_steps or trainer.preempted:
                 break
-            # inject mask + style word into the dataset captions (semantic
-            # guidance; parity f_s_d.py:259-295 InpaintingDataLoader)
-            texts = [edit_caption_with_style(t, style_label, args.dataset) for t in cond["y"]["text"]]
+            # style word spliced into the dataset captions ONLY under
+            # semantic guidance (f_s_d.py:268-285 gates both families);
+            # humanml splices after each /VERB using the tokens
+            if args.semantic_guidance:
+                toks = cond["y"].get("tokens", [None] * len(cond["y"]["text"]))
+                texts = [edit_caption_with_style(t, style_label, args.dataset,
+                                                 tokens=tk)
+                         for t, tk in zip(cond["y"]["text"], toks)]
+            else:
+                texts = list(cond["y"]["text"])
             t2m_inp_mask = get_inpainting_mask(args.inpainting_mask, motion.shape, dataset=args.dataset)
             batch = {
                 "x_start": motion.astype(np.float32),
@@ -283,8 +285,10 @@ def _render_neutral(args, ds, neutral, input_motions, m_length, joint_num, skel,
 
     rng, sub = jax.random.split(rng)
     img = jax.random.normal(sub, neutral.shape, dtype=jnp.float32)
-    # the reference visualizes the q-sampled motion at t=701 of 1000
-    t_vis = jnp.full((neutral.shape[0],), int(0.701 * args.diffusion_steps), dtype=jnp.int32)
+    # the reference visualizes the q-sampled motion at t=701 of 1000 for
+    # the posrot datasets and t=301 for humanml (f_s_d.py:169/216)
+    frac = 0.301 if args.dataset == "humanml" else 0.701
+    t_vis = jnp.full((neutral.shape[0],), int(frac * args.diffusion_steps), dtype=jnp.int32)
     noised = ddpm_mod.q_sample(sched_full, neutral, t_vis, img,
                                inpainting=Inpainting(inp_mask, input_motions))
     for tag, arr, iters in (("generated_noised_neutral_motion", noised, 100),

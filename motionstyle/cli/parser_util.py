@@ -14,6 +14,18 @@ import os
 from argparse import ArgumentParser
 
 
+def _str2bool(v) -> bool:
+    """argparse type=bool treats ANY non-empty string (incl. 'False') as
+    True; accept the obvious spellings instead."""
+    if isinstance(v, bool):
+        return v
+    if str(v).lower() in ("1", "true", "t", "yes", "y"):
+        return True
+    if str(v).lower() in ("0", "false", "f", "no", "n"):
+        return False
+    raise ValueError(f"expected a boolean, got {v!r}")
+
+
 def parse_and_load_from_model(parser: ArgumentParser):
     add_data_options(parser)
     add_model_options(parser)
@@ -26,9 +38,21 @@ def parse_and_load_from_model(parser: ArgumentParser):
     args_to_overwrite = [a for a in args_to_overwrite
                          if a not in ("skip_render", "model_path", "output_dir", "fused",
                                       "parallel_window", "forecast_stride",
-                                      "forecast_order", "model_parallel", "quant_int8",
+                                      "forecast_order", "model_parallel",
+                                      "pipeline_parallel", "pipeline_micro",
+                                      "quant_int8",
                                       "native_loader", "prefetch", "style_strength",
                                       "style_mix", "long_frames")]
+    # ...and a flag the user EXPLICITLY passed must never be clobbered by
+    # the recorded value (e.g. a stale --mdm_path in args.json silently
+    # replacing a valid user-supplied prior path -> random-init fallback)
+    import sys
+
+    opt_to_dest = {opt: action.dest for action in parser._actions
+                   for opt in action.option_strings}
+    user_opts = {opt_to_dest[tok.split("=", 1)[0]] for tok in sys.argv[1:]
+                 if tok.startswith("--") and tok.split("=", 1)[0] in opt_to_dest}
+    args_to_overwrite = [a for a in args_to_overwrite if a not in user_opts]
 
     model_path = get_model_path_from_args()
     args_path = os.path.join(os.path.dirname(model_path), "args.json")
@@ -76,13 +100,13 @@ def add_diffusion_options(parser):
     group = parser.add_argument_group("diffusion")
     group.add_argument("--noise_schedule", default="cosine", choices=["linear", "cosine"], type=str)
     group.add_argument("--diffusion_steps", default=1000, type=int)
-    group.add_argument("--sigma_small", default=True, type=bool)
+    group.add_argument("--sigma_small", default=True, type=_str2bool)
 
 
 def add_model_options(parser):
     group = parser.add_argument_group("model")
     group.add_argument("--arch", default="trans_enc", choices=["trans_enc", "trans_dec", "gru"], type=str)
-    group.add_argument("--emb_trans_dec", default=False, type=bool)
+    group.add_argument("--emb_trans_dec", default=False, type=_str2bool)
     group.add_argument("--layers", default=8, type=int)
     group.add_argument("--latent_dim", default=512, type=int)
     group.add_argument("--cond_mask_prob", default=0.1, type=float)

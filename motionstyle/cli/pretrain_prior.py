@@ -67,21 +67,10 @@ def main(argv=None):
         "pretrain_prior")
     bundle, _, sched_full = model_util.creat_serval_diffusion(args)
 
-    mesh = None
-    mp = max(1, args.model_parallel)
-    if args.data_parallel or mp > 1:
-        import math
+    from motionstyle.parallel.mesh import cli_training_mesh
 
-        from motionstyle.parallel.mesh import make_mesh
-
-        ndev = len(jax.devices())
-        if ndev % mp != 0:
-            raise ValueError(f"--model_parallel {mp} does not divide {ndev} devices")
-        dp = (math.gcd(ndev // mp, max(1, args.batch_size))
-              if args.data_parallel else 1)
-        if dp * mp > 1:
-            mesh = make_mesh(dp * mp, model_parallel=mp)
-            print(f"pretraining sharded over a ({dp} data x {mp} model) mesh")
+    mesh = cli_training_mesh(bool(args.data_parallel), args.model_parallel,
+                             args.batch_size, label="pretraining")
 
     cfg = PretrainConfig(save_dir=args.save_dir, lr=args.lr,
                          weight_decay=args.weight_decay,

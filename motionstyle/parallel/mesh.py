@@ -24,6 +24,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def cli_training_mesh(data_parallel: bool, model_parallel: int,
+                      batch_size: int, label: str = "training"):
+    """The (data x model) mesh policy shared by the training CLIs
+    (finetune/pretrain): the model axis must divide the device count; the
+    data axis takes the largest divisor the batch supports. Returns None
+    for the single-device case. One implementation so the two CLIs cannot
+    drift."""
+    import math
+
+    import jax
+
+    mp = max(1, model_parallel)
+    if not data_parallel and mp <= 1:
+        return None
+    ndev = len(jax.devices())
+    if ndev % mp != 0:
+        raise ValueError(
+            f"--model_parallel {mp} does not divide the visible device "
+            f"count {ndev}")
+    dp = math.gcd(ndev // mp, max(1, batch_size)) if data_parallel else 1
+    if dp * mp > 1:
+        print(f"{label} sharded over a ({dp} data x {mp} model) mesh")
+        return make_mesh(dp * mp, model_parallel=mp)
+    print("--data_parallel: batch size shares no divisor with the device "
+          "count; running single-device")
+    return None
+
+
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
               pipeline_parallel: int = 1, sequence_parallel: int = 1) -> Mesh:
     """Build a ('data', 'model') mesh over the first n devices — or a
