@@ -22,8 +22,66 @@ def xia_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.fixture(scope="module")
+def hml_cli_root(tmp_path_factory):
+    """Tiny humanml-layout corpus (263-dim, texts with tokens) for the
+    humanml finetune chain; Text2MotionDatasetV2 needs {split}.txt +
+    texts/{name}.txt caption#tokens#f_tag#to_tag lines, clips >= 24."""
+    root = tmp_path_factory.mktemp("hml_cli")
+    (root / "new_joint_vecs").mkdir()
+    (root / "texts").mkdir()
+    r = np.random.RandomState(7)
+    names = [f"{i:06d}" for i in range(6)] + ["M008551"]
+    for name in names:
+        np.save(root / "new_joint_vecs" / f"{name}.npy",
+                (r.randn(48, 263) * 0.5).astype(np.float32))
+        cap = "a person walks forward happily"
+        toks = "a/DET person/NOUN walks/VERB forward/ADV happily/ADV"
+        (root / "texts" / f"{name}.txt").write_text(f"{cap}#{toks}#0.0#0.0\n")
+    for split in ("train", "test"):
+        (root / f"{split}.txt").write_text("\n".join(names) + "\n")
+    allc = np.concatenate([np.load(root / "new_joint_vecs" / f"{n}.npy")
+                           for n in names])
+    np.save(root / "Mean.npy", allc.mean(0).astype(np.float32))
+    np.save(root / "Std.npy", np.maximum(allc.std(0), 1e-3).astype(np.float32))
+    return str(root)
+
+
+class TestCaptionEdit:
+    def test_humanml_tokens_splice_after_verbs(self):
+        from motionstyle.cli.finetune_style_diffusion import edit_caption_with_style
+
+        # reference semantics (f_s_d.py:269-276): verb_idx = i-1 and insert
+        # at idx+1+j — the style word lands immediately BEFORE each verb
+        out = edit_caption_with_style(
+            "a person walks forward then jumps", "happily", "humanml",
+            tokens="a/DET_person/NOUN_walks/VERB_forward/ADV_then/ADV_jumps/VERB")
+        assert out == "a person happily walks forward then happily jumps"
+        # posrot scheme: drop the trailing style word, insert before last
+        assert edit_caption_with_style(
+            "a person is jumping neutral", "angry",
+            "stylexia_posrot") == "a person is angry jumping"
+
+
 @pytest.mark.slow
 class TestCLIPipeline:
+    def test_humanml_finetune_smoke(self, hml_cli_root, tmp_path):
+        """The humanml finetune branch (full-chain neutral generation from
+        the frozen prior, f_s_d.py:155-167; token-aware caption handling)
+        runs end to end and writes a checkpoint."""
+        from motionstyle.cli.finetune_style_diffusion import main as ft_main
+
+        save_dir = ft_main([
+            "--dataset", "humanml", "--save_dir", str(tmp_path / "fth"),
+            "--style_example", "M008551.npy", "--data_dir", hml_cli_root,
+            "--num_steps", "1", "--batch_size", "1", "--overwrite",
+            "--train_platform_type", "NoPlatform", "--skip_render",
+            "--layers", "1", "--latent_dim", "32", "--diffusion_steps", "20",
+            "--skip_steps", "14", "--semantic_guidance", "0",
+        ])
+        ckpts = sorted(f for f in os.listdir(save_dir) if f.startswith("model"))
+        assert ckpts and os.path.exists(os.path.join(save_dir, "args.json"))
+
     def test_finetune_then_demo(self, xia_root, tmp_path):
         from motionstyle.cli.demo_style_transfer import main as demo_main
         from motionstyle.cli.finetune_style_diffusion import main as ft_main
