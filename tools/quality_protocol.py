@@ -58,6 +58,12 @@ PROFILES = {
         dim=190, frames=196,
         fname=lambda idx, style, content:
             f"dataset-2_{content}_{style}_{idx:03d}.npy"),
+    # humanml: Text2MotionDatasetV2 corpus format (texts/{name}.txt with
+    # caption#tokens#f_tag#to_tag lines + {split}.txt), captions carry the
+    # style/content identity instead of the filename
+    "humanml": dict(
+        dim=263, frames=196, writer="t2m",
+        fname=lambda idx, style, content: f"{content}_{style}_{idx:06d}.npy"),
 }
 
 CONTENTS = {
@@ -173,6 +179,22 @@ def make_corpus(root: str, clips_per_pair: int = 8, seed: int = 0,
     np.save(pjoin(root, "Mean.npy"), stacked.mean(axis=0).astype(np.float32))
     np.save(pjoin(root, "Std.npy"),
             np.maximum(stacked.std(axis=0), 1e-3).astype(np.float32))
+    if profile.get("writer") == "t2m":
+        # Text2MotionDatasetV2 scan: texts/{name}.txt + {split}.txt; the
+        # caption carries the (content, style) identity
+        os.makedirs(pjoin(root, "texts"), exist_ok=True)
+        stems = []
+        for name in names:
+            stem = name[:-4]
+            content, style = stem.split("_")[0], stem.split("_")[1]
+            cap = f"a person is {content} {style}"
+            toks = "_".join(f"{w}/OTHER" for w in cap.split())
+            with open(pjoin(root, "texts", f"{stem}.txt"), "w") as f:
+                f.write(f"{cap}#{toks}#0.0#0.0\n")
+            stems.append(stem)
+        for split in ("train", "test"):
+            with open(pjoin(root, f"{split}.txt"), "w") as f:
+                f.write("\n".join(stems) + "\n")
     return names
 
 
@@ -290,13 +312,22 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
         shutil.copy(pjoin(ft_dir, "args.json"), pjoin(pre_dir, "args.json"))
         shutil.copy(assets["warm_path"], pjoin(pre_dir, "model000000000.pt"))
 
+    base_demo_args = []
+    if dataset == "humanml":
+        # the humanml demo GENERATES its content from the frozen prior;
+        # pass a real corpus caption (the filename-parse branch is
+        # xia/bandai-only)
+        stem = content_clip[:-4]
+        base_demo_args = ["--input_text",
+                          f"a person is {stem.split('_')[0]} {stem.split('_')[1]}"]
+
     def demo(model_path, out, extra=()):
         return demo_main([
             "--model_path", model_path, "--input_content", content_clip,
             "--style_example", style_example, "--data_dir", data_root,
             "--output_dir", pjoin(work, out), "--skip_render",
             "--seed", str(seed),
-        ] + list(extra))
+        ] + base_demo_args + list(extra))
 
     out_pre = demo(pjoin(pre_dir, "model000000000.pt"), f"demo_pre_{tag}")
     out_post = demo(final_ckpt, f"demo_post_{tag}")
@@ -308,8 +339,17 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
     def load_raw(name):
         return np.load(pjoin(data_root, "new_joint_vecs", name))
 
-    content = load_raw(content_clip)
     style_ex = load_raw(style_example)
+    if dataset == "humanml":
+        # the content motion is GENERATED from the frozen prior inside the
+        # demo (not saved); with a shared seed the pre- and post-finetune
+        # runs transfer the SAME generated content, so the pre output is
+        # the content anchor: root channels must agree exactly (both ride
+        # the root_horizontal inpainting of the same content) and style
+        # distance must drop post vs pre
+        content = load_hml(out_pre)
+    else:
+        content = load_raw(content_clip)
     rep_pre = transfer_report(load_hml(out_pre), content, style_ex)
     rep_post = transfer_report(load_hml(out_post), content, style_ex)
     ladder_reports = {}
