@@ -58,3 +58,23 @@ class TestStyleTransferQuality:
         shows no style movement."""
         assert protocol_result["pre"]["content_similarity"] > 0.8
         assert protocol_result["pre"]["style_dist_ratio"] > 0.92
+
+
+@pytest.mark.slow
+class TestHumanmlFamily:
+    def test_pipeline_executes_with_generated_content(self, tmp_path):
+        """--dataset humanml: the T2M-format corpus + generated-content
+        demo chain executes end to end at quick budgets, and the pre/post
+        outputs' root channels agree EXACTLY (both transfers inpaint the
+        same prior-generated content under a shared seed). Full-budget
+        numbers: QUALITY.md (ratio 1.00 -> 0.24)."""
+        from tools.quality_protocol import run_protocol
+
+        res = run_protocol(str(tmp_path / "hml"), dataset="humanml",
+                           prior_steps=30, finetune_steps=4,
+                           diffusion_steps=20, batch_size=4)
+        # pre is the self-anchor (content := pre output)
+        assert res["pre"]["style_dist_ratio"] == pytest.approx(1.0)
+        assert res["pre"]["root_horizontal_max_abs_err"] == 0.0
+        assert res["post"]["root_horizontal_max_abs_err"] < 1e-4
+        assert np.isfinite(res["post"]["style_dist_to_example"])
