@@ -39,10 +39,12 @@ def main(argv=None):
     fps = 12.5 if args.dataset == "kit" else 20
     joint_num = {"humanml": 22, "stylexia_posrot": 20}.get(args.dataset, 21)
 
-    out_path = args.output_dir or pjoin(
-        os.path.dirname(args.model_path),
-        f"style_transfer_from_stylexample_{name}_to_contentmotion_{args.input_content[:-4]}_seed{args.seed}",
-    )
+    # a run-specific subdirectory is ALWAYS nested (reference :42-52) —
+    # using --output_dir directly would rmtree the user's whole directory
+    run_name = (f"style_transfer_from_stylexample_{name}_to_contentmotion_"
+                f"{os.path.basename(args.input_content)[:-4]}_seed{args.seed}")
+    out_path = pjoin(args.output_dir or os.path.dirname(args.model_path),
+                     run_name)
     if args.input_text:
         out_path += "_" + args.input_text.replace(" ", "_").replace(".", "")
     if os.path.exists(out_path):
@@ -272,14 +274,6 @@ def main(argv=None):
             method="ddim", skip_timesteps=skip, stop_timesteps=ml_stop,
             dump_all_xstart=dump_all_xstart)
 
-    content_src = (long_ctx[0] if long_ctx is not None
-                   else np.asarray(sample_t2m))
-    content_denorm = ds.inv_transform(content_src[0, :, 0, :].T)
-    content_joints = np.asarray(recover_from_ric(jnp.asarray(content_denorm, dtype=jnp.float32), joint_num))
-    style_denorm = ds.inv_transform(np.asarray(input_motions)[0, :, 0, :].T)
-    style_joints = np.asarray(recover_from_ric(jnp.asarray(style_denorm, dtype=jnp.float32), joint_num))
-    ref_motion = content_joints[:m_length]
-
     all_motions, all_hml, all_lengths, all_text = [], [], [], []
     rng = jax.random.PRNGKey(args.seed)
     profile_ctx = None
@@ -361,6 +355,23 @@ def main(argv=None):
     from motionstyle.post.footskate import remove_fs
     from motionstyle.post.ik import fit_joints_bvh
     from motionstyle.post.render import plot_3d_motion
+
+    # render-only joint recovery lives AFTER the --skip_render return:
+    # headless runs must not pay these device dispatches
+    content_src = (long_ctx[0] if long_ctx is not None
+                   else np.asarray(sample_t2m))
+    content_denorm = ds.inv_transform(content_src[0, :, 0, :].T)
+    content_joints = np.asarray(recover_from_ric(jnp.asarray(content_denorm, dtype=jnp.float32), joint_num))
+    style_denorm = ds.inv_transform(np.asarray(input_motions)[0, :, 0, :].T)
+    style_joints = np.asarray(recover_from_ric(jnp.asarray(style_denorm, dtype=jnp.float32), joint_num))
+    ref_motion = content_joints[:m_length]
+    if args.dataset == "humanml":
+        # the prior-generated content skates; the reference pre-cleans it
+        # before using it as the contact reference (:213-214)
+        ref_motion, _, _, _ = remove_fs(ref_motion, ref_motion, bones,
+                                        ee_names, force_on_floor=False,
+                                        use_vel3=True, vel3_thr=0.02,
+                                        after_butterworth=True)
 
     print(f"saving visualizations to [{out_path}]...")
     if args.dataset != "humanml":

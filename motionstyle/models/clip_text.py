@@ -33,11 +33,14 @@ CONTEXT_LENGTH = 77
 SOT = VOCAB_SIZE - 2  # <|startoftext|>
 EOT = VOCAB_SIZE - 1  # <|endoftext|>
 
+# OpenAI's pattern uses \p{L}/\p{N} (the `regex` module); stdlib `re`
+# equivalents: [^\W\d_] is "unicode letter", \d is "unicode digit" under
+# re.UNICODE, and the catch-all must then exclude both plus whitespace —
+# an ascii-only letter class would split non-ASCII words (e.g. 'café' ->
+# 'caf' + 'é') into different BPE merges than clip.tokenize
 _WORD_RE = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-    if False  # regex module unavailable; use the ascii-safe equivalent below
-    else r"""'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
-    re.IGNORECASE,
+    r"""'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
+    re.IGNORECASE | re.UNICODE,
 )
 
 

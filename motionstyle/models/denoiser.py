@@ -265,18 +265,10 @@ class StyleDiffusion(nn.Module):
 
         x (B, C, F, T); frame_mask (B, T) with True = valid frame.
         """
-        B = x.shape[0]
-        T = x.shape[-1]
-        h = self.mdm.input_process(self.mdm._frames_to_tokens(x))
-        mu_tok = jnp.broadcast_to(self.mu_query[None], (B, 1, self.cfg.latent_dim))
-        sig_tok = jnp.broadcast_to(self.sigma_query[None], (B, 1, self.cfg.latent_dim))
-        xseq = jnp.concatenate([mu_tok, sig_tok, h], axis=1)
-        xseq = self.mdm._apply_pe(xseq, deterministic)
-        if frame_mask is None:
-            frame_mask = jnp.ones((B, T), dtype=bool)
-        kpm = jnp.concatenate([jnp.ones((B, 2), dtype=bool), frame_mask.astype(bool)], axis=1)
-        out = self.motion_enc_encoder(xseq, key_padding_mask=kpm, deterministic=deterministic)
-        return out[:, 0]  # mu
+        return _encode_motion_mu(self.mdm, self.mu_query, self.sigma_query,
+                                 self.motion_enc_encoder,
+                                 self.cfg.latent_dim, x, frame_mask,
+                                 deterministic)
 
     def denoise_with_motion_code(self, noised_x, timesteps, input_x,
                                  frame_mask=None, uncond=False,
@@ -341,17 +333,28 @@ class DiffuseTransfer(nn.Module):
         return self.mdm._tokens_to_frames(self.mdm.output_process(out)).astype(jnp.float32)
 
     def encode_motion(self, x, frame_mask=None, deterministic=True):
-        B, T = x.shape[0], x.shape[-1]
-        h = self.mdm.input_process(self.mdm._frames_to_tokens(x))
-        mu_tok = jnp.broadcast_to(self.mu_query[None], (B, 1, self.cfg.latent_dim))
-        sig_tok = jnp.broadcast_to(self.sigma_query[None], (B, 1, self.cfg.latent_dim))
-        xseq = jnp.concatenate([mu_tok, sig_tok, h], axis=1)
-        xseq = self.mdm._apply_pe(xseq, deterministic)
-        if frame_mask is None:
-            frame_mask = jnp.ones((B, T), dtype=bool)
-        kpm = jnp.concatenate([jnp.ones((B, 2), dtype=bool), frame_mask.astype(bool)], axis=1)
-        out = self.motion_enc_encoder(xseq, key_padding_mask=kpm, deterministic=deterministic)
-        return out[:, 0]
+        return _encode_motion_mu(self.mdm, self.mu_query, self.sigma_query,
+                                 self.motion_enc_encoder,
+                                 self.cfg.latent_dim, x, frame_mask,
+                                 deterministic)
+
+def _encode_motion_mu(mdm, mu_query, sigma_query, motion_encoder, latent_dim,
+                      x, frame_mask, deterministic):
+    """MotionEncoder.forward :90-124 -> mu (B, d); shared by StyleDiffusion
+    and DiffuseTransfer so the query-token/key-padding logic cannot drift."""
+    B, T = x.shape[0], x.shape[-1]
+    h = mdm.input_process(mdm._frames_to_tokens(x))
+    mu_tok = jnp.broadcast_to(mu_query[None], (B, 1, latent_dim))
+    sig_tok = jnp.broadcast_to(sigma_query[None], (B, 1, latent_dim))
+    xseq = jnp.concatenate([mu_tok, sig_tok, h], axis=1)
+    xseq = mdm._apply_pe(xseq, deterministic)
+    if frame_mask is None:
+        frame_mask = jnp.ones((B, T), dtype=bool)
+    kpm = jnp.concatenate([jnp.ones((B, 2), dtype=bool),
+                           frame_mask.astype(bool)], axis=1)
+    out = motion_encoder(xseq, key_padding_mask=kpm,
+                         deterministic=deterministic)
+    return out[:, 0]  # mu
 
 
 def mask_cond(rng: jax.Array, enc_text: jax.Array, cond_mask_prob: float) -> jax.Array:

@@ -64,7 +64,16 @@ def convert_encoder(sd: Dict[str, np.ndarray], prefix: str, num_layers: int) -> 
 
 
 def convert_mdm(sd: Dict[str, np.ndarray], cfg: MDMConfig) -> dict:
-    """Reference MDM state dict -> params for motionstyle MDM."""
+    """Reference MDM state dict -> params for motionstyle MDM.
+
+    trans_enc layout only — importing a trans_dec/gru checkpoint here would
+    assemble a broken param tree, so fail with a clear message instead."""
+    if cfg.arch != "trans_enc" or any(
+            k.startswith(("seqTransDecoder", "gru")) for k in sd):
+        raise NotImplementedError(
+            f"checkpoint import/export supports arch='trans_enc' only "
+            f"(cfg.arch={cfg.arch!r}); trans_dec/gru checkpoints need their "
+            "own key mapping")
     return {
         "input_process": _dense(sd, "input_process.poseEmbedding"),
         "embed_timestep": {
@@ -152,6 +161,10 @@ def export_mdm(params: dict, num_layers: int) -> Dict[str, np.ndarray]:
     checkpoint surgery the reference's externally-trained priors use
     (utils/model_util.py:9-23)."""
     tree = params["params"]["mdm"] if "params" in params else params.get("mdm", params)
+    if "seqTransEncoder" not in tree:
+        raise NotImplementedError(
+            "export_mdm supports the trans_enc layout only (no "
+            "seqTransEncoder subtree in these params)")
     sd: Dict[str, np.ndarray] = {}
     _export_dense(sd, "input_process.poseEmbedding", tree["input_process"])
     _export_dense(sd, "embed_timestep.time_embed.0", tree["embed_timestep"]["time_embed_0"])

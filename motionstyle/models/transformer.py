@@ -113,15 +113,26 @@ class TransformerDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, memory: jax.Array, deterministic: bool = True) -> jax.Array:
+        # dropout placement mirrors torch nn.TransformerDecoderLayer
+        # (dropout1/2/3 on each residual branch + FFN-interior dropout),
+        # matching the encoder layer above
         a = MultiheadSelfAttention(self.d_model, self.nhead, self.dropout, dtype=self.dtype,
                                    name="self_attn")(x, deterministic=deterministic)
+        if not deterministic:
+            a = nn.Dropout(self.dropout)(a, deterministic=False)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(x + a)
         c = MultiheadCrossAttention(self.d_model, self.nhead, dtype=self.dtype,
                                     name="multihead_attn")(x, memory)
+        if not deterministic:
+            c = nn.Dropout(self.dropout)(c, deterministic=False)
         x = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(x + c)
         h = nn.Dense(self.dim_feedforward, name="linear1", dtype=self.dtype)(x)
         h = nn.gelu(h, approximate=False)
+        if not deterministic:
+            h = nn.Dropout(self.dropout)(h, deterministic=False)
         h = nn.Dense(self.d_model, name="linear2", dtype=self.dtype)(h)
+        if not deterministic:
+            h = nn.Dropout(self.dropout)(h, deterministic=False)
         x = nn.LayerNorm(epsilon=1e-5, name="norm3", dtype=self.dtype)(x + h)
         return x
 

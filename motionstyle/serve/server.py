@@ -71,14 +71,19 @@ class MotionServer:
                 if self.path != "/v1/sample":
                     self._json(404, {"error": f"unknown path {self.path}"})
                     return
+                responded = False
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(n) or b"{}")
                     motion = outer.handle(payload)
+                    responded = True  # past here a failure is a WRITE
+                    # failure — never start a second response on the same
+                    # half-written/dead socket
                     self._json(200, {"motion": np.asarray(motion).tolist(),
                                      "seed": payload.get("seed", 0)})
                 except Exception as ex:  # surface as a JSON 500, keep serving
-                    self._json(500, {"error": f"{type(ex).__name__}: {ex}"})
+                    if not responded:
+                        self._json(500, {"error": f"{type(ex).__name__}: {ex}"})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
