@@ -50,8 +50,18 @@ def parse_and_load_from_model(parser: ArgumentParser):
 
     opt_to_dest = {opt: action.dest for action in parser._actions
                    for opt in action.option_strings}
-    user_opts = {opt_to_dest[tok.split("=", 1)[0]] for tok in sys.argv[1:]
-                 if tok.startswith("--") and tok.split("=", 1)[0] in opt_to_dest}
+
+    def _dest_of(tok: str):
+        name = tok.split("=", 1)[0]
+        if name in opt_to_dest:
+            return opt_to_dest[name]
+        # argparse accepts unambiguous prefix abbreviations (--skip_st):
+        # resolve them the same way so abbreviated flags are protected too
+        hits = {d for o, d in opt_to_dest.items() if o.startswith(name)}
+        return hits.pop() if len(hits) == 1 else None
+
+    user_opts = {_dest_of(tok) for tok in sys.argv[1:]
+                 if tok.startswith("--")} - {None}
     args_to_overwrite = [a for a in args_to_overwrite if a not in user_opts]
 
     model_path = get_model_path_from_args()

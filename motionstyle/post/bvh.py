@@ -145,7 +145,12 @@ def read_bvh(filename: str, start=None, end=None, end_sites: bool = False,
     # falls through to the strict parse, which raises like float() did.
     n_cols = sum(len(c) for c in joint_channels)
     flat = parse_floats("".join(motion_rows), allow_build=False)
-    if n_cols and len(flat) == len(motion_rows) * n_cols:
+    # valid counts: one physical line per frame, OR the header-declared
+    # frame count (exporters may wrap a frame across lines)
+    ok_counts = {len(motion_rows) * n_cols}
+    if frames is not None:
+        ok_counts.add(frames * n_cols)
+    if n_cols and len(flat) in ok_counts:
         motion = flat.reshape(-1, n_cols)
     else:  # ragged/odd files: preserve the strict row-major error behavior
         motion = np.array([r.split() for r in motion_rows], dtype=np.float32)

@@ -71,9 +71,13 @@ def fit_hmlvec_ik(
            iters, lr, sigma)
     if key not in cache:
         tx = optax.adam(lr, b1=0.9, b2=0.999)
+        # close over a weakref PROXY: a strong skeleton reference inside the
+        # cached runner would defeat the WeakKeyDictionary and leak every
+        # compiled runner for the process lifetime
+        skel = weakref.proxy(skeleton)
 
         def loss_fn(p, offs, target):
-            glb = skeleton.forward_kinematics_real_cont6d(
+            glb = skel.forward_kinematics_real_cont6d(
                 p["cont6d"], p["r_pos"], p["r_rot_quat"], offs
             )
             return gmof(glb - target, sigma).sum()

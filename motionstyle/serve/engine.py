@@ -151,10 +151,12 @@ class ServingEngine:
                 results[i] = res
         return results
 
-    def _item_noise(self, seed: int):
+    def _item_noise(self, seed: int, include_steps: bool = True):
         key = jax.random.PRNGKey(seed)
         init = jax.random.normal(jax.random.fold_in(key, 0), self.item_shape,
                                  dtype=np.float32)
+        if not include_steps:  # DDIM eta=0 never consumes the step stack
+            return np.asarray(init), None
         steps = jax.random.normal(jax.random.fold_in(key, 1),
                                   (self.n_steps,) + self.item_shape,
                                   dtype=np.float32)
@@ -170,11 +172,13 @@ class ServingEngine:
                 for k in cond_keys}
         batch = {"cond": cond}
         if self.pin_host_noise:
-            per = [self._item_noise(r.seed) for r in padded]
+            need_steps = self.sampler.needs_step_noise()
+            per = [self._item_noise(r.seed, include_steps=need_steps)
+                   for r in padded]
             batch["noise"] = np.stack([p[0] for p in per])
-            if self.sampler.needs_step_noise():
+            if need_steps:
                 # DDIM eta=0 never consumes the per-step stack (sigma=0);
-                # skip materializing/shipping S x B x C x T on the hot path
+                # skip generating/shipping S x B x C x T on the hot path
                 batch["step_noise"] = np.stack([p[1] for p in per], axis=1)
         else:
             batch["item_seeds"] = np.asarray([r.seed for r in padded], np.int32)

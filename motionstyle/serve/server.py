@@ -76,11 +76,16 @@ class MotionServer:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(n) or b"{}")
                     motion = outer.handle(payload)
-                    responded = True  # past here a failure is a WRITE
-                    # failure — never start a second response on the same
-                    # half-written/dead socket
-                    self._json(200, {"motion": np.asarray(motion).tolist(),
-                                     "seed": payload.get("seed", 0)})
+                    body = json.dumps({"motion": np.asarray(motion).tolist(),
+                                       "seed": payload.get("seed", 0)}).encode()
+                    responded = True  # body built: past here a failure is a
+                    # WRITE failure — never start a second response on the
+                    # same half-written/dead socket
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 except Exception as ex:  # surface as a JSON 500, keep serving
                     if not responded:
                         self._json(500, {"error": f"{type(ex).__name__}: {ex}"})

@@ -139,6 +139,27 @@ class TestBVH:
         np.testing.assert_allclose(b.offsets, a.offsets, atol=1e-5)
         np.testing.assert_allclose(b.quats, a.quats, atol=1e-5)
 
+    def test_motion_frames_wrapped_across_lines(self, tmp_path):
+        """Exporters may wrap a frame's floats over several physical lines;
+        the header-declared frame count disambiguates that from a truncated
+        table (which still raises)."""
+        anim = self._make_anim()
+        path = str(tmp_path / "ok.bvh")
+        save_bvh(path, anim, 1 / 20)
+        lines = open(path).read().splitlines()
+        first_row = next(i for i, l in enumerate(lines)
+                         if l.startswith("Frame Time")) + 1
+        row = lines[first_row].split()
+        half = len(row) // 2
+        wrapped = lines[:first_row] + [" ".join(row[:half]),
+                                       " ".join(row[half:])] + \
+            lines[first_row + 1:]
+        wpath = str(tmp_path / "wrapped.bvh")
+        open(wpath, "w").write("\n".join(wrapped) + "\n")
+        a, b = read_bvh(path), read_bvh(wpath)
+        np.testing.assert_allclose(b.quats, a.quats, atol=1e-5)
+        np.testing.assert_allclose(b.pos, a.pos, atol=1e-5)
+
     def test_save_bvh_keeps_anim_frametime(self, tmp_path):
         anim = self._make_anim()
         anim.frametime = 1 / 60
