@@ -82,6 +82,23 @@ class TestExporters:
         assert th.shape == (2, 4, 24, 3)
         assert np.asarray(out["root_translation"]).shape == (2, 4, 3)
 
+    def test_render_mesh_cli(self, tmp_path):
+        """cli/render_mesh.py end to end on a rot6d results.npy (no
+        SMPLify needed on the direct-rot6d path); parity:
+        visualize/render_mesh.py:1-33."""
+        from motionstyle.cli.render_mesh import main as rm_main
+
+        r = np.random.RandomState(7)
+        motion = r.randn(1, 25, 6, 3).astype(np.float32)
+        npy_path = str(tmp_path / "results.npy")
+        np.save(npy_path, {"motion": motion, "text": ["x"],
+                           "lengths": np.asarray([3]),
+                           "num_samples": 1, "num_repetitions": 1})
+        out_dir = rm_main(["--results", npy_path, "--num_smplify_iters", "2"])
+        objs = sorted(os.listdir(out_dir))
+        assert objs == ["frame000.obj", "frame001.obj", "frame002.obj"]
+        assert os.path.exists(str(tmp_path / "sample00_rep00_smpl_params.npy"))
+
     def test_npy2obj(self, smpl, tmp_path):
         r = np.random.RandomState(6)
         motion = r.randn(1, 25, 6, 4).astype(np.float32)
