@@ -200,6 +200,8 @@ def main(argv=None):
         resume_checkpoint=args.resume_checkpoint, seed=args.seed,
         parallel_unroll=bool(getattr(args, "parallel_finetune", 0)),
         orbax_checkpoints=bool(getattr(args, "orbax_checkpoints", 0)),
+        lora_rank=getattr(args, "lora_rank", 0),
+        lora_alpha=getattr(args, "lora_alpha", 0.0),
     )
     from motionstyle.parallel.mesh import cli_training_mesh
 
@@ -208,8 +210,9 @@ def main(argv=None):
                              args.batch_size, label="finetune")
     trainer = StyleFinetuneTrainer(ft_cfg, bundle.model, bundle.params, sched, platform,
                                    mesh=mesh)
+    trainable_key = "lora_style" if args.lora_rank else "style_encoder"
     print("Total params: %.2fM trainable" % (
-        sum(np.size(x) for x in jax.tree_util.tree_leaves(trainer.params["style_encoder"])) / 1e6))
+        sum(np.size(x) for x in jax.tree_util.tree_leaves(trainer.params[trainable_key])) / 1e6))
     trainer.install_preemption_handler()
 
     step = 0
@@ -248,7 +251,7 @@ def main(argv=None):
             step += 1
     trainer.finish()
     trainer.restore_signal_handlers()  # later signals kill normally again
-    bundle = bundle._replace(params={"params": trainer.params})
+    bundle = bundle._replace(params={"params": trainer.effective_params()})
     platform.close()
     if trainer.preempted:
         # don't burn the preemption grace period on eval/render — the

@@ -262,6 +262,22 @@ def apply_style_strength(bundle, args) -> bool:
     return True
 
 
+def apply_style_adapter(bundle, args, adapter_sd) -> None:
+    """Merge a LoRA adapter checkpoint (models/lora.py) onto the style
+    encoder the finetune STARTED from — the same base reconstruction
+    --style_strength/--style_mix use (_style_base: the run's recorded
+    resume_checkpoint when present, else the seeded init). The adapter file
+    is self-describing (rank from factor shapes, 'lora.alpha' scale)."""
+    from motionstyle.models import lora
+
+    factors, alpha = lora.import_lora(adapter_sd)
+    base = _style_base(bundle, args)
+    base = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), base)
+    bundle.params["params"]["style_encoder"] = lora.merge_lora(base, factors, alpha)
+    print(f"style adapter: merged rank-{lora.lora_rank(factors)} LoRA "
+          f"(alpha {alpha or lora.lora_rank(factors)}) onto the recorded base")
+
+
 def _maybe_load(path: str, what: str):
     if path and os.path.exists(path):
         print(f"loading {what} from {path}")
@@ -278,10 +294,15 @@ def build_model(args) -> ModelBundle:
     mdm_sd = _maybe_load(getattr(args, "mdm_path", ""), "MDM prior")
     sem_sd = _maybe_load(getattr(args, "semantic_discriminator_path", ""), "semantic discriminator")
     style_sd = None
+    adapter_sd = None
     model_path = getattr(args, "model_path", "")
     if model_path and os.path.exists(model_path):
         print(f"load style diffusion model: {model_path}")
         style_sd = load_torch_state_dict(model_path)
+        from motionstyle.models import lora
+
+        if lora.is_adapter_state_dict(style_sd):
+            adapter_sd, style_sd = style_sd, None
 
     model = StyleDiffusion(cfg)
     params = assemble_style_diffusion_params(
@@ -299,7 +320,10 @@ def build_model(args) -> ModelBundle:
     else:
         # deterministic seeded init so finetune and demo agree without assets
         clip_params = enc.init(jax.random.PRNGKey(42), jnp.zeros((1, 77), jnp.int32))
-    return ModelBundle(model, params, clip_params, cfg)
+    bundle = ModelBundle(model, params, clip_params, cfg)
+    if adapter_sd is not None:
+        apply_style_adapter(bundle, args, adapter_sd)
+    return bundle
 
 
 def creat_serval_diffusion(args, timestep_respacing: str = "") -> tuple:

@@ -184,6 +184,14 @@ def add_finetune_options(parser):
                             "sharded state (cross-topology restore; "
                             "train/checkpoints.py) next to the torch files")
     group.add_argument("--num_frames", default=60, type=int)
+    group.add_argument("--lora_rank", default=0, type=int,
+                       help="train rank-N LoRA factors on the style encoder's dense "
+                            "kernels instead of the full encoder (models/lora.py); "
+                            "writes a tiny adapter{step}.pt next to the merged "
+                            "reference-layout model{step}.pt. 0 = full finetune")
+    group.add_argument("--lora_alpha", default=0.0, type=float,
+                       help="LoRA scale numerator (merge scale = alpha/rank); "
+                            "0 defaults to rank, i.e. scale 1")
     group.add_argument("--resume_checkpoint", default="", type=str)
     group.add_argument("--skip_render", action="store_true",
                        help="skip the BVH/mp4 visualization outputs")

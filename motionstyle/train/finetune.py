@@ -16,7 +16,7 @@ between this framework and the PyTorch implementation.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 from typing import Optional
 
 import jax
@@ -59,6 +59,13 @@ class FinetuneConfig:
     # moments + step) alongside the torch-interop files; restores onto any
     # mesh topology (train/checkpoints.py)
     orbax_checkpoints: bool = False
+    # LoRA adapter finetuning (models/lora.py): rank > 0 trains factorized
+    # low-rank deltas on the style encoder's dense kernels instead of the
+    # full encoder — ~60x smaller per-style artifact at rank 8, with a tiny
+    # self-describing adapter{step:09d}.pt written next to the merged
+    # reference-layout model{step:09d}.pt. alpha 0 defaults to rank (scale 1).
+    lora_rank: int = 0
+    lora_alpha: float = 0.0
 
 
 def parse_resume_step_from_filename(filename: str) -> int:
@@ -107,12 +114,32 @@ class StyleFinetuneTrainer:
         self.preempted = False
         self.rng = jax.random.PRNGKey(cfg.seed)
 
+        self._pending_adapter = None
         if cfg.resume_checkpoint:
             self._load_checkpoint(cfg.resume_checkpoint)
 
-        # optimizer on the trainable subtree only (parameters_wo_enc parity)
+        if cfg.lora_rank > 0:
+            from motionstyle.models import lora
+
+            self.rng, lora_rng = jax.random.split(self.rng)
+            factors = lora.init_lora(lora_rng, self.params["style_encoder"], cfg.lora_rank)
+            if self._pending_adapter is not None:
+                factors, saved_alpha = lora.import_lora(self._pending_adapter)
+                got = lora.lora_rank(factors)
+                if got != cfg.lora_rank:
+                    raise ValueError(
+                        f"resume adapter has rank {got} but --lora_rank is "
+                        f"{cfg.lora_rank}; pass the matching rank")
+                if saved_alpha and not cfg.lora_alpha:
+                    self.cfg = cfg = dc_replace(cfg, lora_alpha=saved_alpha)
+            self.params[lora.PARAMS_KEY] = factors
+
+        # optimizer on the trainable subtree only (parameters_wo_enc parity;
+        # with LoRA only the factor subtree trains and the base is frozen too)
+        trainable_root = "lora_style" if cfg.lora_rank > 0 else "style_encoder"
+
         def label(path, _):
-            return "trainable" if str(path[0].key) == "style_encoder" else "frozen"
+            return "trainable" if str(path[0].key) == trainable_root else "frozen"
 
         schedule = cfg.lr
         if cfg.lr_anneal_steps:
@@ -164,6 +191,14 @@ class StyleFinetuneTrainer:
             rng_loss, rng_drop, rng_cond = jax.random.split(rng, 3)
 
             def loss_fn(p):
+                if cfg.lora_rank > 0:
+                    # merge base + (alpha/rank) A@B once per step; gradients
+                    # flow only into the factor subtree (the base is frozen
+                    # by optax.multi_transform either way)
+                    from motionstyle.models import lora
+
+                    p = lora.effective_params(p, cfg.lora_alpha or cfg.lora_rank)
+
                 def model_fn(x, t_orig, cond):
                     enc = cond["enc_text"]
                     # train-time CFG condition dropout per forward
@@ -287,15 +322,36 @@ class StyleFinetuneTrainer:
     def ckpt_file_name(self) -> str:
         return f"model{self.step + self.resume_step:09d}.pt"
 
+    def effective_params(self) -> dict:
+        """The plain StyleDiffusion param tree for sampling: LoRA factors
+        merged into the style encoder and removed; identity without LoRA."""
+        if self.cfg.lora_rank <= 0:
+            return self.params
+        from motionstyle.models import lora
+
+        return lora.effective_params(self.params, self.cfg.lora_alpha or self.cfg.lora_rank)
+
     def save(self):
         """Write the trainable style encoder in the reference torch layout
-        (frozen motion_enc/mdm/clip stripped — training_loop.py:316-335)."""
+        (frozen motion_enc/mdm/clip stripped — training_loop.py:316-335).
+        LoRA runs write the MERGED encoder there (full torch/demo interop)
+        plus the tiny self-describing adapter{step:09d}.pt artifact."""
         import torch
 
         os.makedirs(self.cfg.save_dir, exist_ok=True)
-        sd = export_style_encoder({"style_encoder": self.params["style_encoder"]}, self.model.cfg.num_layers)
+        style = self.effective_params()["style_encoder"]
+        sd = export_style_encoder({"style_encoder": style}, self.model.cfg.num_layers)
         path = os.path.join(self.cfg.save_dir, self.ckpt_file_name())
         torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
+        if self.cfg.lora_rank > 0:
+            from motionstyle.models import lora
+
+            asd = lora.export_lora(self.params[lora.PARAMS_KEY],
+                                   self.cfg.lora_alpha or self.cfg.lora_rank)
+            apath = os.path.join(self.cfg.save_dir,
+                                 f"adapter{self.step + self.resume_step:09d}.pt")
+            torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                        for k, v in asd.items()}, apath)
         opt_path = os.path.join(self.cfg.save_dir, f"opt{self.step + self.resume_step:09d}.pt")
         flat, _ = jax.tree_util.tree_flatten(self.opt_state)
         torch.save([np.asarray(x) for x in flat], opt_path)
@@ -311,14 +367,34 @@ class StyleFinetuneTrainer:
         import torch
 
         if os.path.isdir(path):
-            found = find_resume_checkpoint(path, "model")
-            if found is None:
-                return
-            path = found
+            # a LoRA run resumed from its own save_dir restores the exact
+            # factors (adapter{step}.pt) over the caller-assembled base
+            if self.cfg.lora_rank > 0:
+                found = find_resume_checkpoint(path, "adapter")
+                if found is not None:
+                    path = found
+            if not path.endswith(".pt"):
+                found = find_resume_checkpoint(path, "model")
+                if found is None:
+                    return
+                path = found
         self._resolved_checkpoint = path
-        self.resume_step = parse_resume_step_from_filename(path)
         logger.log(f"loading model from checkpoint: {path}...")
         sd = {k: v.numpy() for k, v in torch.load(path, map_location="cpu", weights_only=False).items()}
+        from motionstyle.models import lora
+
+        if lora.is_adapter_state_dict(sd):
+            if self.cfg.lora_rank <= 0:
+                raise ValueError(
+                    f"{path} is a LoRA adapter checkpoint; pass --lora_rank "
+                    "matching it (a full-encoder resume cannot consume factors)")
+            # factors are imported after init_lora builds the tree shape
+            self._pending_adapter = sd
+            base = os.path.basename(path)
+            self.resume_step = parse_resume_step_from_filename(
+                "model" + base[len("adapter"):]) if base.startswith("adapter") else 0
+            return
+        self.resume_step = parse_resume_step_from_filename(path)
         self.params["style_encoder"] = convert_encoder(sd, "seqTransEncoder", self.model.cfg.num_layers)
 
     def _load_optimizer_state(self):
