@@ -29,19 +29,23 @@ from argparse import ArgumentParser
 import numpy as np
 
 
-def build_engine(args):
+DATASET_DIMS = {"stylexia_posrot": (181, 76), "bandai-1_posrot": (190, 196),
+                "bandai-2_posrot": (190, 196), "humanml": (263, 196),
+                "kit": (251, 196)}
+
+
+def build_sampler(args):
+    """Checkpoint -> (bundle, ShardedSampler, item_shape, dump pick): the
+    measured min-latency serving plan, shared by the live server and the
+    artifact exporter (cli/export_model.py) so the exported plan IS the
+    served computation."""
     import jax
 
     from motionstyle.cli import model_util
-    from motionstyle.data.masks import get_inpainting_mask
     from motionstyle.parallel.inference import ShardedSampler
     from motionstyle.parallel.mesh import make_mesh
-    from motionstyle.serve.engine import Request, ServingEngine
 
-    dims = {"stylexia_posrot": (181, 76), "bandai-1_posrot": (190, 196),
-            "bandai-2_posrot": (190, 196), "humanml": (263, 196),
-            "kit": (251, 196)}
-    njoints, nframes = dims[args.dataset]
+    njoints, nframes = DATASET_DIMS[args.dataset]
     item_shape = (njoints, 1, nframes)
 
     bundle, sched_ddim, _ = model_util.creat_serval_diffusion(
@@ -50,7 +54,7 @@ def build_engine(args):
     model_util.apply_style_strength(bundle, args)
     skip = int(args.skip_steps / args.diffusion_steps * sched_ddim.num_timesteps)
 
-    mp = max(1, args.model_parallel)
+    mp = max(1, getattr(args, "model_parallel", 1))
     ndev = len(jax.devices())
     if ndev % mp != 0:
         raise SystemExit(f"--model_parallel {mp} does not divide {ndev} devices")
@@ -70,8 +74,40 @@ def build_engine(args):
     sampler = ShardedSampler(mesh, sched_ddim, builder, bundle.params,
                              method="ddim", skip_timesteps=skip,
                              stop_timesteps=stop, dump_all_xstart=True)
+    return bundle, sampler, item_shape, pick
+
+
+def build_engine(args):
+    from motionstyle.data.masks import get_inpainting_mask
+    from motionstyle.serve.engine import Request, ServingEngine
+
+    njoints, nframes = DATASET_DIMS[args.dataset]
+    if getattr(args, "artifact", ""):
+        from motionstyle.serve.export import load_artifact
+
+        art = load_artifact(args.artifact)
+        if art.meta["dataset"] != args.dataset:
+            raise SystemExit(f"artifact was exported for dataset "
+                             f"{art.meta['dataset']}, serving {args.dataset}")
+        sampler, pick = art.sampler, int(art.meta["dump_pick"])
+        item_shape = sampler.item_shape
+        encode_text = art.encode_text
+        if encode_text is None:
+            raise SystemExit("artifact has no text plan; re-export with "
+                             "--text_plan 1 to serve captions from it")
+        if art.meta["inpainting_mask"] != args.inpainting_mask:
+            print(f"using the artifact's recorded inpainting_mask="
+                  f"{art.meta['inpainting_mask']} (not --inpainting_mask "
+                  f"{args.inpainting_mask})")
+            args.inpainting_mask = art.meta["inpainting_mask"]
+        buckets = tuple(art.meta["buckets"])  # only these shapes exist
+        args.max_batch = min(args.max_batch, buckets[-1])
+    else:
+        bundle, sampler, item_shape, pick = build_sampler(args)
+        encode_text = lambda texts: bundle.encode_text(texts, args.dataset)  # noqa: E731
+        buckets = (1, 2, 4, 8)
     engine = ServingEngine(sampler, item_shape, max_batch=args.max_batch,
-                           max_wait_ms=args.max_wait_ms,
+                           max_wait_ms=args.max_wait_ms, buckets=buckets,
                            deterministic=bool(args.deterministic),
                            max_queue=args.max_queue, dump_pick=pick)
 
@@ -86,8 +122,8 @@ def build_engine(args):
                 f"content must be (frames={nframes}, channels={njoints}), "
                 f"got {content.shape}")
         init = content.T[:, None, :]  # (C, 1, T)
-        enc = np.asarray(bundle.encode_text([payload.get("text", "")],
-                                            args.dataset), np.float32)[0]
+        enc = np.asarray(encode_text([payload.get("text", "")]),
+                         np.float32)[0]
         return Request({"enc_text": enc}, init_image=init,
                        inpainting_mask=mask, seed=payload.get("seed", 0))
 
@@ -109,8 +145,8 @@ def build_engine(args):
             return engine.sample(decode(payload))
         from motionstyle.diffusion.longform import longform_sample
 
-        enc = np.asarray(bundle.encode_text([payload.get("text", "")],
-                                            args.dataset), np.float32)[0]
+        enc = np.asarray(encode_text([payload.get("text", "")]),
+                         np.float32)[0]
         seed = int(payload.get("seed", 0))
         window_idx = iter(range(1 << 20))
 
@@ -148,7 +184,13 @@ def build_parser() -> ArgumentParser:
     add_diffusion_options(parser)
     add_model_options(parser)
     parser.add_argument("--dataset", default="stylexia_posrot", type=str)
-    parser.add_argument("--model_path", required=True, type=str)
+    parser.add_argument("--model_path", default="", type=str,
+                        help="finetuned checkpoint to serve live (or pass "
+                             "--artifact)")
+    parser.add_argument("--artifact", default="", type=str,
+                        help="serve an exported StableHLO artifact directory "
+                             "(cli/export_model.py) — no checkpoint or model "
+                             "rebuild on this host")
     parser.add_argument("--inpainting_mask", default="root_horizontal", type=str)
     parser.add_argument("--skip_steps", default=700, type=int)
     parser.add_argument("--timestep_respacing", default="ddim20", type=str)
@@ -173,6 +215,9 @@ def build_parser() -> ArgumentParser:
 
 def parse_args(argv=None):
     args = build_parser().parse_args(argv)
+    if not args.model_path and not args.artifact:
+        raise SystemExit("pass --model_path (live serving) or --artifact "
+                         "(exported plan)")
     args.semantic_discriminator_path = ""
     args.mdm_path = getattr(args, "mdm_path", "")
     return args

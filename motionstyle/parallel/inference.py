@@ -93,6 +93,60 @@ class ShardedSampler:
             self.sample_kwargs.get("skip_timesteps", 0),
             self.sample_kwargs.get("stop_timesteps", None)))
 
+    def make_run(self, shape: tuple) -> Callable:
+        """The sampler computation for one batch shape, as a pure function
+        `run(params, init_image, cond, inpainting, noise, step_noise,
+        item_seeds, rng)` (optional args may be None). __call__ jits this;
+        serve/export.py serializes the SAME function via jax.export so the
+        deployed artifact is the serving computation, not a re-derivation."""
+        shape = tuple(shape)
+        n_steps = self.n_live_steps()
+        item_shape = shape[1:]
+
+        def run(params, init_image, cond, inpainting, noise, step_noise,
+                item_seeds, rng):
+            model_fn = self.model_fn_builder(params)
+            if item_seeds is not None:
+                keys = jax.vmap(jax.random.PRNGKey)(item_seeds)
+                noise = jax.vmap(lambda k: jax.random.normal(
+                    jax.random.fold_in(k, 0), item_shape, jnp.float32))(keys)
+                if self.needs_step_noise():
+                    per_item = jax.vmap(lambda k: jax.random.normal(
+                        jax.random.fold_in(k, 1), (n_steps,) + item_shape,
+                        jnp.float32))(keys)
+                    step_noise = jnp.moveaxis(per_item, 0, 1)  # (S, B, ...)
+            pinned = ({} if noise is None else {"noise": noise}) | \
+                ({} if step_noise is None else {"step_noise": step_noise})
+            if self.parallel_window > 0:
+                from motionstyle.diffusion.parallel_sampling import parallel_sample_loop
+
+                assert not pinned, \
+                    "per-item pinned noise is not supported with parallel_window"
+                kw = {k: v for k, v in self.sample_kwargs.items() if k != "remat"}
+                sample, _ = parallel_sample_loop(
+                    self.sched, model_fn, cond, rng,
+                    shape=shape, init_image=init_image,
+                    inpainting=inpainting, window=self.parallel_window, **kw,
+                )
+                return sample
+            if self.forecast_stride > 1:
+                from motionstyle.diffusion.forecast_sampling import forecast_sample_loop
+
+                kw = {k: v for k, v in self.sample_kwargs.items() if k != "remat"}
+                return forecast_sample_loop(
+                    self.sched, model_fn, cond, rng,
+                    shape=shape, init_image=init_image,
+                    inpainting=inpainting, stride=self.forecast_stride,
+                    **kw, **pinned,
+                )
+            return sampling.sample_loop(
+                self.sched, model_fn, cond, rng,
+                shape=shape, init_image=init_image,
+                inpainting=inpainting, **self.sample_kwargs, **pinned,
+            )
+
+        return run
+
     def __call__(self, batch: dict, rng: jax.Array):
         """batch: {'shape': tuple | 'init_image': (B, C, 1, T), 'cond': dict,
         optional 'inpainting': Inpainting, optional 'noise' (B, C, 1, T) and
@@ -107,52 +161,8 @@ class ShardedSampler:
         shape = tuple(batch["shape"]) if "shape" in batch else tuple(init_image.shape)
         key = (shape, tuple(sorted(batch.get("cond", {}).keys())), "inpainting" in batch,
                "noise" in batch, "step_noise" in batch, "item_seeds" in batch)
-        n_steps = self.n_live_steps()
-        item_shape = shape[1:]
         if key not in self._compiled:
-            def run(params, init_image, cond, inpainting, noise, step_noise,
-                    item_seeds, rng):
-                model_fn = self.model_fn_builder(params)
-                if item_seeds is not None:
-                    keys = jax.vmap(jax.random.PRNGKey)(item_seeds)
-                    noise = jax.vmap(lambda k: jax.random.normal(
-                        jax.random.fold_in(k, 0), item_shape, jnp.float32))(keys)
-                    if self.needs_step_noise():
-                        per_item = jax.vmap(lambda k: jax.random.normal(
-                            jax.random.fold_in(k, 1), (n_steps,) + item_shape,
-                            jnp.float32))(keys)
-                        step_noise = jnp.moveaxis(per_item, 0, 1)  # (S, B, ...)
-                pinned = ({} if noise is None else {"noise": noise}) | \
-                    ({} if step_noise is None else {"step_noise": step_noise})
-                if self.parallel_window > 0:
-                    from motionstyle.diffusion.parallel_sampling import parallel_sample_loop
-
-                    assert not pinned, \
-                        "per-item pinned noise is not supported with parallel_window"
-                    kw = {k: v for k, v in self.sample_kwargs.items() if k != "remat"}
-                    sample, _ = parallel_sample_loop(
-                        self.sched, model_fn, cond, rng,
-                        shape=shape, init_image=init_image,
-                        inpainting=inpainting, window=self.parallel_window, **kw,
-                    )
-                    return sample
-                if self.forecast_stride > 1:
-                    from motionstyle.diffusion.forecast_sampling import forecast_sample_loop
-
-                    kw = {k: v for k, v in self.sample_kwargs.items() if k != "remat"}
-                    return forecast_sample_loop(
-                        self.sched, model_fn, cond, rng,
-                        shape=shape, init_image=init_image,
-                        inpainting=inpainting, stride=self.forecast_stride,
-                        **kw, **pinned,
-                    )
-                return sampling.sample_loop(
-                    self.sched, model_fn, cond, rng,
-                    shape=shape, init_image=init_image,
-                    inpainting=inpainting, **self.sample_kwargs, **pinned,
-                )
-
-            self._compiled[key] = jax.jit(run, static_argnames=())
+            self._compiled[key] = jax.jit(self.make_run(shape))
         cond = shard_batch(batch.get("cond", {}), self.mesh)
         init = None
         inpainting = batch.get("inpainting")

@@ -1,0 +1,271 @@
+"""AOT model export: serialize the serving computation to StableHLO.
+
+The deployment story the reference lacks entirely (its demo re-builds the
+torch model from source + checkpoint on every host,
+sample/demo_style_transfer.py:1-80). Here the WHOLE serving plan — the
+min-latency DDIM inpainting chain of parallel/inference.ShardedSampler,
+params baked in as constants — is exported once via `jax.export` into a
+portable StableHLO artifact. A serving host needs the artifact file and jax:
+no checkpoint, no model code, no flax, no config reconstruction, and no
+Python-side risk of architecture drift between trainer and server. Because
+StableHLO is versioned and platform-checked, the artifact is also the
+compatibility contract: it records which platforms it was lowered for
+(tpu/cpu) and refuses to run anywhere else.
+
+Layout of an artifact directory:
+
+    meta.json                 schema + serving contract (buckets, shapes,
+                              cond spec, dump pick, mask name, dataset)
+    plans/sample_b{B}.shlo    one Exported per batch bucket (fixed shapes —
+                              the same bucket grid serve/batcher.py pads to)
+    plans/text.shlo           CLIP text tower, symbolic batch dim
+
+`ExportedSampler` duck-types ShardedSampler (same __call__ batch dict, same
+needs_step_noise/n_live_steps surface), so serve/engine.ServingEngine runs
+the artifact unchanged — dynamic batching, noise pinning contract and all.
+
+Export runs the SAME function the live path jits (ShardedSampler.make_run),
+so artifact outputs are numerically equivalent to live serving on the same
+platform (≲1e-5 rel: XLA codegen across the serialization boundary can
+differ by ~1 ulp — the same caveat as the engine's cross-bucket note) and
+fully deterministic: the artifact bytes pin the program, so any two loads
+anywhere produce bit-identical results per seed (tests/test_export.py).
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FORMAT_VERSION = 1
+_SAMPLE_TPL = "sample_b{bucket}.shlo"
+_TEXT_PLAN = "text.shlo"
+
+
+def _spec(shape, dtype=np.float32):
+    return jax.ShapeDtypeStruct(tuple(shape), dtype)
+
+
+def _rng_spec():
+    k = jax.random.PRNGKey(0)
+    return jax.ShapeDtypeStruct(np.shape(k), np.asarray(k).dtype)
+
+
+def export_sampler_plan(sampler, bucket: int, item_shape: tuple,
+                        cond_spec: dict, with_init_image: bool,
+                        with_inpainting: bool,
+                        platforms: Sequence[str] = ("tpu", "cpu"),
+                        allow_tpu_custom_calls: bool = False):
+    """Export one bucket of the sampler as a self-contained Exported.
+
+    The exported callable is `fn(init_image, cond, mask, motion, item_seeds,
+    rng)` (absent optionals passed as None) — ShardedSampler.make_run with
+    params embedded as constants and noise derived on device from the per-item
+    seeds (the serving engine's default batching-invariant mode;
+    serve/engine.py contract point 1).
+
+    cond_spec: {name: (per-item shape tuple, dtype str)}.
+    """
+    shape = (bucket,) + tuple(item_shape)
+    run = sampler.make_run(shape)
+    # pull params to host: exported constants must not carry mesh shardings
+    # (a sharded closure would pin the artifact to this process's device
+    # count; the artifact targets one serving chip)
+    host_params = jax.tree_util.tree_map(np.asarray,
+                                         jax.device_get(sampler.params))
+
+    def fn(init_image, cond, mask, motion, item_seeds, rng):
+        from motionstyle.diffusion.ddpm import Inpainting
+
+        inp = None if mask is None else Inpainting(mask=mask, motion=motion)
+        return run(host_params, init_image, cond, inp, None, None,
+                   item_seeds, rng)
+
+    init_spec = _spec(shape) if with_init_image else None
+    cond_specs = {k: _spec((bucket,) + tuple(s), np.dtype(d))
+                  for k, (s, d) in sorted(cond_spec.items())}
+    mask_spec = _spec(shape) if with_inpainting else None
+    motion_spec = _spec(shape) if with_inpainting else None
+    seeds_spec = _spec((bucket,), np.int32)
+    # Pallas (fused/int8) lowers to mosaic custom calls, which jax.export
+    # refuses by default because custom calls carry no stability guarantee;
+    # opting in pins the artifact to tpu (cli/export_model.py enforces that)
+    checks = ([jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call")]
+              if allow_tpu_custom_calls else [])
+    return jax.export.export(jax.jit(fn), platforms=list(platforms),
+                             disabled_checks=checks)(
+        init_spec, cond_specs, mask_spec, motion_spec, seeds_spec, _rng_spec())
+
+
+def export_text_plan(clip_params, platforms: Sequence[str] = ("tpu", "cpu"),
+                     cfg=None):
+    """Export the CLIP text tower (tokens (b, 77) int32 -> (b, d) features)
+    with a symbolic batch dim — tokenization stays on the host
+    (models/clip_text.tokenize, pure Python, no params)."""
+    from motionstyle.models import clip_text
+
+    host_params = jax.tree_util.tree_map(np.asarray,
+                                         jax.device_get(clip_params))
+    cfg = cfg or clip_text.ClipTextConfig()
+    enc = clip_text.ClipTextEncoder(cfg)
+
+    def fn(ids):
+        return enc.apply(host_params, ids)
+
+    (b,) = jax.export.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((b, cfg.context_length), np.int32)
+    return jax.export.export(jax.jit(fn), platforms=list(platforms))(spec)
+
+
+def save_artifact(path: str, meta: dict, sample_plans: dict,
+                  text_plan=None) -> None:
+    """Write an artifact directory: meta.json + serialized plans.
+
+    sample_plans: {bucket (int): jax.export.Exported}.
+    """
+    plans_dir = os.path.join(path, "plans")
+    os.makedirs(plans_dir, exist_ok=True)
+    meta = dict(meta)
+    meta["format_version"] = FORMAT_VERSION
+    meta["jax_version"] = jax.__version__
+    meta["buckets"] = sorted(int(b) for b in sample_plans)
+    meta["has_text_plan"] = text_plan is not None
+    for bucket, exp in sample_plans.items():
+        with open(os.path.join(plans_dir, _SAMPLE_TPL.format(bucket=bucket)),
+                  "wb") as f:
+            f.write(exp.serialize())
+    if text_plan is not None:
+        with open(os.path.join(plans_dir, _TEXT_PLAN), "wb") as f:
+            f.write(text_plan.serialize())
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+
+
+class ExportedSampler:
+    """A deserialized sampler plan, duck-typing ShardedSampler for
+    serve/engine.ServingEngine: same __call__ batch-dict contract (in the
+    engine's default on-device `item_seeds` noise mode), same
+    needs_step_noise / n_live_steps surface, a trivial 1-device mesh."""
+
+    parallel_window = 0
+    forecast_stride = 1
+
+    def __init__(self, meta: dict, plans: dict):
+        from jax.sharding import Mesh
+
+        self.meta = meta
+        self.item_shape = tuple(meta["item_shape"])
+        self._plans = {int(b): p for b, p in plans.items()}
+        self._compiled = {}
+        self.mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+
+    def needs_step_noise(self) -> bool:
+        return bool(self.meta["needs_step_noise"])
+
+    def n_live_steps(self) -> int:
+        return int(self.meta["n_steps"])
+
+    def __call__(self, batch: dict, rng: jax.Array):
+        for k in ("noise", "step_noise"):
+            if k in batch:
+                raise ValueError(
+                    "this artifact derives noise on device from item_seeds; "
+                    f"host-pinned '{k}' is not part of the exported plan "
+                    "(serve the live ShardedSampler for the host-noise "
+                    "test oracle)")
+        if "item_seeds" not in batch:
+            raise ValueError("exported plans require per-item 'item_seeds'")
+        init = batch.get("init_image")
+        shape = tuple(batch["shape"]) if "shape" in batch else tuple(np.shape(init))
+        bucket = shape[0]
+        if shape[1:] != self.item_shape:
+            raise ValueError(f"item shape {shape[1:]} != exported "
+                             f"{self.item_shape}")
+        if bucket not in self._plans:
+            raise ValueError(f"batch {bucket} not in exported buckets "
+                             f"{sorted(self._plans)}")
+        if (init is not None) != bool(self.meta["with_init_image"]):
+            raise ValueError("init_image presence does not match the "
+                             "exported plan")
+        inp = batch.get("inpainting")
+        if (inp is not None) != bool(self.meta["with_inpainting"]):
+            raise ValueError("inpainting presence does not match the "
+                             "exported plan")
+        cond = batch.get("cond", {})
+        want = sorted(self.meta["cond_spec"])
+        if sorted(cond) != want:
+            raise ValueError(f"cond keys {sorted(cond)} != exported {want}")
+        if bucket not in self._compiled:
+            self._compiled[bucket] = jax.jit(self._plans[bucket].call)
+        cond = {k: jnp.asarray(v) for k, v in cond.items()}
+        seeds = jnp.asarray(batch["item_seeds"], jnp.int32)
+        mask = motion = None
+        if inp is not None:
+            mask = jnp.asarray(inp.mask, jnp.float32)
+            motion = jnp.asarray(inp.motion, jnp.float32)
+        if init is not None:
+            init = jnp.asarray(init, jnp.float32)
+        return self._compiled[bucket](init, cond, mask, motion, seeds, rng)
+
+
+class ExportedTextEncoder:
+    """Host tokenize + exported text-tower forward; mirrors
+    models/clip_text.encode_text's humanml/kit 22-token zero-pad trick via
+    the dataset recorded in meta."""
+
+    def __init__(self, exported, dataset: str):
+        self._call = jax.jit(exported.call)
+        self.dataset = dataset
+
+    def __call__(self, texts) -> np.ndarray:
+        from motionstyle.models import clip_text
+
+        max_text_len = 20 if self.dataset in ("humanml", "kit") else None
+        if max_text_len is not None:
+            context = max_text_len + 2
+            ids = clip_text.tokenize(texts, context_length=context)
+            pad = np.zeros((ids.shape[0], clip_text.CONTEXT_LENGTH - context),
+                           np.int32)
+            ids = np.concatenate([ids, pad], axis=1)
+        else:
+            ids = clip_text.tokenize(texts)
+        return np.asarray(self._call(jnp.asarray(ids)), np.float32)
+
+
+class Artifact:
+    """A loaded artifact: `.sampler` for the engine, `.encode_text` for the
+    request path, `.meta` for the serving configuration."""
+
+    def __init__(self, meta: dict, sampler: ExportedSampler,
+                 encode_text: Optional[Callable]):
+        self.meta = meta
+        self.sampler = sampler
+        self.encode_text = encode_text
+
+
+def load_artifact(path: str) -> Artifact:
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("format_version") != FORMAT_VERSION:
+        raise ValueError(f"artifact format {meta.get('format_version')} != "
+                         f"supported {FORMAT_VERSION}")
+    backend = jax.default_backend()
+    if backend not in meta["platforms"]:
+        raise ValueError(f"artifact was exported for {meta['platforms']}; "
+                         f"this process runs on {backend}")
+    plans_dir = os.path.join(path, "plans")
+    plans = {}
+    for bucket in meta["buckets"]:
+        with open(os.path.join(plans_dir, _SAMPLE_TPL.format(bucket=bucket)),
+                  "rb") as f:
+            plans[bucket] = jax.export.deserialize(f.read())
+    encode = None
+    if meta.get("has_text_plan"):
+        with open(os.path.join(plans_dir, _TEXT_PLAN), "rb") as f:
+            encode = ExportedTextEncoder(jax.export.deserialize(f.read()),
+                                         meta["dataset"])
+    return Artifact(meta, ExportedSampler(meta, plans), encode)
