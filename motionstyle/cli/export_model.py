@@ -3,10 +3,10 @@
 The TPU-native deployment step the reference has no analogue of: its demo
 rebuilds the torch model from source + checkpoint on every host
 (sample/demo_style_transfer.py:1-80). Here the min-latency serving plan —
-the same DDIM inpainting chain cli/serve.py runs live (serve.build_sampler),
-params baked in as constants — is serialized once per batch bucket via
-`jax.export` (serve/export.py). The output directory is all a serving host
-needs:
+the same DDIM inpainting chain cli/serve.py runs live (serve.build_sampler) —
+is serialized via `jax.export` (serve/export.py) as ONE StableHLO module with
+a symbolic batch dim, with params stored once beside it. The output directory
+is all a serving host needs:
 
     python -m motionstyle.cli.export_model \
         --model_path save/.../model000000032.pt --dataset stylexia_posrot \
@@ -42,8 +42,9 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--skip_steps", default=700, type=int)
     parser.add_argument("--timestep_respacing", default="ddim20", type=str)
     parser.add_argument("--buckets", default="1,2,4,8", type=str,
-                        help="batch bucket sizes to export (must match the "
-                             "serving engine's bucket grid)")
+                        help="suggested serving bucket grid recorded in the "
+                             "artifact (the plan itself has a symbolic batch "
+                             "dim and serves any size)")
     parser.add_argument("--platforms", default="tpu,cpu", type=str,
                         help="lowering platforms baked into the artifact")
     parser.add_argument("--text_plan", default=1, type=int,
@@ -85,19 +86,19 @@ def main(argv=None):
             "--fused/--quant_int8 plans contain tpu Pallas custom calls; "
             "export them with --platforms tpu")
 
-    plans = {}
-    for b in buckets:
-        print(f"exporting sample plan b={b} for {platforms} ...")
-        plans[b] = sx.export_sampler_plan(
-            sampler, b, item_shape, cond_spec, with_init_image=True,
-            with_inpainting=True, platforms=platforms,
-            allow_tpu_custom_calls=uses_pallas)
-    text_plan = None
+    print(f"exporting sample plan (symbolic batch) for {platforms} ...")
+    plan, params = sx.export_sampler_plan(
+        sampler, item_shape, cond_spec, with_init_image=True,
+        with_inpainting=True, platforms=platforms,
+        allow_tpu_custom_calls=uses_pallas)
+    text_plan = text_params = None
     if args.text_plan:
         print("exporting text plan ...")
-        text_plan = sx.export_text_plan(bundle.clip_params, platforms=platforms)
+        text_plan, text_params = sx.export_text_plan(bundle.clip_params,
+                                                     platforms=platforms)
 
     meta = {
+        "buckets": buckets,  # the serving engine's padding grid default
         "dataset": args.dataset,
         "item_shape": list(item_shape),
         "cond_spec": {k: [list(s), d] for k, (s, d) in cond_spec.items()},
@@ -113,7 +114,7 @@ def main(argv=None):
         "skip_steps": args.skip_steps,
         "style_strength": args.style_strength,
     }
-    sx.save_artifact(args.output, meta, plans, text_plan)
+    sx.save_artifact(args.output, meta, plan, params, text_plan, text_params)
     import os
 
     total = sum(os.path.getsize(os.path.join(dp, f))

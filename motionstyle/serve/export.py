@@ -14,11 +14,17 @@ compatibility contract: it records which platforms it was lowered for
 
 Layout of an artifact directory:
 
-    meta.json                 schema + serving contract (buckets, shapes,
-                              cond spec, dump pick, mask name, dataset)
-    plans/sample_b{B}.shlo    one Exported per batch bucket (fixed shapes —
-                              the same bucket grid serve/batcher.py pads to)
-    plans/text.shlo           CLIP text tower, symbolic batch dim
+    meta.json        schema + serving contract (shapes, cond spec, dump pick,
+                     mask name, dataset, suggested bucket grid)
+    plans/sample.shlo  ONE Exported with a symbolic batch dim — any batch
+                     size runs from the same module (each concrete size
+                     compiles once at the call site, like the live path)
+    plans/text.shlo  CLIP text tower, symbolic batch dim (params embedded)
+    params.npz       denoiser params, stored ONCE ('/'-joined tree paths) —
+                     passing params as a module argument instead of baking
+                     them into per-bucket constants keeps the artifact at
+                     weights-size (a per-bucket embedding would multiply it
+                     by the bucket count)
 
 `ExportedSampler` duck-types ShardedSampler (same __call__ batch dict, same
 needs_step_noise/n_live_steps surface), so serve/engine.ServingEngine runs
@@ -41,9 +47,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FORMAT_VERSION = 1
-_SAMPLE_TPL = "sample_b{bucket}.shlo"
+FORMAT_VERSION = 2
+_SAMPLE_PLAN = "sample.shlo"
 _TEXT_PLAN = "text.shlo"
+_PARAMS_FILE = "params.npz"
 
 
 def _spec(shape, dtype=np.float32):
@@ -55,57 +62,82 @@ def _rng_spec():
     return jax.ShapeDtypeStruct(np.shape(k), np.asarray(k).dtype)
 
 
-def export_sampler_plan(sampler, bucket: int, item_shape: tuple,
-                        cond_spec: dict, with_init_image: bool,
-                        with_inpainting: bool,
+def _flatten_params(params) -> dict:
+    """Flax param tree (nested dicts) -> {'a/b/kernel': array}."""
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        flat["/".join(str(k) for k in keys)] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_params(flat: dict) -> dict:
+    tree: dict = {}
+    for name, arr in flat.items():
+        node = tree
+        *parents, leaf = name.split("/")
+        for k in parents:
+            node = node.setdefault(k, {})
+        node[leaf] = arr
+    return tree
+
+
+def export_sampler_plan(sampler, item_shape: tuple, cond_spec: dict,
+                        with_init_image: bool, with_inpainting: bool,
                         platforms: Sequence[str] = ("tpu", "cpu"),
                         allow_tpu_custom_calls: bool = False):
-    """Export one bucket of the sampler as a self-contained Exported.
+    """Export the sampler with a SYMBOLIC batch dim -> (Exported, params).
 
-    The exported callable is `fn(init_image, cond, mask, motion, item_seeds,
-    rng)` (absent optionals passed as None) — ShardedSampler.make_run with
-    params embedded as constants and noise derived on device from the per-item
+    The exported callable is `fn(params, init_image, cond, mask, motion,
+    item_seeds, rng)` (absent optionals passed as None) —
+    ShardedSampler.make_run with noise derived on device from the per-item
     seeds (the serving engine's default batching-invariant mode;
-    serve/engine.py contract point 1).
+    serve/engine.py contract point 1). One module serves every batch size;
+    params travel beside it in params.npz, stored once.
 
     cond_spec: {name: (per-item shape tuple, dtype str)}.
     """
-    shape = (bucket,) + tuple(item_shape)
+    (b,) = jax.export.symbolic_shape("b")
+    shape = (b,) + tuple(item_shape)
     run = sampler.make_run(shape)
-    # pull params to host: exported constants must not carry mesh shardings
-    # (a sharded closure would pin the artifact to this process's device
-    # count; the artifact targets one serving chip)
+    # pull params to host: exported arg specs must not carry mesh shardings
+    # (the artifact targets one serving chip)
     host_params = jax.tree_util.tree_map(np.asarray,
                                          jax.device_get(sampler.params))
 
-    def fn(init_image, cond, mask, motion, item_seeds, rng):
+    def fn(params, init_image, cond, mask, motion, item_seeds, rng):
         from motionstyle.diffusion.ddpm import Inpainting
 
         inp = None if mask is None else Inpainting(mask=mask, motion=motion)
-        return run(host_params, init_image, cond, inp, None, None,
+        return run(params, init_image, cond, inp, None, None,
                    item_seeds, rng)
 
+    params_spec = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host_params)
     init_spec = _spec(shape) if with_init_image else None
-    cond_specs = {k: _spec((bucket,) + tuple(s), np.dtype(d))
+    cond_specs = {k: _spec((b,) + tuple(s), np.dtype(d))
                   for k, (s, d) in sorted(cond_spec.items())}
     mask_spec = _spec(shape) if with_inpainting else None
     motion_spec = _spec(shape) if with_inpainting else None
-    seeds_spec = _spec((bucket,), np.int32)
+    seeds_spec = _spec((b,), np.int32)
     # Pallas (fused/int8) lowers to mosaic custom calls, which jax.export
     # refuses by default because custom calls carry no stability guarantee;
     # opting in pins the artifact to tpu (cli/export_model.py enforces that)
     checks = ([jax.export.DisabledSafetyCheck.custom_call("tpu_custom_call")]
               if allow_tpu_custom_calls else [])
-    return jax.export.export(jax.jit(fn), platforms=list(platforms),
-                             disabled_checks=checks)(
-        init_spec, cond_specs, mask_spec, motion_spec, seeds_spec, _rng_spec())
+    exp = jax.export.export(jax.jit(fn), platforms=list(platforms),
+                            disabled_checks=checks)(
+        params_spec, init_spec, cond_specs, mask_spec, motion_spec,
+        seeds_spec, _rng_spec())
+    return exp, host_params
 
 
 def export_text_plan(clip_params, platforms: Sequence[str] = ("tpu", "cpu"),
                      cfg=None):
     """Export the CLIP text tower (tokens (b, 77) int32 -> (b, d) features)
-    with a symbolic batch dim — tokenization stays on the host
-    (models/clip_text.tokenize, pure Python, no params)."""
+    with a symbolic batch dim -> (Exported, params) — tokenization stays on
+    the host (models/clip_text.tokenize, pure Python, no params); like the
+    sampler, params travel in params.npz rather than as module constants."""
     from motionstyle.models import clip_text
 
     host_params = jax.tree_util.tree_map(np.asarray,
@@ -113,34 +145,37 @@ def export_text_plan(clip_params, platforms: Sequence[str] = ("tpu", "cpu"),
     cfg = cfg or clip_text.ClipTextConfig()
     enc = clip_text.ClipTextEncoder(cfg)
 
-    def fn(ids):
-        return enc.apply(host_params, ids)
+    def fn(params, ids):
+        return enc.apply(params, ids)
 
+    params_spec = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), host_params)
     (b,) = jax.export.symbolic_shape("b")
     spec = jax.ShapeDtypeStruct((b, cfg.context_length), np.int32)
-    return jax.export.export(jax.jit(fn), platforms=list(platforms))(spec)
+    exp = jax.export.export(jax.jit(fn), platforms=list(platforms))(
+        params_spec, spec)
+    return exp, host_params
 
 
-def save_artifact(path: str, meta: dict, sample_plans: dict,
-                  text_plan=None) -> None:
-    """Write an artifact directory: meta.json + serialized plans.
-
-    sample_plans: {bucket (int): jax.export.Exported}.
-    """
+def save_artifact(path: str, meta: dict, sample_plan, params,
+                  text_plan=None, text_params=None) -> None:
+    """Write an artifact directory: meta.json + plans + params.npz (model
+    weights under 'model/', text-tower weights under 'text/')."""
     plans_dir = os.path.join(path, "plans")
     os.makedirs(plans_dir, exist_ok=True)
     meta = dict(meta)
     meta["format_version"] = FORMAT_VERSION
     meta["jax_version"] = jax.__version__
-    meta["buckets"] = sorted(int(b) for b in sample_plans)
     meta["has_text_plan"] = text_plan is not None
-    for bucket, exp in sample_plans.items():
-        with open(os.path.join(plans_dir, _SAMPLE_TPL.format(bucket=bucket)),
-                  "wb") as f:
-            f.write(exp.serialize())
+    with open(os.path.join(plans_dir, _SAMPLE_PLAN), "wb") as f:
+        f.write(sample_plan.serialize())
+    flat = {f"model/{k}": v for k, v in _flatten_params(params).items()}
     if text_plan is not None:
         with open(os.path.join(plans_dir, _TEXT_PLAN), "wb") as f:
             f.write(text_plan.serialize())
+        flat |= {f"text/{k}": v
+                 for k, v in _flatten_params(text_params).items()}
+    np.savez(os.path.join(path, _PARAMS_FILE), **flat)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
 
@@ -149,18 +184,22 @@ class ExportedSampler:
     """A deserialized sampler plan, duck-typing ShardedSampler for
     serve/engine.ServingEngine: same __call__ batch-dict contract (in the
     engine's default on-device `item_seeds` noise mode), same
-    needs_step_noise / n_live_steps surface, a trivial 1-device mesh."""
+    needs_step_noise / n_live_steps surface, a trivial 1-device mesh.
+
+    The plan's batch dim is symbolic, so ANY batch size runs; like the live
+    sampler, each concrete size compiles once at the call site (the engine's
+    bucket grid keeps that set small)."""
 
     parallel_window = 0
     forecast_stride = 1
 
-    def __init__(self, meta: dict, plans: dict):
+    def __init__(self, meta: dict, plan, params):
         from jax.sharding import Mesh
 
         self.meta = meta
         self.item_shape = tuple(meta["item_shape"])
-        self._plans = {int(b): p for b, p in plans.items()}
-        self._compiled = {}
+        self.params = params
+        self._call = jax.jit(plan.call)
         self.mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
 
     def needs_step_noise(self) -> bool:
@@ -181,13 +220,9 @@ class ExportedSampler:
             raise ValueError("exported plans require per-item 'item_seeds'")
         init = batch.get("init_image")
         shape = tuple(batch["shape"]) if "shape" in batch else tuple(np.shape(init))
-        bucket = shape[0]
         if shape[1:] != self.item_shape:
             raise ValueError(f"item shape {shape[1:]} != exported "
                              f"{self.item_shape}")
-        if bucket not in self._plans:
-            raise ValueError(f"batch {bucket} not in exported buckets "
-                             f"{sorted(self._plans)}")
         if (init is not None) != bool(self.meta["with_init_image"]):
             raise ValueError("init_image presence does not match the "
                              "exported plan")
@@ -199,8 +234,6 @@ class ExportedSampler:
         want = sorted(self.meta["cond_spec"])
         if sorted(cond) != want:
             raise ValueError(f"cond keys {sorted(cond)} != exported {want}")
-        if bucket not in self._compiled:
-            self._compiled[bucket] = jax.jit(self._plans[bucket].call)
         cond = {k: jnp.asarray(v) for k, v in cond.items()}
         seeds = jnp.asarray(batch["item_seeds"], jnp.int32)
         mask = motion = None
@@ -209,7 +242,7 @@ class ExportedSampler:
             motion = jnp.asarray(inp.motion, jnp.float32)
         if init is not None:
             init = jnp.asarray(init, jnp.float32)
-        return self._compiled[bucket](init, cond, mask, motion, seeds, rng)
+        return self._call(self.params, init, cond, mask, motion, seeds, rng)
 
 
 class ExportedTextEncoder:
@@ -217,9 +250,10 @@ class ExportedTextEncoder:
     models/clip_text.encode_text's humanml/kit 22-token zero-pad trick via
     the dataset recorded in meta."""
 
-    def __init__(self, exported, dataset: str):
+    def __init__(self, exported, dataset: str, params):
         self._call = jax.jit(exported.call)
         self.dataset = dataset
+        self.params = params
 
     def __call__(self, texts) -> np.ndarray:
         from motionstyle.models import clip_text
@@ -233,7 +267,8 @@ class ExportedTextEncoder:
             ids = np.concatenate([ids, pad], axis=1)
         else:
             ids = clip_text.tokenize(texts)
-        return np.asarray(self._call(jnp.asarray(ids)), np.float32)
+        return np.asarray(self._call(self.params, jnp.asarray(ids)),
+                          np.float32)
 
 
 class Artifact:
@@ -258,14 +293,14 @@ def load_artifact(path: str) -> Artifact:
         raise ValueError(f"artifact was exported for {meta['platforms']}; "
                          f"this process runs on {backend}")
     plans_dir = os.path.join(path, "plans")
-    plans = {}
-    for bucket in meta["buckets"]:
-        with open(os.path.join(plans_dir, _SAMPLE_TPL.format(bucket=bucket)),
-                  "rb") as f:
-            plans[bucket] = jax.export.deserialize(f.read())
+    with open(os.path.join(plans_dir, _SAMPLE_PLAN), "rb") as f:
+        plan = jax.export.deserialize(f.read())
+    with np.load(os.path.join(path, _PARAMS_FILE)) as z:
+        groups = _unflatten_params({k: z[k] for k in z.files})
     encode = None
     if meta.get("has_text_plan"):
         with open(os.path.join(plans_dir, _TEXT_PLAN), "rb") as f:
             encode = ExportedTextEncoder(jax.export.deserialize(f.read()),
-                                         meta["dataset"])
-    return Artifact(meta, ExportedSampler(meta, plans), encode)
+                                         meta["dataset"], groups["text"])
+    return Artifact(meta, ExportedSampler(meta, plan, groups["model"]),
+                    encode)

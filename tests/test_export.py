@@ -76,25 +76,24 @@ def artifact_dir(tiny_setup, tmp_path_factory):
     from motionstyle.serve import export as sx
 
     sampler, item_shape = tiny_setup
-    plans = {
-        b: sx.export_sampler_plan(sampler, b, item_shape,
-                                  {"enc_text": ((16,), "float32")},
-                                  with_init_image=True, with_inpainting=True,
-                                  platforms=("cpu",))
-        for b in (1, 2, 4)
-    }
+    plan, params = sx.export_sampler_plan(
+        sampler, item_shape, {"enc_text": ((16,), "float32")},
+        with_init_image=True, with_inpainting=True, platforms=("cpu",))
     path = tmp_path_factory.mktemp("artifact") / "plan"
-    sx.save_artifact(str(path), _meta(sampler, item_shape, (1, 2, 4)), plans)
+    sx.save_artifact(str(path), _meta(sampler, item_shape, (1, 2, 4)), plan,
+                     params)
     return str(path)
 
 
 class TestRoundTrip:
     def test_artifact_matches_live_sampler(self, tiny_setup, artifact_dir):
+        """The symbolic-batch module serves arbitrary batch sizes (incl.
+        b=3, which is in no bucket grid) and matches the live sampler."""
         from motionstyle.serve.export import load_artifact
 
         sampler, item_shape = tiny_setup
         art = load_artifact(artifact_dir)
-        for bucket in (1, 2):
+        for bucket in (1, 2, 3):
             batch = _batch(item_shape, bucket)
             rng = jax.random.PRNGKey(0)
             live = np.asarray(sampler(batch, rng))
@@ -120,18 +119,18 @@ class TestRoundTrip:
         from motionstyle.serve import export as sx
 
         sampler, item_shape = tiny_setup
-        exp = sx.export_sampler_plan(sampler, 1, item_shape,
-                                     {"enc_text": ((16,), "float32")},
-                                     with_init_image=True,
-                                     with_inpainting=True,
-                                     platforms=("tpu", "cpu"))
+        exp, params = sx.export_sampler_plan(sampler, item_shape,
+                                             {"enc_text": ((16,), "float32")},
+                                             with_init_image=True,
+                                             with_inpainting=True,
+                                             platforms=("tpu", "cpu"))
         assert set(exp.platforms) == {"tpu", "cpu"}
         again = jax.export.deserialize(exp.serialize())
         batch = _batch(item_shape, 1)
         out = jax.jit(again.call)(
-            batch["init_image"], batch["cond"], batch["inpainting"].mask,
-            batch["inpainting"].motion, batch["item_seeds"],
-            jax.random.PRNGKey(0))
+            params, batch["init_image"], batch["cond"],
+            batch["inpainting"].mask, batch["inpainting"].motion,
+            batch["item_seeds"], jax.random.PRNGKey(0))
         live = sampler(batch, jax.random.PRNGKey(0))
         np.testing.assert_allclose(np.asarray(out), np.asarray(live),
                                    rtol=5e-5, atol=1e-6)
@@ -163,11 +162,14 @@ class TestRoundTrip:
         batch = _batch(item_shape, 1)
         with pytest.raises(ValueError, match="host-pinned"):
             art.sampler({**batch, "noise": batch["init_image"]}, rng)
-        with pytest.raises(ValueError, match="not in exported buckets"):
-            art.sampler(_batch(item_shape, 3), rng)
         no_seeds = {k: v for k, v in batch.items() if k != "item_seeds"}
         with pytest.raises(ValueError, match="item_seeds"):
             art.sampler(no_seeds, rng)
+        bad_item = _batch((12, 1, 8), 1)
+        bad_item["init_image"] = bad_item["init_image"][:, :11]
+        bad_item["shape"] = (1, 11, 1, 8)
+        with pytest.raises(ValueError, match="item shape"):
+            art.sampler(bad_item, rng)
 
 
 class TestEngineOverArtifact:
@@ -231,11 +233,12 @@ class TestTextPlan:
         enc = clip_text.ClipTextEncoder(cfg)
         ids = clip_text.tokenize(["a person walks", "happy jump"])
         params = enc.init(jax.random.PRNGKey(1), jnp.asarray(ids))
-        exp = sx.export_text_plan(params, platforms=("cpu",), cfg=cfg)
+        exp, host_params = sx.export_text_plan(params, platforms=("cpu",),
+                                               cfg=cfg)
         again = jax.export.deserialize(exp.serialize())
         # symbolic batch dim: one exported module serves b=1 and b=2
         for b in (1, 2):
-            out = jax.jit(again.call)(jnp.asarray(ids[:b]))
+            out = jax.jit(again.call)(host_params, jnp.asarray(ids[:b]))
             ref = enc.apply(params, jnp.asarray(ids[:b]))
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        rtol=5e-5, atol=1e-6)
