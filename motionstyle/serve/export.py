@@ -198,7 +198,10 @@ class ExportedSampler:
 
         self.meta = meta
         self.item_shape = tuple(meta["item_shape"])
-        self.params = params
+        # params live on device from load time — leaving them as host numpy
+        # would re-ship every weight through the host->device transfer on
+        # EVERY call (measured 26x the live sampler's latency on v5e)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self._call = jax.jit(plan.call)
         self.mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
 
@@ -253,7 +256,7 @@ class ExportedTextEncoder:
     def __init__(self, exported, dataset: str, params):
         self._call = jax.jit(exported.call)
         self.dataset = dataset
-        self.params = params
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
 
     def __call__(self, texts) -> np.ndarray:
         from motionstyle.models import clip_text

@@ -100,6 +100,16 @@ class TestRoundTrip:
             exported = np.asarray(art.sampler(batch, rng))
             np.testing.assert_allclose(exported, live, rtol=5e-5, atol=1e-6)
 
+    def test_params_live_on_device_after_load(self, artifact_dir):
+        """Regression guard for the 26x-latency pitfall (BASELINE.md r3):
+        loaded params must be jax Arrays (device-resident), not host numpy
+        re-shipped per call."""
+        from motionstyle.serve.export import load_artifact
+
+        art = load_artifact(artifact_dir)
+        for leaf in jax.tree_util.tree_leaves(art.sampler.params):
+            assert isinstance(leaf, jax.Array), type(leaf)
+
     def test_independent_loads_bit_equal(self, tiny_setup, artifact_dir):
         """Determinism across loads: the artifact bytes pin the program, so
         two independently deserialized copies agree bit for bit."""

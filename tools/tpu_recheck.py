@@ -117,6 +117,77 @@ def serving_and_longform():
                       "compiled_executables": len(sampler._compiled)}))
 
 
+def artifact_roundtrip():
+    """r3 AOT deployment: export the fused serving plan (tpu Pallas custom
+    calls, tpu-only artifact), reload it, and compare latency + outputs
+    against the live ShardedSampler at the serving config."""
+    import bench
+    import jax
+    import jax.numpy as jnp
+
+    from motionstyle.diffusion.schedule import make_schedule
+    from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+    from motionstyle.parallel.inference import ShardedSampler
+    from motionstyle.parallel.mesh import make_mesh
+    from motionstyle.serve import export as sx
+
+    C, W = 181, 76
+    cfg = MDMConfig(njoints=C, nfeats=1, latent_dim=bench.LATENT,
+                    ff_size=bench.FF, num_layers=bench.LAYERS,
+                    num_heads=bench.HEADS, dtype="bfloat16", fused=True)
+    model = StyleDiffusion(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, C, 1, W)),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 512)))
+    sampler = ShardedSampler(
+        make_mesh(len(jax.devices())), make_schedule("cosine", 1000, "ddim20"),
+        lambda p: (lambda x, t, c: model.apply(p, x, t, c.get("enc_text"))),
+        params, method="ddim", skip_timesteps=14, stop_timesteps=4,
+        dump_all_xstart=True)
+    exp, host_params = sx.export_sampler_plan(
+        sampler, (C, 1, W), {"enc_text": ((512,), "float32")},
+        with_init_image=True, with_inpainting=True, platforms=("tpu",),
+        allow_tpu_custom_calls=True)
+    plan = jax.export.deserialize(exp.serialize())
+    meta = {"item_shape": [C, 1, W], "cond_spec": {"enc_text": [[512], "float32"]},
+            "with_init_image": True, "with_inpainting": True,
+            "needs_step_noise": sampler.needs_step_noise(),
+            "n_steps": sampler.n_live_steps()}
+    art = sx.ExportedSampler(meta, plan, host_params)
+
+    from motionstyle.diffusion.ddpm import Inpainting
+
+    r = np.random.RandomState(0)
+    init = r.randn(1, C, 1, W).astype(np.float32)
+    mask = np.zeros((1, C, 1, W), np.float32)
+    mask[:, :4] = 1.0
+    batch = {"init_image": init,
+             "cond": {"enc_text": r.randn(1, 512).astype(np.float32)},
+             "inpainting": Inpainting(mask=mask, motion=init),
+             "item_seeds": np.asarray([7], np.int32)}
+    rng = jax.random.PRNGKey(0)
+
+    def time_one(fn, reps=20):
+        float(np.asarray(fn()).sum())  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(fn()).sum())
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    live_out = np.asarray(sampler(batch, rng))
+    art_out = np.asarray(art(batch, rng))
+    dev = float(np.abs(art_out - live_out).max() /
+                (np.abs(live_out).max() + 1e-9))
+    t_live = time_one(lambda: sampler(batch, rng)) * 1e3
+    t_art = time_one(lambda: art(batch, rng)) * 1e3
+    print(json.dumps({"metric": "artifact_vs_live_b1",
+                      "live_p50_ms": round(t_live, 2),
+                      "artifact_p50_ms": round(t_art, 2),
+                      "max_rel_dev": dev,
+                      "fused_pallas_export": True}))
+
+
 def main():
     quick = "--quick" in sys.argv
     platform = probe()
@@ -132,6 +203,7 @@ def main():
         finetune_step()
         opt_in_modes()
         serving_and_longform()
+        artifact_roundtrip()
     print(json.dumps({"metric": "recheck_wall_s", "value": round(time.perf_counter() - t0, 1)}))
 
 
