@@ -51,6 +51,11 @@ def build_parser() -> ArgumentParser:
                         help="also export the CLIP text tower so the serving "
                              "host can encode captions without model code")
     parser.add_argument("--style_strength", default=1.0, type=float)
+    parser.add_argument("--styles", default="", type=str,
+                        help="extra named styles 'name=ckpt[,n2=ckpt2]' "
+                             "(full model{step}.pt or LoRA adapter) baked "
+                             "into params.npz — the one exported module "
+                             "serves all of them by params swap")
     return parser
 
 
@@ -96,6 +101,16 @@ def main(argv=None):
         print("exporting text plan ...")
         text_plan, text_params = sx.export_text_plan(bundle.clip_params,
                                                      platforms=platforms)
+    styles = {}
+    if args.styles:
+        import jax
+
+        from motionstyle.cli import model_util
+
+        styles = {name: jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
+                  for name, tree in
+                  model_util.load_named_styles(args, args.styles).items()}
+        print(f"baking styles {sorted(styles)} into params.npz")
 
     meta = {
         "buckets": buckets,  # the serving engine's padding grid default
@@ -114,7 +129,8 @@ def main(argv=None):
         "skip_steps": args.skip_steps,
         "style_strength": args.style_strength,
     }
-    sx.save_artifact(args.output, meta, plan, params, text_plan, text_params)
+    sx.save_artifact(args.output, meta, plan, params, text_plan, text_params,
+                     styles=styles)
     import os
 
     total = sum(os.path.getsize(os.path.join(dp, f))

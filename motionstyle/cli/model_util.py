@@ -326,6 +326,32 @@ def build_model(args) -> ModelBundle:
     return bundle
 
 
+def load_named_styles(args, spec: str) -> dict:
+    """Parse a 'name=ckpt_or_adapter[,name2=...]' spec into named parameter
+    trees for multi-style serving (serve/engine.py): each entry loads through
+    the normal checkpoint path (full model{step}.pt or LoRA adapter{step}.pt,
+    build_model) with the CLI's --style_strength applied, yielding a full
+    StyleDiffusion tree the one compiled sampler serves by params swap."""
+    import copy
+
+    styles = {}
+    for part in filter(None, (s.strip() for s in spec.split(","))):
+        name, _, path = part.partition("=")
+        name = name.strip()
+        if not path or not name:
+            raise SystemExit(f"--styles entries must be name=path: {part!r}")
+        if "/" in name:
+            raise SystemExit(f"style names must not contain '/': {name!r}")
+        if not os.path.exists(path):
+            raise SystemExit(f"style checkpoint not found: {path}")
+        a2 = copy.deepcopy(args)
+        a2.model_path = path
+        bundle = build_model(a2)
+        apply_style_strength(bundle, a2)
+        styles[name] = bundle.params
+    return styles
+
+
 def creat_serval_diffusion(args, timestep_respacing: str = "") -> tuple:
     """(bundle, inpainting respaced schedule, plain full schedule).
 

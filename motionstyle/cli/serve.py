@@ -102,14 +102,29 @@ def build_engine(args):
             args.inpainting_mask = art.meta["inpainting_mask"]
         buckets = tuple(art.meta["buckets"])  # only these shapes exist
         args.max_batch = min(args.max_batch, buckets[-1])
+        styles = art.styles
+        if getattr(args, "styles", ""):
+            raise SystemExit("--styles is an export-time choice for "
+                             "artifacts; bake them in with export_model "
+                             "--styles (this artifact has "
+                             f"{sorted(styles) or 'none'})")
     else:
         bundle, sampler, item_shape, pick = build_sampler(args)
         encode_text = lambda texts: bundle.encode_text(texts, args.dataset)  # noqa: E731
         buckets = (1, 2, 4, 8)
+        styles = {}
+        if getattr(args, "styles", ""):
+            from motionstyle.cli import model_util
+
+            styles = model_util.load_named_styles(args, args.styles)
+    if styles:
+        print(f"multi-style serving: {sorted(styles)} (one compiled "
+              f"executable, per-request params swap)")
     engine = ServingEngine(sampler, item_shape, max_batch=args.max_batch,
                            max_wait_ms=args.max_wait_ms, buckets=buckets,
                            deterministic=bool(args.deterministic),
-                           max_queue=args.max_queue, dump_pick=pick)
+                           max_queue=args.max_queue, dump_pick=pick,
+                           styles=styles)
 
     mask = np.asarray(get_inpainting_mask(
         args.inpainting_mask, (1,) + item_shape, dataset=args.dataset),
@@ -125,7 +140,8 @@ def build_engine(args):
         enc = np.asarray(encode_text([payload.get("text", "")]),
                          np.float32)[0]
         return Request({"enc_text": enc}, init_image=init,
-                       inpainting_mask=mask, seed=payload.get("seed", 0))
+                       inpainting_mask=mask, seed=payload.get("seed", 0),
+                       style=payload.get("style"))
 
     def handle(payload: dict) -> np.ndarray:
         """Content of exactly `nframes` -> one batched request; LONGER
@@ -155,7 +171,8 @@ def build_engine(args):
             return engine.sample(Request(
                 {"enc_text": enc}, init_image=np.asarray(init)[0],
                 inpainting_mask=np.asarray(inp.mask)[0],
-                seed=(seed + 7919 * (k + 1)) & 0x7FFFFFFF))[None]
+                seed=(seed + 7919 * (k + 1)) & 0x7FFFFFFF,
+                style=payload.get("style")))[None]
 
         long_content = content.T[None, :, None, :]  # (1, C, 1, T)
         # build the mask at FULL length (time-varying masks like `prefix`
@@ -206,6 +223,11 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--style_strength", default=1.0, type=float,
                         help="scale the learned style task vector (0 = no "
                              "style, 1 = finetuned, >1 exaggerated)")
+    parser.add_argument("--styles", default="", type=str,
+                        help="extra named styles 'name=ckpt[,n2=ckpt2]' "
+                             "(full model{step}.pt or LoRA adapter) served "
+                             "from the SAME compiled executable; requests "
+                             "pick one via the 'style' payload field")
     parser.add_argument("--deterministic", default=0, type=int,
                         help="pad every batch to one compiled shape: bit-exact"
                              " replay per seed regardless of traffic (engine"

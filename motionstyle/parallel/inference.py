@@ -147,7 +147,16 @@ class ShardedSampler:
 
         return run
 
-    def __call__(self, batch: dict, rng: jax.Array):
+    def prepare_params(self, params):
+        """Place an alternative parameter tree (e.g. another finetuned style)
+        onto this sampler's mesh for use as a per-call `params` override.
+        Because params are a traced ARGUMENT of the compiled executable (not
+        baked constants), every prepared tree with the construction tree's
+        structure/shapes reuses the same executable — one compile serves any
+        number of styles (serve/engine.py multi-style serving)."""
+        return shard_params(params, self.mesh)
+
+    def __call__(self, batch: dict, rng: jax.Array, params=None):
         """batch: {'shape': tuple | 'init_image': (B, C, 1, T), 'cond': dict,
         optional 'inpainting': Inpainting, optional 'noise' (B, C, 1, T) and
         'step_noise' (S, B, C, 1, T) for per-item pinned noise (the
@@ -156,7 +165,8 @@ class ShardedSampler:
         (fold_in(PRNGKey(seed), 0/1) — bit-identical to the host path since
         threefry is backend-deterministic, without materializing S×B×C×T
         noise on the host or shipping it over the interconnect)}. Returns
-        device-sharded samples."""
+        device-sharded samples. `params`: optional prepare_params-ed override
+        (same tree structure/shapes as the construction params)."""
         init_image = batch.get("init_image")
         shape = tuple(batch["shape"]) if "shape" in batch else tuple(init_image.shape)
         key = (shape, tuple(sorted(batch.get("cond", {}).keys())), "inpainting" in batch,
@@ -182,7 +192,8 @@ class ShardedSampler:
         if item_seeds is not None:
             item_seeds = shard_batch(np.asarray(item_seeds, np.int32), self.mesh)
         with self.mesh:
-            return self._compiled[key](self.params, init, cond, inpainting,
+            return self._compiled[key](self.params if params is None else params,
+                                       init, cond, inpainting,
                                        noise, step_noise, item_seeds, rng)
 
 

@@ -44,15 +44,18 @@ from motionstyle.serve.batcher import DynamicBatcher, bucket_for
 
 class Request:
     """One sampling request: cond entries are per-item arrays (no batch
-    axis); init_image (C, F, T); inpainting_mask/motion optional (C, F, T)."""
+    axis); init_image (C, F, T); inpainting_mask/motion optional (C, F, T);
+    style picks a named parameter tree registered with the engine (None =
+    the sampler's own params)."""
 
     def __init__(self, cond: dict, init_image: Optional[np.ndarray] = None,
                  inpainting_mask: Optional[np.ndarray] = None,
-                 seed: int = 0):
+                 seed: int = 0, style: Optional[str] = None):
         self.cond = cond
         self.init_image = init_image
         self.inpainting_mask = inpainting_mask
         self.seed = int(seed)
+        self.style = style
 
 
 class ServingEngine:
@@ -66,7 +69,8 @@ class ServingEngine:
                  max_batch: int = 8, max_wait_ms: float = 5.0,
                  buckets: Sequence[int] = (1, 2, 4, 8),
                  deterministic: bool = False, pin_host_noise: bool = False,
-                 max_queue: int = 0, dump_pick: int = -1):
+                 max_queue: int = 0, dump_pick: int = -1,
+                 styles: Optional[dict] = None):
         if getattr(sampler, "parallel_window", 0) > 0:
             # fail at construction, not at the first request's trace (and
             # never silently under python -O): the engine ALWAYS pins
@@ -79,6 +83,12 @@ class ServingEngine:
         self.sampler = sampler
         self.item_shape = tuple(item_shape)
         self.pin_host_noise = pin_host_noise
+        # named alternative parameter trees (multi-style serving): params are
+        # a traced argument of the compiled sampler, so every style serves
+        # from the SAME executable — prepare_params just places the tree on
+        # the sampler's mesh/device once
+        self._styles = {name: sampler.prepare_params(tree)
+                        for name, tree in (styles or {}).items()}
         # which entry of a dump_all_xstart stack to serve — pair it with the
         # sampler's stop_timesteps via sampling.min_latency_plan so serving
         # matches the demo's pick on short chains too
@@ -104,6 +114,9 @@ class ServingEngine:
 
     def submit(self, request: Request):
         """Returns a concurrent.futures.Future resolving to (C, F, T)."""
+        if request.style is not None and request.style not in self._styles:
+            raise ValueError(f"unknown style {request.style!r}; registered: "
+                             f"{sorted(self._styles)}")
         for name in ("init_image", "inpainting_mask"):
             arr = getattr(request, name)
             if arr is not None and tuple(np.shape(arr)) != self.item_shape:
@@ -128,9 +141,11 @@ class ServingEngine:
     def _compat_key(r: Request):
         """Requests sharing a device batch must agree on structure AND cond
         shapes — two requests with the same cond key at different shapes
-        must not land in one np.stack."""
+        must not land in one np.stack — and on the style (params are batch-
+        global, so a device batch serves exactly one parameter tree)."""
         return (tuple((k, tuple(np.shape(v))) for k, v in sorted(r.cond.items())),
-                r.init_image is not None, r.inpainting_mask is not None)
+                r.init_image is not None, r.inpainting_mask is not None,
+                r.style)
 
     def _run_groups(self, items: list) -> list:
         """Split a coalesced batch into structurally compatible groups (a
@@ -192,7 +207,10 @@ class ServingEngine:
                              for r in padded])
             batch["inpainting"] = Inpainting(mask=mask,
                                              motion=batch["init_image"])
-        out = np.asarray(self.sampler(batch, jax.random.PRNGKey(0)))
+        style = padded[0].style  # compat key groups one style per batch
+        params = None if style is None else self._styles[style]
+        out = np.asarray(self.sampler(batch, jax.random.PRNGKey(0),
+                                      params=params))
         if out.ndim == len(self.item_shape) + 2:
             # dump_all_xstart stacks (S, B, ...): serve the configured pick
             out = out[self.dump_pick]

@@ -158,18 +158,26 @@ def export_text_plan(clip_params, platforms: Sequence[str] = ("tpu", "cpu"),
 
 
 def save_artifact(path: str, meta: dict, sample_plan, params,
-                  text_plan=None, text_params=None) -> None:
+                  text_plan=None, text_params=None, styles=None) -> None:
     """Write an artifact directory: meta.json + plans + params.npz (model
-    weights under 'model/', text-tower weights under 'text/')."""
+    weights under 'model/', text-tower weights under 'text/', additional
+    named styles under 'styles/<name>/' — each a full parameter tree the one
+    exported module serves by params swap)."""
     plans_dir = os.path.join(path, "plans")
     os.makedirs(plans_dir, exist_ok=True)
     meta = dict(meta)
     meta["format_version"] = FORMAT_VERSION
     meta["jax_version"] = jax.__version__
     meta["has_text_plan"] = text_plan is not None
+    meta["styles"] = sorted(styles or {})
     with open(os.path.join(plans_dir, _SAMPLE_PLAN), "wb") as f:
         f.write(sample_plan.serialize())
     flat = {f"model/{k}": v for k, v in _flatten_params(params).items()}
+    for name, tree in (styles or {}).items():
+        if "/" in name:
+            raise ValueError(f"style name must not contain '/': {name!r}")
+        flat |= {f"styles/{name}/{k}": v
+                 for k, v in _flatten_params(tree).items()}
     if text_plan is not None:
         with open(os.path.join(plans_dir, _TEXT_PLAN), "wb") as f:
             f.write(text_plan.serialize())
@@ -211,7 +219,13 @@ class ExportedSampler:
     def n_live_steps(self) -> int:
         return int(self.meta["n_steps"])
 
-    def __call__(self, batch: dict, rng: jax.Array):
+    def prepare_params(self, params):
+        """Device-put an alternative style's parameter tree for per-call
+        override — params are a module ARGUMENT, so one exported plan serves
+        any number of styles from the same compiled executable."""
+        return jax.tree_util.tree_map(jnp.asarray, params)
+
+    def __call__(self, batch: dict, rng: jax.Array, params=None):
         for k in ("noise", "step_noise"):
             if k in batch:
                 raise ValueError(
@@ -245,7 +259,8 @@ class ExportedSampler:
             motion = jnp.asarray(inp.motion, jnp.float32)
         if init is not None:
             init = jnp.asarray(init, jnp.float32)
-        return self._call(self.params, init, cond, mask, motion, seeds, rng)
+        return self._call(self.params if params is None else params,
+                          init, cond, mask, motion, seeds, rng)
 
 
 class ExportedTextEncoder:
@@ -276,13 +291,15 @@ class ExportedTextEncoder:
 
 class Artifact:
     """A loaded artifact: `.sampler` for the engine, `.encode_text` for the
-    request path, `.meta` for the serving configuration."""
+    request path, `.meta` for the serving configuration, `.styles` named
+    parameter trees (host) the one exported plan can serve by params swap."""
 
     def __init__(self, meta: dict, sampler: ExportedSampler,
-                 encode_text: Optional[Callable]):
+                 encode_text: Optional[Callable], styles: Optional[dict] = None):
         self.meta = meta
         self.sampler = sampler
         self.encode_text = encode_text
+        self.styles = styles or {}
 
 
 def load_artifact(path: str) -> Artifact:
@@ -306,4 +323,4 @@ def load_artifact(path: str) -> Artifact:
             encode = ExportedTextEncoder(jax.export.deserialize(f.read()),
                                          meta["dataset"], groups["text"])
     return Artifact(meta, ExportedSampler(meta, plan, groups["model"]),
-                    encode)
+                    encode, styles=groups.get("styles"))

@@ -233,6 +233,58 @@ class TestEngineOverArtifact:
             exported.close()
 
 
+class TestArtifactStyles:
+    def test_styles_round_trip_and_serve(self, tiny_setup, tmp_path):
+        """Named styles baked into params.npz serve from the ONE exported
+        module by params swap, through the unchanged ServingEngine."""
+        from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+        from motionstyle.serve import export as sx
+        from motionstyle.serve.engine import Request, ServingEngine
+        from motionstyle.serve.export import load_artifact
+
+        sampler, item_shape = tiny_setup
+        cfg = MDMConfig(njoints=12, nfeats=1, latent_dim=16, ff_size=32,
+                        num_layers=1, num_heads=2, clip_dim=16)
+        alt = StyleDiffusion(cfg).init(
+            jax.random.PRNGKey(123), jnp.zeros((1, 12, 1, 8)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 16)))
+        alt_host = jax.tree_util.tree_map(np.asarray, jax.device_get(alt))
+
+        plan, params = sx.export_sampler_plan(
+            sampler, item_shape, {"enc_text": ((16,), "float32")},
+            with_init_image=True, with_inpainting=True, platforms=("cpu",))
+        path = tmp_path / "styled"
+        sx.save_artifact(str(path), _meta(sampler, item_shape, (1, 2)), plan,
+                         params, styles={"alt": alt_host})
+        art = load_artifact(str(path))
+        assert sorted(art.styles) == ["alt"]
+
+        batch = _batch(item_shape, 1)
+        rng = jax.random.PRNGKey(0)
+        default_out = np.asarray(art.sampler(batch, rng))
+        live_alt = np.asarray(sampler(batch, rng, params=alt))
+        art_alt = np.asarray(art.sampler(
+            batch, rng, params=art.sampler.prepare_params(art.styles["alt"])))
+        assert np.abs(art_alt - default_out).max() > 1e-4
+        np.testing.assert_allclose(art_alt, live_alt, rtol=5e-5, atol=1e-6)
+
+        engine = ServingEngine(art.sampler, item_shape, max_batch=2,
+                               max_wait_ms=1, buckets=(1, 2),
+                               styles=art.styles)
+        try:
+            r = np.random.RandomState(11)
+            mask = np.zeros(item_shape, np.float32)
+            mask[:3] = 1.0
+            req = Request({"enc_text": r.randn(16).astype(np.float32)},
+                          init_image=r.randn(*item_shape).astype(np.float32),
+                          inpainting_mask=mask, seed=3, style="alt")
+            out = np.asarray(engine.sample(req))
+            np.testing.assert_array_equal(out[:3],
+                                          np.asarray(req.init_image)[:3])
+        finally:
+            engine.close()
+
+
 class TestTextPlan:
     def test_text_plan_matches_encode_text(self, tmp_path):
         from motionstyle.models import clip_text
@@ -310,3 +362,59 @@ class TestExportCLI:
         content = np.asarray(payload["content"], np.float32).T[:, None, :]
         np.testing.assert_array_equal(art_out * mask, content * mask)
         assert np.abs((art_out - content) * (1 - mask)).max() > 1e-4
+
+    def test_export_with_styles_then_serve(self, tmp_path):
+        """--styles bakes extra named encoders into params.npz; the served
+        artifact answers per-request 'style' picks from one module."""
+        import torch
+
+        from motionstyle.cli import export_model
+        from motionstyle.cli.model_util import build_model
+        from motionstyle.cli.serve import build_engine, parse_args
+        from motionstyle.models.torch_import import export_style_encoder
+
+        save_dir = tmp_path / "ft" / "350angry_jumping"
+        save_dir.mkdir(parents=True)
+        with open(save_dir / "args.json", "w") as f:
+            json.dump({"dataset": "stylexia_posrot", "layers": 1,
+                       "latent_dim": 64, "diffusion_steps": 40,
+                       "skip_steps": 28}, f)
+        common = ["--dataset", "stylexia_posrot", "--layers", "1",
+                  "--latent_dim", "64", "--diffusion_steps", "40",
+                  "--skip_steps", "28", "--timestep_respacing", "ddim10"]
+
+        # a second style checkpoint: different seed, reference torch layout
+        args2 = parse_args(["--model_path", str(save_dir / "nope.pt"),
+                            "--seed", "5", *common])
+        bundle2 = build_model(args2)
+        sd = export_style_encoder(
+            {"style_encoder": bundle2.params["params"]["style_encoder"]}, 1)
+        style2 = tmp_path / "style2.pt"
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in sd.items()}, style2)
+
+        artifact = tmp_path / "artifact"
+        export_model.main([
+            "--model_path", str(save_dir / "model000000001.pt"),
+            "--output", str(artifact), "--buckets", "1",
+            "--platforms", "cpu", "--styles", f"fierce={style2}", *common])
+
+        engine, _, handle = build_engine(parse_args(
+            ["--artifact", str(artifact), "--max_wait_ms", "1", *common]))
+        try:
+            r = np.random.RandomState(0)
+            payload = {"content": r.randn(76, 181).astype(np.float32).tolist(),
+                       "text": "a person walks angrily", "seed": 7}
+            base_out = np.asarray(handle(payload))
+            styled_out = np.asarray(handle({**payload, "style": "fierce"}))
+        finally:
+            engine.close()
+
+        assert np.abs(styled_out - base_out).max() > 1e-4
+        from motionstyle.data.masks import get_inpainting_mask
+
+        mask = np.asarray(get_inpainting_mask(
+            "root_horizontal", (1, 181, 1, 76), dataset="stylexia_posrot"),
+            np.float32)[0]
+        content = np.asarray(payload["content"], np.float32).T[:, None, :]
+        np.testing.assert_array_equal(styled_out * mask, content * mask)

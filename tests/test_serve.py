@@ -214,6 +214,88 @@ class TestEngine:
         np.testing.assert_array_equal(out[:3], np.asarray(req.init_image)[:3])
 
 
+class TestMultiStyle:
+    def test_styles_served_from_one_executable(self, engine_setup):
+        """Multi-style serving: params are a traced ARGUMENT of the compiled
+        sampler, so a registered style serves from the same executable and
+        must match a dedicated engine built on those params — while the
+        default (style=None) path is untouched."""
+        from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+        from motionstyle.serve.engine import ServingEngine
+
+        base = engine_setup
+        cfg = MDMConfig(njoints=12, nfeats=1, latent_dim=16, ff_size=32,
+                        num_layers=1, num_heads=2, clip_dim=16)
+        alt_params = StyleDiffusion(cfg).init(
+            jax.random.PRNGKey(123), jnp.zeros((1, 12, 1, 8)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 16)))
+
+        styled = ServingEngine(base.sampler, base.item_shape, max_batch=8,
+                               max_wait_ms=5, styles={"alt": alt_params})
+        try:
+            plain = np.asarray(base.sample(_request(7, rng_data=2)))
+            via_none = np.asarray(styled.sample(_request(7, rng_data=2)))
+            np.testing.assert_array_equal(plain, via_none)
+
+            n_compiled = len(base.sampler._compiled)
+            req_alt = _request(7, rng_data=2)
+            req_alt.style = "alt"
+            alt_out = np.asarray(styled.sample(req_alt))
+            assert np.abs(alt_out - plain).max() > 1e-4  # different params
+            # the style swap reused the already-compiled executable
+            assert len(base.sampler._compiled) == n_compiled
+
+            # and equals a dedicated engine constructed on those params
+            from motionstyle.parallel.inference import ShardedSampler
+
+            dedicated = ServingEngine(
+                ShardedSampler(base.sampler.mesh, base.sampler.sched,
+                               base.sampler.model_fn_builder, alt_params,
+                               **base.sampler.sample_kwargs),
+                base.item_shape, max_batch=8, max_wait_ms=5)
+            try:
+                want = np.asarray(dedicated.sample(_request(7, rng_data=2)))
+                np.testing.assert_array_equal(alt_out, want)
+            finally:
+                dedicated.close()
+            with pytest.raises(ValueError, match="unknown style"):
+                bad = _request(1)
+                bad.style = "nope"
+                styled.submit(bad)
+        finally:
+            styled.close()
+
+    def test_mixed_style_queue_invariance(self, engine_setup):
+        """A queue mixing styles splits into per-style device batches (compat
+        key) and every request still equals its solo result."""
+        from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+        from motionstyle.serve.engine import ServingEngine
+
+        base = engine_setup
+        cfg = MDMConfig(njoints=12, nfeats=1, latent_dim=16, ff_size=32,
+                        num_layers=1, num_heads=2, clip_dim=16)
+        alt_params = StyleDiffusion(cfg).init(
+            jax.random.PRNGKey(123), jnp.zeros((1, 12, 1, 8)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 16)))
+        styled = ServingEngine(base.sampler, base.item_shape, max_batch=8,
+                               max_wait_ms=20, styles={"alt": alt_params})
+        try:
+            def req(seed, style):
+                r = _request(seed, rng_data=seed)
+                r.style = style
+                return r
+
+            solo = {(s, st): np.asarray(styled.sample(req(s, st)))
+                    for s in (3, 5) for st in (None, "alt")}
+            futs = {(s, st): styled.submit(req(s, st))
+                    for s in (3, 5) for st in (None, "alt")}
+            for k, f in futs.items():
+                np.testing.assert_allclose(np.asarray(f.result(timeout=60)),
+                                           solo[k], rtol=2e-5, atol=1e-6)
+        finally:
+            styled.close()
+
+
 @pytest.mark.slow
 class TestServeCLI:
     def test_style_transfer_endpoint(self, tmp_path):
