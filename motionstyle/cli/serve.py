@@ -143,11 +143,7 @@ def build_engine(args):
                        inpainting_mask=mask, seed=payload.get("seed", 0),
                        style=payload.get("style"))
 
-    def handle(payload: dict) -> np.ndarray:
-        """Content of exactly `nframes` -> one batched request; LONGER
-        content -> long-form transfer (diffusion/longform.py): each window
-        is a normal engine request riding the dynamic batcher, so long jobs
-        coalesce with concurrent single-clip traffic."""
+    def _checked_content(payload: dict) -> np.ndarray:
         content = np.asarray(payload["content"], np.float32)  # (T, C)
         if content.ndim != 2 or content.shape[1] != njoints:
             raise ValueError(
@@ -157,9 +153,13 @@ def build_engine(args):
             raise ValueError(
                 f"content must have >= {nframes} frames (got "
                 f"{content.shape[0]}); pad short clips client-side")
-        if content.shape[0] == nframes:
-            return engine.sample(decode(payload))
-        from motionstyle.diffusion.longform import longform_sample
+        return content
+
+    def _long_stream(payload: dict, content: np.ndarray):
+        """(offset, (C, 1, t) chunk) generator for content longer than the
+        window: each window is a normal engine request riding the dynamic
+        batcher, so long jobs coalesce with concurrent single-clip traffic."""
+        from motionstyle.diffusion.longform import longform_stream
 
         enc = np.asarray(encode_text([payload.get("text", "")]),
                          np.float32)[0]
@@ -181,12 +181,34 @@ def build_engine(args):
         long_mask = np.asarray(get_inpainting_mask(
             args.inpainting_mask, long_content.shape, dataset=args.dataset),
             np.float32)
-        out = longform_sample(run_window, content.shape[0], nframes,
-                              overlap=10, content=long_content,
-                              content_mask=long_mask)
-        return out[0]
+        for off, chunk in longform_stream(run_window, content.shape[0],
+                                          nframes, overlap=10,
+                                          content=long_content,
+                                          content_mask=long_mask):
+            yield off, chunk[0]
 
-    return engine, decode, handle
+    def handle(payload: dict) -> np.ndarray:
+        """Content of exactly `nframes` -> one batched request; LONGER
+        content -> long-form transfer (diffusion/longform.py)."""
+        content = _checked_content(payload)
+        if content.shape[0] == nframes:
+            return engine.sample(decode(payload))
+        return np.concatenate(
+            [c for _, c in _long_stream(payload, content)], axis=-1)
+
+    def stream(payload: dict):
+        """/v1/stream: yield {"offset", "motion"} per completed window —
+        drained, the chunks equal handle()'s result exactly (same per-window
+        seeds); exact-length content degenerates to one chunk."""
+        content = _checked_content(payload)
+        if content.shape[0] == nframes:
+            out = np.asarray(engine.sample(decode(payload)))
+            yield {"offset": 0, "motion": out.tolist()}
+            return
+        for off, chunk in _long_stream(payload, content):
+            yield {"offset": int(off), "motion": chunk.tolist()}
+
+    return engine, decode, handle, stream
 
 
 def build_parser() -> ArgumentParser:
@@ -250,9 +272,9 @@ def main(argv=None):
 
     from motionstyle.serve.server import MotionServer
 
-    engine, decode, handle = build_engine(args)
+    engine, decode, handle, stream = build_engine(args)
     server = MotionServer(engine, host=args.host, port=args.port,
-                          decode=decode, handle=handle)
+                          decode=decode, handle=handle, stream=stream)
 
     import signal
     import threading

@@ -41,7 +41,7 @@ def plan_windows(n_frames: int, window: int, overlap: int):
     return 1 + extra, stride
 
 
-def longform_sample(
+def longform_stream(
     run_window: Callable,
     n_frames: int,
     window: int,
@@ -49,18 +49,13 @@ def longform_sample(
     rng: Optional[jax.Array] = None,
     content: Optional[np.ndarray] = None,
     content_mask: Optional[np.ndarray] = None,
-) -> np.ndarray:
-    """Chain windows to (B, C, 1, n_frames) of normalized features.
-
-    run_window(init_image (B,C,1,W) | None, inpainting | None, rng) ->
-    (B, C, 1, W) — typically a ShardedSampler closure; called with identical
-    shapes every window (compile once).
-
-    content/content_mask (B, C, 1, >= n_frames): per-window slices are
-    inpainted wherever content_mask is 1 (the long style-transfer use:
-    preserve the content's root channels at every frame). The window-overlap
-    continuity mask is OR-ed on top.
-    """
+):
+    """Generator form of longform_sample: yields (frame_offset, chunk) with
+    chunk (B, C, 1, t) as each window completes, so a serving frontend can
+    deliver a long job progressively (serve/server.py /v1/stream) — first
+    motion after ONE window's latency instead of the whole chain's.
+    Concatenating the chunks equals longform_sample bit for bit (same rng
+    folding per window; longform_sample IS this generator, drained)."""
     rng = jax.random.PRNGKey(0) if rng is None else rng
     n_windows, stride = plan_windows(n_frames, window, overlap)
     if content is not None:
@@ -94,15 +89,44 @@ def longform_sample(
             return None, None
         return init, Inpainting(mask=mask, motion=init)
 
-    chunks = []
+    emitted = 0
     tail = None
     for k in range(n_windows):
         init, inp = window_inputs(k, tail)
         out = np.asarray(run_window(init, inp, jax.random.fold_in(rng, k)),
                          np.float32)
         # the inpainting blend guarantees out[..., :overlap] == tail exactly
-        chunks.append(out if k == 0 else out[..., overlap:])
+        chunk = out if k == 0 else out[..., overlap:]
         # overlap=0 (independent windows): out[..., -0:] would be the FULL
         # window, corrupting the next init's empty slice assignment
         tail = out[..., -overlap:] if overlap else None
-    return np.concatenate(chunks, axis=-1)[..., :n_frames]
+        chunk = chunk[..., :n_frames - emitted]  # clip the final window
+        if chunk.shape[-1]:
+            yield emitted, chunk
+            emitted += chunk.shape[-1]
+
+
+def longform_sample(
+    run_window: Callable,
+    n_frames: int,
+    window: int,
+    overlap: int = 10,
+    rng: Optional[jax.Array] = None,
+    content: Optional[np.ndarray] = None,
+    content_mask: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Chain windows to (B, C, 1, n_frames) of normalized features.
+
+    run_window(init_image (B,C,1,W) | None, inpainting | None, rng) ->
+    (B, C, 1, W) — typically a ShardedSampler closure; called with identical
+    shapes every window (compile once).
+
+    content/content_mask (B, C, 1, >= n_frames): per-window slices are
+    inpainted wherever content_mask is 1 (the long style-transfer use:
+    preserve the content's root channels at every frame). The window-overlap
+    continuity mask is OR-ed on top.
+    """
+    chunks = [c for _, c in longform_stream(
+        run_window, n_frames, window, overlap=overlap, rng=rng,
+        content=content, content_mask=content_mask)]
+    return np.concatenate(chunks, axis=-1)

@@ -2,6 +2,9 @@
 
 Endpoints:
   POST /v1/sample   body: JSON request; returns {"motion": [[...]], ...}
+  POST /v1/stream   same body; NDJSON response — one {"offset", "motion"}
+                    line per completed long-form window (first motion after
+                    ONE window's latency), final {"done": true} line
   GET  /healthz     liveness
   GET  /stats       batcher statistics (requests, batches, mean batch size)
 
@@ -38,13 +41,17 @@ def default_decode(payload: dict) -> Request:
 class MotionServer:
     def __init__(self, engine: ServingEngine, host: str = "127.0.0.1",
                  port: int = 8500, decode: Callable = default_decode,
-                 handle: Callable | None = None):
+                 handle: Callable | None = None,
+                 stream: Callable | None = None):
         """handle(payload) -> np.ndarray overrides the default
         engine.sample(decode(payload)) — e.g. the long-form handler in
-        cli/serve.py that chains windowed requests through the batcher."""
+        cli/serve.py that chains windowed requests through the batcher.
+        stream(payload) -> iterator of JSON-able dicts enables /v1/stream
+        (progressive long-form delivery)."""
         self.engine = engine
         self.decode = decode
         self.handle = handle or (lambda payload: engine.sample(decode(payload)))
+        self.stream = stream
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -67,7 +74,55 @@ class MotionServer:
                 else:
                     self._json(404, {"error": f"unknown path {self.path}"})
 
+            def _read_payload(self) -> dict:
+                n = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def _stream(self):
+                """NDJSON: chunk lines as windows complete, then a done line.
+                Errors BEFORE the first chunk get a clean JSON 500; after
+                headers are sent, an error becomes a terminal NDJSON line
+                (the status line is already on the wire)."""
+                try:
+                    payload = self._read_payload()
+                    gen = iter(outer.stream(payload))
+                    first = next(gen, None)
+                except Exception as ex:  # noqa: BLE001 — pre-headers
+                    self._json(500, {"error": f"{type(ex).__name__}: {ex}"})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.end_headers()
+
+                def line(obj):
+                    self.wfile.write((json.dumps(obj) + "\n").encode())
+                    self.wfile.flush()
+
+                try:
+                    n_chunks = 0
+                    if first is not None:
+                        line(first)
+                        n_chunks = 1
+                    for obj in gen:
+                        line(obj)
+                        n_chunks += 1
+                    line({"done": True, "chunks": n_chunks,
+                          "seed": payload.get("seed", 0)})
+                except BrokenPipeError:
+                    pass  # client went away mid-stream; nothing to salvage
+                except Exception as ex:  # noqa: BLE001 — mid-stream
+                    try:
+                        line({"error": f"{type(ex).__name__}: {ex}"})
+                    except Exception:  # noqa: BLE001
+                        pass
+
             def do_POST(self):
+                if self.path == "/v1/stream":
+                    if outer.stream is None:
+                        self._json(404, {"error": "streaming not configured"})
+                    else:
+                        self._stream()
+                    return
                 if self.path != "/v1/sample":
                     self._json(404, {"error": f"unknown path {self.path}"})
                     return

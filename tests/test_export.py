@@ -335,7 +335,7 @@ class TestExportCLI:
         payload = {"content": r.randn(76, 181).astype(np.float32).tolist(),
                    "text": "a person walks angrily", "seed": 7}
 
-        live_engine, _, live_handle = build_engine(parse_args([
+        live_engine, _, live_handle, _ = build_engine(parse_args([
             "--model_path", str(save_dir / "model000000001.pt"),
             "--max_wait_ms", "1", *common]))
         try:
@@ -343,7 +343,7 @@ class TestExportCLI:
         finally:
             live_engine.close()
 
-        art_engine, _, art_handle = build_engine(parse_args([
+        art_engine, _, art_handle, _ = build_engine(parse_args([
             "--artifact", str(artifact), "--max_wait_ms", "1", *common]))
         try:
             art_out = np.asarray(art_handle(payload))
@@ -399,7 +399,7 @@ class TestExportCLI:
             "--output", str(artifact), "--buckets", "1",
             "--platforms", "cpu", "--styles", f"fierce={style2}", *common])
 
-        engine, _, handle = build_engine(parse_args(
+        engine, _, handle, _ = build_engine(parse_args(
             ["--artifact", str(artifact), "--max_wait_ms", "1", *common]))
         try:
             r = np.random.RandomState(0)

@@ -320,9 +320,9 @@ class TestServeCLI:
             "--timestep_respacing", "ddim10",
             "--max_wait_ms", "1",
         ])
-        engine, decode, handle = build_engine(args)
-        server = MotionServer(engine, port=0, decode=decode,
-                              handle=handle).start_background()
+        engine, decode, handle, stream = build_engine(args)
+        server = MotionServer(engine, port=0, decode=decode, handle=handle,
+                              stream=stream).start_background()
         base = f"http://127.0.0.1:{server.port}"
         try:
             content = np.random.RandomState(3).randn(76, 181).astype(np.float32)
@@ -362,6 +362,50 @@ class TestServeCLI:
             np.testing.assert_array_equal(long_res * mask[:, :, :1],
                                           long_content.T[:, None, :]
                                           * mask[:, :, :1])
+
+            # /v1/stream: the same long job, delivered one NDJSON line per
+            # completed window; drained, it equals /v1/sample exactly
+            req = urllib.request.Request(
+                base + "/v1/stream",
+                data=json.dumps({"content": long_content.tolist(),
+                                 "text": "a person walks angrily",
+                                 "seed": 3}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                assert r.headers["Content-Type"] == "application/x-ndjson"
+                lines = [json.loads(l) for l in r.read().splitlines() if l]
+            assert lines[-1] == {"done": True, "chunks": 2, "seed": 3}
+            chunks = lines[:-1]
+            assert [c["offset"] for c in chunks] == [0, 76]
+            stitched = np.concatenate(
+                [np.asarray(c["motion"], np.float32) for c in chunks],
+                axis=-1)
+            np.testing.assert_array_equal(stitched, long_res)
+
+            # exact-length content streams as a single chunk
+            req = urllib.request.Request(
+                base + "/v1/stream",
+                data=json.dumps({"content": content.tolist(),
+                                 "text": "a person walks angrily",
+                                 "seed": 9}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                lines = [json.loads(l) for l in r.read().splitlines() if l]
+            assert lines[-1]["done"] and lines[-1]["chunks"] == 1
+            np.testing.assert_array_equal(
+                np.asarray(lines[0]["motion"], np.float32), motion)
+
+            # streaming errors BEFORE the first chunk -> clean JSON 500
+            bad = urllib.request.Request(
+                base + "/v1/stream",
+                data=json.dumps({"content": content[:10].tolist()}).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(bad, timeout=60)
+                assert False, "expected HTTP 500"
+            except urllib.error.HTTPError as e:
+                assert e.code == 500
+                assert "content must" in json.load(e)["error"]
 
             # wrong frame count -> clean JSON 500
             bad = urllib.request.Request(
@@ -473,7 +517,7 @@ class TestServeLongformMask:
             "--timestep_respacing", "ddim5",
             "--inpainting_mask", "prefix", "--max_wait_ms", "1",
         ])
-        engine, _decode, handle = build_engine(args)
+        engine, _decode, handle, _stream = build_engine(args)
         try:
             long_content = np.random.RandomState(11).randn(142, 181).astype(
                 np.float32)  # 76 + 66: two windows
