@@ -77,6 +77,26 @@ def build_sampler(args):
     return bundle, sampler, item_shape, pick
 
 
+def _payload_content(payload: dict, njoints: int) -> np.ndarray:
+    """Request content as (T, C) float32 from either encoding:
+    "content" (JSON list-of-lists) or "content_b64" (base64 of raw
+    little-endian float32, row-major (T, C); frames inferred from length).
+    The binary form cuts request parse cost ~20x — JSON encode/decode
+    dominates e2e HTTP latency at these payload sizes (BASELINE.md)."""
+    if "content_b64" in payload:
+        if "content" in payload:
+            raise ValueError("send content or content_b64, not both")
+        import base64
+
+        raw = base64.b64decode(payload["content_b64"])
+        if not raw or len(raw) % (4 * njoints):
+            raise ValueError(
+                f"content_b64 must be raw float32 (frames, {njoints}) bytes; "
+                f"got {len(raw)} bytes (not a multiple of {4 * njoints})")
+        return np.frombuffer(raw, "<f4").reshape(-1, njoints)
+    return np.asarray(payload["content"], np.float32)
+
+
 def build_engine(args):
     from motionstyle.data.masks import get_inpainting_mask
     from motionstyle.serve.engine import Request, ServingEngine
@@ -130,21 +150,33 @@ def build_engine(args):
         args.inpainting_mask, (1,) + item_shape, dataset=args.dataset),
         np.float32)[0]
 
+    from functools import lru_cache
+
+    @lru_cache(maxsize=1024)
+    def cached_encode_text(text: str) -> np.ndarray:
+        """Per-caption memo of the frozen text tower: it is deterministic
+        per text and shared across styles (the per-style params swap touches
+        only the denoiser/style encoder), and its forward is ~half the
+        request's host-side latency (~60 ms p50 on-chip, BASELINE.md) —
+        repeated captions skip it entirely."""
+        out = np.asarray(encode_text([text]), np.float32)[0]
+        out.setflags(write=False)
+        return out
+
     def decode(payload: dict) -> Request:
-        content = np.asarray(payload["content"], np.float32)  # (T, C)
+        content = _payload_content(payload, njoints)  # (T, C)
         if content.shape != (nframes, njoints):
             raise ValueError(
                 f"content must be (frames={nframes}, channels={njoints}), "
                 f"got {content.shape}")
         init = content.T[:, None, :]  # (C, 1, T)
-        enc = np.asarray(encode_text([payload.get("text", "")]),
-                         np.float32)[0]
+        enc = cached_encode_text(payload.get("text", ""))
         return Request({"enc_text": enc}, init_image=init,
                        inpainting_mask=mask, seed=payload.get("seed", 0),
                        style=payload.get("style"))
 
     def _checked_content(payload: dict) -> np.ndarray:
-        content = np.asarray(payload["content"], np.float32)  # (T, C)
+        content = _payload_content(payload, njoints)  # (T, C)
         if content.ndim != 2 or content.shape[1] != njoints:
             raise ValueError(
                 f"content must be (frames, channels={njoints}), "
@@ -161,8 +193,7 @@ def build_engine(args):
         batcher, so long jobs coalesce with concurrent single-clip traffic."""
         from motionstyle.diffusion.longform import longform_stream
 
-        enc = np.asarray(encode_text([payload.get("text", "")]),
-                         np.float32)[0]
+        enc = cached_encode_text(payload.get("text", ""))
         seed = int(payload.get("seed", 0))
         window_idx = iter(range(1 << 20))
 
@@ -199,14 +230,17 @@ def build_engine(args):
     def stream(payload: dict):
         """/v1/stream: yield {"offset", "motion"} per completed window —
         drained, the chunks equal handle()'s result exactly (same per-window
-        seeds); exact-length content degenerates to one chunk."""
+        seeds); exact-length content degenerates to one chunk. With request
+        "encoding": "b64" chunks carry motion_b64/shape instead."""
+        from motionstyle.serve.server import encode_motion
+
         content = _checked_content(payload)
         if content.shape[0] == nframes:
             out = np.asarray(engine.sample(decode(payload)))
-            yield {"offset": 0, "motion": out.tolist()}
+            yield {"offset": 0, **encode_motion(out, payload)}
             return
         for off, chunk in _long_stream(payload, content):
-            yield {"offset": int(off), "motion": chunk.tolist()}
+            yield {"offset": int(off), **encode_motion(chunk, payload)}
 
     return engine, decode, handle, stream
 

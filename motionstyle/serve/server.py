@@ -27,6 +27,21 @@ import numpy as np
 from motionstyle.serve.engine import Request, ServingEngine
 
 
+def encode_motion(motion, payload: dict) -> dict:
+    """Response motion fields: {"motion": nested lists} by default, or —
+    when the request set "encoding": "b64" — {"motion_b64": base64 of raw
+    little-endian float32 (C order), "shape": [...]}. The binary form cuts
+    response encode cost ~20x (JSON float serialization dominates e2e HTTP
+    latency at these payload sizes; measured in BASELINE.md)."""
+    m = np.ascontiguousarray(np.asarray(motion, np.float32))
+    if payload.get("encoding") == "b64":
+        import base64
+
+        return {"motion_b64": base64.b64encode(m.tobytes()).decode("ascii"),
+                "shape": list(m.shape)}
+    return {"motion": m.tolist()}
+
+
 def default_decode(payload: dict) -> Request:
     """Generic JSON -> Request: 'cond' {name: nested list}, optional
     'init_image', 'inpainting_mask', 'seed'."""
@@ -131,7 +146,7 @@ class MotionServer:
                     n = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(n) or b"{}")
                     motion = outer.handle(payload)
-                    body = json.dumps({"motion": np.asarray(motion).tolist(),
+                    body = json.dumps({**encode_motion(motion, payload),
                                        "seed": payload.get("seed", 0)}).encode()
                     responded = True  # body built: past here a failure is a
                     # WRITE failure — never start a second response on the

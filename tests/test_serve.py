@@ -395,6 +395,56 @@ class TestServeCLI:
             np.testing.assert_array_equal(
                 np.asarray(lines[0]["motion"], np.float32), motion)
 
+            # binary payload encoding: content_b64 request == list request
+            # bit for bit, and "encoding": "b64" responses round-trip
+            import base64
+            b64 = base64.b64encode(
+                np.ascontiguousarray(content).tobytes()).decode()
+            req = urllib.request.Request(
+                base + "/v1/sample",
+                data=json.dumps({"content_b64": b64, "encoding": "b64",
+                                 "text": "a person walks angrily",
+                                 "seed": 9}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                res_b = json.load(r)
+            assert "motion" not in res_b and res_b["shape"] == [181, 1, 76]
+            motion_b = np.frombuffer(
+                base64.b64decode(res_b["motion_b64"]), "<f4").reshape(
+                res_b["shape"])
+            np.testing.assert_array_equal(motion_b, motion)
+
+            # b64 streaming: long job, chunks carry motion_b64/shape
+            long_b64 = base64.b64encode(
+                np.ascontiguousarray(long_content).tobytes()).decode()
+            req = urllib.request.Request(
+                base + "/v1/stream",
+                data=json.dumps({"content_b64": long_b64, "encoding": "b64",
+                                 "text": "a person walks angrily",
+                                 "seed": 3}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                lines = [json.loads(l) for l in r.read().splitlines() if l]
+            assert lines[-1]["done"] and lines[-1]["chunks"] == 2
+            stitched_b = np.concatenate(
+                [np.frombuffer(base64.b64decode(c["motion_b64"]),
+                               "<f4").reshape(c["shape"])
+                 for c in lines[:-1]], axis=-1)
+            np.testing.assert_array_equal(stitched_b, long_res)
+
+            # malformed content_b64 -> clean JSON 500
+            bad = urllib.request.Request(
+                base + "/v1/sample",
+                data=json.dumps({"content_b64": base64.b64encode(
+                    b"\x00" * 10).decode()}).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(bad, timeout=60)
+                assert False, "expected HTTP 500"
+            except urllib.error.HTTPError as e:
+                assert e.code == 500
+                assert "content_b64" in json.load(e)["error"]
+
             # streaming errors BEFORE the first chunk -> clean JSON 500
             bad = urllib.request.Request(
                 base + "/v1/stream",
