@@ -117,6 +117,82 @@ def serving_and_longform():
                       "compiled_executables": len(sampler._compiled)}))
 
 
+def serve_http_latency():
+    """e2e HTTP serving latency over the real server: JSON-list vs b64
+    binary payloads, plus long-form time-to-first-motion via /v1/stream
+    (BASELINE.md 'Streaming long-form serving')."""
+    import base64
+    import tempfile
+    import urllib.request
+
+    from motionstyle.cli.serve import build_engine, parse_args
+    from motionstyle.serve.server import MotionServer
+
+    tmp = tempfile.mkdtemp()
+    save_dir = os.path.join(tmp, "ft", "350angry_jumping")
+    os.makedirs(save_dir)
+    with open(os.path.join(save_dir, "args.json"), "w") as f:
+        json.dump({"dataset": "stylexia_posrot"}, f)
+    engine, decode, handle, stream = build_engine(parse_args([
+        "--model_path", os.path.join(save_dir, "model000000001.pt"),
+        "--max_wait_ms", "1"]))
+    server = MotionServer(engine, port=0, decode=decode, handle=handle,
+                          stream=stream).start_background()
+    base = f"http://127.0.0.1:{server.port}"
+
+    def run(path, payload):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=600) as r:
+            r.read()
+        return (time.perf_counter() - t0) * 1e3
+
+    try:
+        content = np.random.RandomState(11).randn(400, 181).astype(np.float32)
+        short = np.ascontiguousarray(content[:76])
+        run("/v1/sample", {"content": short.tolist(), "text": "w"})  # compile
+        b64 = base64.b64encode(short.tobytes()).decode()
+        p_json = sorted(run("/v1/sample", {
+            "content": short.tolist(), "text": "x", "seed": i})
+            for i in range(7))[3]
+        p_b64 = sorted(run("/v1/sample", {
+            "content_b64": b64, "encoding": "b64", "text": "x", "seed": i})
+            for i in range(7))[3]
+
+        long_payload = {"content_b64": base64.b64encode(
+            np.ascontiguousarray(content).tobytes()).decode(),
+            "encoding": "b64", "text": "x", "seed": 3}
+        t_batch = min(run("/v1/sample", long_payload) for _ in range(3))
+        firsts, totals = [], []
+        for _ in range(3):
+            req = urllib.request.Request(
+                base + "/v1/stream", data=json.dumps(long_payload).encode(),
+                headers={"Content-Type": "application/json"})
+            t0, t_first, buf = time.perf_counter(), None, b""
+            with urllib.request.urlopen(req, timeout=600) as r:
+                while True:
+                    b_ = r.read(1 << 16)
+                    if not b_:
+                        break
+                    buf += b_
+                    if t_first is None and b"\n" in buf:
+                        t_first = (time.perf_counter() - t0) * 1e3
+            firsts.append(t_first)
+            totals.append((time.perf_counter() - t0) * 1e3)
+        print(json.dumps({
+            "metric": "serve_http_latency",
+            "single_clip_p50_ms_json": round(p_json, 1),
+            "single_clip_p50_ms_b64": round(p_b64, 1),
+            "longform6w_batch_ms_b64": round(t_batch, 0),
+            "longform6w_first_chunk_ms_b64": round(min(firsts), 0),
+            "longform6w_stream_total_ms_b64": round(min(totals), 0),
+            "time_to_first_motion_x": round(t_batch / min(firsts), 2)}))
+    finally:
+        server.close()
+
+
 def artifact_roundtrip():
     """r3 AOT deployment: export the fused serving plan (tpu Pallas custom
     calls, tpu-only artifact), reload it, and compare latency + outputs
@@ -203,6 +279,7 @@ def main():
         finetune_step()
         opt_in_modes()
         serving_and_longform()
+        serve_http_latency()
         artifact_roundtrip()
     print(json.dumps({"metric": "recheck_wall_s", "value": round(time.perf_counter() - t0, 1)}))
 
