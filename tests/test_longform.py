@@ -6,7 +6,51 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from motionstyle.diffusion.longform import longform_sample, plan_windows
+from motionstyle.diffusion.longform import (longform_sample, longform_stream,
+                                            plan_windows)
+
+
+class TestLongformStream:
+    """Generator invariants with a deterministic fake run_window (no model):
+    chunk offsets are contiguous, widths sum to n_frames, and draining the
+    stream equals longform_sample exactly for every plan shape."""
+
+    @staticmethod
+    def _fake_run_window(W):
+        def run_window(init, inpainting, rng):
+            base = float(jax.random.fold_in(rng, 0)[0]) % 97
+            out = np.full((1, 3, 1, W), base, np.float32)
+            out += np.arange(W, dtype=np.float32)  # frame-varying
+            if inpainting is not None:  # honor the blend contract exactly
+                m = np.asarray(inpainting.mask, np.float32)
+                out = out * (1 - m) + np.asarray(inpainting.motion) * m
+            return out
+        return run_window
+
+    @pytest.mark.parametrize("n_frames,window,overlap", [
+        (76, 76, 10),        # exact single window
+        (142, 76, 10),       # two windows, exact cover
+        (143, 76, 10),       # partial last window (clipped chunk)
+        (76 + 66 * 3, 76, 10),
+        (200, 76, 0),        # independent windows
+        (150, 76, 40),       # heavy overlap
+        (77, 76, 10),        # 1-frame final chunk
+    ])
+    def test_stream_invariants(self, n_frames, window, overlap):
+        run_window = self._fake_run_window(window)
+        rng = jax.random.PRNGKey(7)
+        chunks = list(longform_stream(run_window, n_frames, window,
+                                      overlap=overlap, rng=rng))
+        offs = [o for o, _ in chunks]
+        widths = [c.shape[-1] for _, c in chunks]
+        assert offs == list(np.cumsum([0] + widths[:-1]))
+        assert sum(widths) == n_frames
+        assert all(w > 0 for w in widths)
+        full = longform_sample(run_window, n_frames, window,
+                               overlap=overlap, rng=rng)
+        np.testing.assert_array_equal(
+            np.concatenate([c for _, c in chunks], axis=-1), full)
+        assert full.shape[-1] == n_frames
 
 
 class TestPlanWindows:
