@@ -288,6 +288,10 @@ def build_parser() -> ArgumentParser:
                         help="pad every batch to one compiled shape: bit-exact"
                              " replay per seed regardless of traffic (engine"
                              " precision caveat), at batch-max compute")
+    parser.add_argument("--warmup", default=1, type=int,
+                        help="pre-compile every batch bucket before taking "
+                             "traffic (a cold bucket stalls the live queue "
+                             "on its jit compile); 0 = compile lazily")
     return parser
 
 
@@ -307,6 +311,13 @@ def main(argv=None):
     from motionstyle.serve.server import MotionServer
 
     engine, decode, handle, stream = build_engine(args)
+    if args.warmup:
+        # compile every bucket before accepting traffic: a bucket that
+        # first fills live stalls the whole queue on its jit compile
+        # (5 vs 43 req/s measured — BASELINE.md)
+        njoints, nframes = DATASET_DIMS[args.dataset]
+        engine.warmup(decode({"content": np.zeros((nframes, njoints),
+                                                  np.float32)}))
     server = MotionServer(engine, host=args.host, port=args.port,
                           decode=decode, handle=handle, stream=stream)
 

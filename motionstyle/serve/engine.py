@@ -129,6 +129,27 @@ class ServingEngine:
     def sample(self, request: Request) -> np.ndarray:
         return self.submit(request).result()
 
+    def warmup(self, example: Request, log: bool = True) -> dict:
+        """Pre-compile every bucket's executable with copies of `example`
+        BEFORE taking traffic. A bucket whose shape first fills during live
+        serving stalls the whole queue on its jit compile (measured 15-35 s
+        through the TPU relay: concurrent throughput 5 vs 43 req/s cold vs
+        warm — BASELINE.md 'Serving engine under concurrent traffic'). One
+        executable covers all styles (params are a traced argument), so one
+        pass per bucket suffices. Runs on the caller thread; call before
+        serving. Returns {bucket_size: seconds}."""
+        import time
+
+        took = {}
+        for b in self.buckets:
+            t0 = time.perf_counter()
+            self._run([example] * b)
+            took[b] = round(time.perf_counter() - t0, 2)
+            if log:
+                print(f"warmup: bucket {b} ready in {took[b]:.1f}s",
+                      flush=True)
+        return took
+
     def stats(self) -> dict:
         return self._batcher.stats.as_dict()
 

@@ -472,6 +472,49 @@ class TestServeCLI:
             server.close()
 
 
+class TestWarmup:
+    def test_warmup_precompiles_all_buckets(self):
+        """warmup() compiles one executable per bucket BEFORE traffic, and
+        serving afterwards triggers no further compiles (a cold bucket
+        stalls the live queue — measured 5 vs 43 req/s, BASELINE.md)."""
+        from motionstyle.diffusion.schedule import make_schedule
+        from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+        from motionstyle.parallel.inference import ShardedSampler
+        from motionstyle.parallel.mesh import make_mesh
+        from motionstyle.serve.engine import ServingEngine
+
+        cfg = MDMConfig(njoints=12, nfeats=1, latent_dim=16, ff_size=32,
+                        num_layers=1, num_heads=2, clip_dim=16)
+        model = StyleDiffusion(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 12, 1, 8)),
+                            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 16)))
+
+        def builder(p):
+            return lambda x, t, c: model.apply(p, x, t, c.get("enc_text"))
+
+        sampler = ShardedSampler(make_mesh(2), make_schedule("cosine", 40,
+                                                             "ddim10"),
+                                 builder, params, method="ddim",
+                                 skip_timesteps=3, stop_timesteps=2,
+                                 dump_all_xstart=True)
+        engine = ServingEngine(sampler, (12, 1, 8), max_batch=8,
+                               max_wait_ms=5, buckets=(1, 2, 4, 8))
+        try:
+            assert len(sampler._compiled) == 0
+            took = engine.warmup(_request(0), log=False)
+            assert sorted(took) == sorted(engine.buckets)
+            assert len(sampler._compiled) == len(engine.buckets)
+            # live traffic afterwards: results batching-invariant, and NO
+            # new executable compiles whatever batch size coalesces
+            solo = engine.sample(_request(3, rng_data=3))
+            futs = [engine.submit(_request(s, rng_data=s)) for s in (3, 5, 9)]
+            got = [f.result(timeout=60) for f in futs]
+            np.testing.assert_allclose(got[0], solo, rtol=2e-5, atol=1e-6)
+            assert len(sampler._compiled) == len(engine.buckets)
+        finally:
+            engine.close()
+
+
 class TestEngineRobustness:
     def test_malformed_cond_does_not_poison_cobatched(self, engine_setup):
         """A request whose cond shape is wrong (here: enc_text of dim 9
