@@ -135,7 +135,9 @@ def serve_http_latency():
         json.dump({"dataset": "stylexia_posrot"}, f)
     engine, decode, handle, stream = build_engine(parse_args([
         "--model_path", os.path.join(save_dir, "model000000001.pt"),
-        "--max_wait_ms", "1"]))
+        "--max_wait_ms", "3", "--max_batch", "8"]))
+    engine.warmup(decode({"content": np.zeros((76, 181), np.float32)}),
+                  log=False)  # cold buckets stall the queue (BASELINE.md)
     server = MotionServer(engine, port=0, decode=decode, handle=handle,
                           stream=stream).start_background()
     base = f"http://127.0.0.1:{server.port}"
@@ -189,6 +191,34 @@ def serve_http_latency():
             "longform6w_first_chunk_ms_b64": round(min(firsts), 0),
             "longform6w_stream_total_ms_b64": round(min(totals), 0),
             "time_to_first_motion_x": round(t_batch / min(firsts), 2)}))
+
+        # full-stack concurrent throughput (warm buckets): 16 threads x 96
+        # b64 requests from THIS thread pool (separate client process would
+        # measure ~same: the device path, not the GIL, binds — BASELINE.md)
+        import concurrent.futures as cf
+        contents = [base64.b64encode(np.ascontiguousarray(
+            np.random.RandomState(s).randn(76, 181).astype(np.float32)
+        ).tobytes()).decode() for s in range(8)]
+
+        def one(i):
+            run("/v1/sample", {"content_b64": contents[i % 8],
+                               "encoding": "b64", "text": f"c{i % 4}",
+                               "seed": i})
+
+        with cf.ThreadPoolExecutor(8) as ex:  # fill caption cache
+            list(ex.map(one, range(8)))
+        t0 = time.perf_counter()
+        with cf.ThreadPoolExecutor(16) as ex:
+            list(ex.map(one, range(96)))
+        conc = 96 / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for i in range(24):
+            one(i)
+        solo = 24 / (time.perf_counter() - t0)
+        print(json.dumps({"metric": "serve_http_concurrent",
+                          "concurrent_req_per_s": round(conc, 1),
+                          "one_at_a_time_req_per_s": round(solo, 1),
+                          "speedup": round(conc / solo, 2)}))
     finally:
         server.close()
 
