@@ -399,9 +399,15 @@ class TestExportCLI:
             "--output", str(artifact), "--buckets", "1",
             "--platforms", "cpu", "--styles", f"fierce={style2}", *common])
 
-        engine, _, handle, _ = build_engine(parse_args(
+        engine, decode, handle, _ = build_engine(parse_args(
             ["--artifact", str(artifact), "--max_wait_ms", "1", *common]))
         try:
+            # serve CLI main() warms by default: the exported-sampler path
+            # must accept warmup too (same _run surface as the live sampler)
+            took = engine.warmup(decode({"content": np.zeros((76, 181),
+                                                             np.float32)}),
+                                 log=False)
+            assert sorted(took) == sorted(engine.buckets)
             r = np.random.RandomState(0)
             payload = {"content": r.randn(76, 181).astype(np.float32).tolist(),
                        "text": "a person walks angrily", "seed": 7}
