@@ -163,17 +163,21 @@ def build_engine(args):
         out.setflags(write=False)
         return out
 
+    def _request_from(content: np.ndarray, payload: dict) -> Request:
+        """(nframes, C) content + payload fields -> engine Request."""
+        init = content.T[:, None, :]  # (C, 1, T)
+        enc = cached_encode_text(payload.get("text", ""))
+        return Request({"enc_text": enc}, init_image=init,
+                       inpainting_mask=mask, seed=payload.get("seed", 0),
+                       style=payload.get("style"))
+
     def decode(payload: dict) -> Request:
         content = _payload_content(payload, njoints)  # (T, C)
         if content.shape != (nframes, njoints):
             raise ValueError(
                 f"content must be (frames={nframes}, channels={njoints}), "
                 f"got {content.shape}")
-        init = content.T[:, None, :]  # (C, 1, T)
-        enc = cached_encode_text(payload.get("text", ""))
-        return Request({"enc_text": enc}, init_image=init,
-                       inpainting_mask=mask, seed=payload.get("seed", 0),
-                       style=payload.get("style"))
+        return _request_from(content, payload)
 
     def _checked_content(payload: dict) -> np.ndarray:
         content = _payload_content(payload, njoints)  # (T, C)
@@ -223,7 +227,7 @@ def build_engine(args):
         content -> long-form transfer (diffusion/longform.py)."""
         content = _checked_content(payload)
         if content.shape[0] == nframes:
-            return engine.sample(decode(payload))
+            return engine.sample(_request_from(content, payload))
         return np.concatenate(
             [c for _, c in _long_stream(payload, content)], axis=-1)
 
@@ -236,7 +240,7 @@ def build_engine(args):
 
         content = _checked_content(payload)
         if content.shape[0] == nframes:
-            out = np.asarray(engine.sample(decode(payload)))
+            out = np.asarray(engine.sample(_request_from(content, payload)))
             yield {"offset": 0, **encode_motion(out, payload)}
             return
         for off, chunk in _long_stream(payload, content):

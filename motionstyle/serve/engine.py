@@ -136,12 +136,17 @@ class ServingEngine:
         through the TPU relay: concurrent throughput 5 vs 43 req/s cold vs
         warm — BASELINE.md 'Serving engine under concurrent traffic'). One
         executable covers all styles (params are a traced argument), so one
-        pass per bucket suffices. Runs on the caller thread; call before
-        serving. Returns {bucket_size: seconds}."""
+        pass per bucket suffices. Buckets the batcher can never fill
+        (larger than the bucket max_batch maps to) are skipped — each
+        compile costs tens of seconds through the relay. Runs on the caller
+        thread; call before serving. Returns {bucket_size: seconds}."""
         import time
 
+        from motionstyle.serve.batcher import bucket_for
+
+        reachable = bucket_for(self._batcher.max_batch, self.buckets)
         took = {}
-        for b in self.buckets:
+        for b in (b for b in self.buckets if b <= reachable):
             t0 = time.perf_counter()
             self._run([example] * b)
             took[b] = round(time.perf_counter() - t0, 2)

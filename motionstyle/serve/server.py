@@ -93,13 +93,12 @@ class MotionServer:
                 n = int(self.headers.get("Content-Length", 0))
                 return json.loads(self.rfile.read(n) or b"{}")
 
-            def _stream(self):
+            def _stream(self, payload: dict):
                 """NDJSON: chunk lines as windows complete, then a done line.
                 Errors BEFORE the first chunk get a clean JSON 500; after
                 headers are sent, an error becomes a terminal NDJSON line
                 (the status line is already on the wire)."""
                 try:
-                    payload = self._read_payload()
                     gen = iter(outer.stream(payload))
                     first = next(gen, None)
                 except Exception as ex:  # noqa: BLE001 — pre-headers
@@ -132,19 +131,25 @@ class MotionServer:
                         pass
 
             def do_POST(self):
+                # read the body FIRST, even on error paths: responding with
+                # the request still unread in the socket buffer triggers a
+                # TCP RST that can discard the response mid-upload
+                try:
+                    payload = self._read_payload()
+                except Exception as ex:  # noqa: BLE001 — malformed JSON/body
+                    self._json(400, {"error": f"{type(ex).__name__}: {ex}"})
+                    return
                 if self.path == "/v1/stream":
                     if outer.stream is None:
                         self._json(404, {"error": "streaming not configured"})
                     else:
-                        self._stream()
+                        self._stream(payload)
                     return
                 if self.path != "/v1/sample":
                     self._json(404, {"error": f"unknown path {self.path}"})
                     return
                 responded = False
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
-                    payload = json.loads(self.rfile.read(n) or b"{}")
                     motion = outer.handle(payload)
                     body = json.dumps({**encode_motion(motion, payload),
                                        "seed": payload.get("seed", 0)}).encode()

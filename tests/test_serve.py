@@ -514,6 +514,19 @@ class TestWarmup:
         finally:
             engine.close()
 
+        # buckets the batcher can never fill are NOT compiled (each costs
+        # tens of seconds through the TPU relay)
+        engine2 = ServingEngine(sampler, (12, 1, 8), max_batch=2,
+                                max_wait_ms=5, buckets=(1, 2, 4, 8))
+        try:
+            # the data=2 mesh rounds buckets up to (2, 4, 8); max_batch=2
+            # makes only bucket 2 reachable
+            assert engine2.buckets == (2, 4, 8)
+            took = engine2.warmup(_request(0), log=False)
+            assert sorted(took) == [2]
+        finally:
+            engine2.close()
+
 
 class TestEngineRobustness:
     def test_malformed_cond_does_not_poison_cobatched(self, engine_setup):
