@@ -643,6 +643,68 @@ class TestServeLongformMask:
             engine.close()
 
 
+class TestServeLongformStyle:
+    def test_style_rides_every_window(self, tmp_path):
+        """Long-form requests carry the per-request 'style' into EVERY
+        window request (a dropped style would silently serve base params
+        for long content) and streaming equals the batch path per style."""
+        import torch
+
+        from motionstyle.cli.model_util import build_model
+        from motionstyle.cli.serve import build_engine, parse_args
+        from motionstyle.models.torch_import import export_style_encoder
+
+        save_dir = tmp_path / "ft" / "350angry_jumping"
+        save_dir.mkdir(parents=True)
+        with open(save_dir / "args.json", "w") as f:
+            json.dump({"dataset": "stylexia_posrot", "layers": 1,
+                       "latent_dim": 32, "diffusion_steps": 40,
+                       "skip_steps": 28}, f)
+        common = ["--dataset", "stylexia_posrot", "--layers", "1",
+                  "--latent_dim", "32", "--diffusion_steps", "40",
+                  "--skip_steps", "28", "--timestep_respacing", "ddim5",
+                  "--max_wait_ms", "1"]
+        bundle2 = build_model(parse_args(
+            ["--model_path", str(save_dir / "nope.pt"), "--seed", "5",
+             *common]))
+        sd = export_style_encoder(
+            {"style_encoder": bundle2.params["params"]["style_encoder"]}, 1)
+        style2 = tmp_path / "style2.pt"
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in sd.items()}, style2)
+
+        engine, _decode, handle, stream = build_engine(parse_args([
+            "--model_path", str(save_dir / "model000000001.pt"),
+            "--styles", f"fierce={style2}", *common]))
+        try:
+            long_content = np.random.RandomState(11).randn(142, 181).astype(
+                np.float32)  # two windows
+            payload = {"content": long_content.tolist(),
+                       "text": "a person walks angrily", "seed": 4}
+            base = np.asarray(handle(payload), np.float32)
+            styled = np.asarray(handle({**payload, "style": "fierce"}),
+                                np.float32)
+            from motionstyle.data.masks import get_inpainting_mask
+            mask = np.asarray(get_inpainting_mask(
+                "root_horizontal", (1, 181, 1, 142),
+                dataset="stylexia_posrot"), np.float32)[0]
+            init = long_content.T[:, None, :]
+            # both preserve the content root; pose channels must differ in
+            # BOTH windows (style applied to every window, not just the 1st)
+            for out in (base, styled):
+                np.testing.assert_array_equal(out * mask, init * mask)
+            diff = np.abs((styled - base) * (1 - mask))
+            assert diff[..., :76].max() > 1e-4
+            assert diff[..., 76:].max() > 1e-4
+            # streaming with a style == batch with the same style
+            chunks = [np.asarray(c["motion"], np.float32)
+                      for c in stream({**payload, "style": "fierce"})]
+            np.testing.assert_array_equal(
+                np.concatenate(chunks, axis=-1), styled)
+        finally:
+            engine.close()
+
+
 class TestMinLatencyPlan:
     def test_plan(self):
         from motionstyle.diffusion.sampling import min_latency_plan
