@@ -643,6 +643,42 @@ class TestServeLongformMask:
             engine.close()
 
 
+class TestReferenceClient:
+    def test_client_sample_and_stream(self, tmp_path):
+        """examples/serve_client.py against a live server: b64 round-trip,
+        stream() chunks concatenate to sample()'s result exactly."""
+        from examples.serve_client import sample, stream
+        from motionstyle.cli.serve import build_engine, parse_args
+        from motionstyle.serve.server import MotionServer
+
+        save_dir = tmp_path / "ft" / "350angry_jumping"
+        save_dir.mkdir(parents=True)
+        with open(save_dir / "args.json", "w") as f:
+            json.dump({"dataset": "stylexia_posrot", "layers": 1,
+                       "latent_dim": 32, "diffusion_steps": 40,
+                       "skip_steps": 28}, f)
+        engine, decode, handle, stream_fn = build_engine(parse_args([
+            "--model_path", str(save_dir / "model000000001.pt"),
+            "--dataset", "stylexia_posrot", "--layers", "1",
+            "--latent_dim", "32", "--diffusion_steps", "40",
+            "--skip_steps", "28", "--timestep_respacing", "ddim5",
+            "--max_wait_ms", "1"]))
+        server = MotionServer(engine, port=0, decode=decode, handle=handle,
+                              stream=stream_fn).start_background()
+        base = f"http://127.0.0.1:{server.port}"
+        try:
+            content = np.random.RandomState(2).randn(142, 181).astype(
+                np.float32)
+            motion = sample(base, content, "a person walks", seed=5)
+            assert motion.shape == (181, 1, 142)
+            chunks = list(stream(base, content, "a person walks", seed=5))
+            assert [off for off, _ in chunks] == [0, 76]
+            np.testing.assert_array_equal(
+                np.concatenate([c for _, c in chunks], axis=-1), motion)
+        finally:
+            server.close()
+
+
 class TestServeLongformStyle:
     def test_style_rides_every_window(self, tmp_path):
         """Long-form requests carry the per-request 'style' into EVERY
