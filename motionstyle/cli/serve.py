@@ -310,6 +310,18 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    import os
+
+    platform = os.environ.get("MOTIONSTYLE_PLATFORM", "")
+    if platform:
+        # serving host platform override (e.g. cpu for an artifact host
+        # without a TPU, or tests): must land before the first backend use;
+        # the JAX_PLATFORMS env var is too late here because the runtime
+        # pre-imports jax via sitecustomize (CLAUDE.md gotcha)
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     args = parse_args(argv)
 
     from motionstyle.serve.server import MotionServer

@@ -1,5 +1,6 @@
 """Serving stack: dynamic batcher, batching-invariant engine, HTTP server."""
 import json
+import os
 import threading
 import time
 import urllib.request
@@ -641,6 +642,75 @@ class TestServeLongformMask:
             assert np.abs((out - init) * (1 - full_mask)).max() > 1e-4
         finally:
             engine.close()
+
+
+class TestServeMain:
+    def test_cli_main_end_to_end(self, tmp_path):
+        """The actual `python -m motionstyle.cli.serve` process: startup
+        warmup (all buckets pre-compiled before 'serving ...' prints), one
+        request answered, SIGTERM drains and exits cleanly."""
+        import signal
+        import subprocess
+        import sys
+
+        save_dir = tmp_path / "ft" / "350angry_jumping"
+        save_dir.mkdir(parents=True)
+        with open(save_dir / "args.json", "w") as f:
+            json.dump({"dataset": "stylexia_posrot", "layers": 1,
+                       "latent_dim": 32, "diffusion_steps": 40,
+                       "skip_steps": 28}, f)
+        port = _free_port()
+        proc = subprocess.Popen(
+            [sys.executable, "-u", "-m", "motionstyle.cli.serve",
+             "--model_path", str(save_dir / "model000000001.pt"),
+             "--dataset", "stylexia_posrot", "--layers", "1",
+             "--latent_dim", "32", "--diffusion_steps", "40",
+             "--skip_steps", "28", "--timestep_respacing", "ddim5",
+             "--max_wait_ms", "1", "--max_batch", "2",
+             "--port", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env={**os.environ, "MOTIONSTYLE_PLATFORM": "cpu"})
+        base = f"http://127.0.0.1:{port}"
+        try:
+            deadline = time.time() + 300
+            while time.time() < deadline:
+                try:
+                    with urllib.request.urlopen(base + "/healthz",
+                                                timeout=5) as r:
+                        assert json.load(r) == {"status": "ok"}
+                    break
+                except (urllib.error.URLError, ConnectionError):
+                    assert proc.poll() is None, "server died at startup"
+                    time.sleep(0.5)
+            else:
+                raise AssertionError("server never became healthy")
+            content = np.random.RandomState(1).randn(76, 181).astype(
+                np.float32)
+            req = urllib.request.Request(
+                base + "/v1/sample",
+                data=json.dumps({"content": content.tolist(),
+                                 "text": "x", "seed": 1}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                motion = np.asarray(json.load(r)["motion"], np.float32)
+            assert motion.shape == (181, 1, 76)
+            proc.send_signal(signal.SIGTERM)
+            out, _ = proc.communicate(timeout=60)
+            assert proc.returncode == 0, out[-2000:]
+            # warmup ran before the server announced itself
+            assert out.index("warmup: bucket") < out.index("serving "), out
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.communicate(timeout=30)
+
+
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
 
 
 class TestReferenceClient:
