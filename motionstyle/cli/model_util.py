@@ -65,6 +65,13 @@ def get_transfer_config(args) -> MDMConfig:
         # --quant_int8 alone can never silently serve the unquantized path
         fused=bool(getattr(args, "fused", 0)) or bool(getattr(args, "quant_int8", 0)),
         quant_int8=bool(getattr(args, "quant_int8", 0)),
+        # compute dtype: explicit --dtype wins; otherwise the fused kernel
+        # defaults to its designed bf16 input (the benchmarked TPU serving
+        # config — BASELINE.md headline) and everything else stays fp32 for
+        # parity. Params are fp32 either way and outputs are cast back.
+        dtype=getattr(args, "dtype", None) or (
+            "bfloat16" if (getattr(args, "fused", 0) or getattr(args, "quant_int8", 0))
+            else "float32"),
     )
 
 

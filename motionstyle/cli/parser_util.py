@@ -40,7 +40,7 @@ def parse_and_load_from_model(parser: ArgumentParser):
                                       "parallel_window", "forecast_stride",
                                       "forecast_order", "model_parallel",
                                       "pipeline_parallel", "pipeline_micro",
-                                      "quant_int8",
+                                      "quant_int8", "dtype",
                                       "native_loader", "prefetch", "style_strength",
                                       "style_mix", "long_frames")]
     # ...and a flag the user EXPLICITLY passed must never be clobbered by
@@ -127,6 +127,12 @@ def add_model_options(parser):
     group.add_argument("--mdm_path", default="", type=str, help="pretrained MDM prior checkpoint (.pt)")
     group.add_argument("--clip_weights", default="", type=str,
                        help="optional CLIP text-tower .pt; random-init (seeded) if absent")
+    group.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
+                       help="transformer compute dtype (params stay fp32, outputs are "
+                            "cast back to fp32). Default: float32, or bfloat16 when "
+                            "--fused/--quant_int8 is on (the kernel's designed input — "
+                            "the benchmarked TPU serving config); pass explicitly to "
+                            "override either way")
     group.add_argument("--fused", default=0, type=int,
                        help="route inference through the fused Pallas encoder kernel "
                             "(bf16 matmuls; ~1.5x sampling throughput on TPU)")
