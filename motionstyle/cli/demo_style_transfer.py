@@ -156,7 +156,7 @@ def main(argv=None):
             raise SystemExit("--long_frames supports the posrot content-clip "
                              "path (humanml generates content from the prior)")
         for bad in ("parallel_window", "forecast_stride", "model_parallel",
-                    "pipeline_parallel"):
+                    "pipeline_parallel", "sequence_parallel"):
             if getattr(args, bad, 1 if "parallel" in bad else 0) not in (0, 1):
                 raise SystemExit(f"--long_frames is incompatible with --{bad}")
         if args.long_frames <= max_frames:
@@ -271,6 +271,37 @@ def main(argv=None):
 
         sharded_sampler = ShardedSampler(
             mesh, sched_ddim, _pp_builder, bundle.params,
+            method="ddim", skip_timesteps=skip, stop_timesteps=ml_stop,
+            dump_all_xstart=dump_all_xstart)
+    elif getattr(args, "sequence_parallel", 1) > 1:
+        # sequence-parallel serving: shard the FRAME axis of the style
+        # encoder over a 'seq' axis with attention k/v all-gathered over ICI
+        # (parallel/sequence.py); exact numerics — the axis to grow when
+        # clip length, not model size, outgrows a chip
+        import math
+
+        from motionstyle.parallel.inference import ShardedSampler
+        from motionstyle.parallel.mesh import make_mesh
+        from motionstyle.parallel.sequence import seq_parallel_style_model_fn_builder
+
+        sp = args.sequence_parallel
+        ndev = len(jax.devices())
+        if ndev % sp != 0:
+            raise ValueError(
+                f"--sequence_parallel {sp} does not divide the visible "
+                f"device count {ndev}")
+        dp = math.gcd(ndev // sp, max(1, args.num_samples))
+        mesh = make_mesh(dp * sp, sequence_parallel=sp)
+        print(f"serving over a ({dp} data x {sp} seq) mesh")
+
+        def _sp_builder(params):
+            fn = seq_parallel_style_model_fn_builder(bundle.model, mesh)(params)
+            if args.dataset == "humanml" and args.guidance_param not in (0, 1):
+                return cfg_model_fn(fn, jnp.full((args.num_samples,), args.guidance_param))
+            return fn
+
+        sharded_sampler = ShardedSampler(
+            mesh, sched_ddim, _sp_builder, bundle.params,
             method="ddim", skip_timesteps=skip, stop_timesteps=ml_stop,
             dump_all_xstart=dump_all_xstart)
 

@@ -40,6 +40,7 @@ def parse_and_load_from_model(parser: ArgumentParser):
                                       "parallel_window", "forecast_stride",
                                       "forecast_order", "model_parallel",
                                       "pipeline_parallel", "pipeline_micro",
+                                      "sequence_parallel",
                                       "quant_int8", "dtype",
                                       "native_loader", "prefetch", "style_strength",
                                       "style_mix", "long_frames")]
@@ -270,6 +271,14 @@ def add_sampling_options(parser):
                        help="microbatches per pipeline (0 = num_samples, "
                             "clamped to a divisor of the per-data-shard "
                             "batch)")
+    group.add_argument("--sequence_parallel", default=1, type=int,
+                       help="sequence-parallel serving degree: shard the "
+                            "FRAME axis of the style encoder over a "
+                            "(data x seq) mesh with attention k/v "
+                            "all-gathered over ICI (parallel/sequence.py) — "
+                            "the axis to grow when clip length outgrows a "
+                            "chip. Exact numerics; mutually exclusive with "
+                            "--model_parallel/--pipeline_parallel")
     group.add_argument("--skip_render", action="store_true")
     return group
 
@@ -282,10 +291,13 @@ def validate_sampling_args(args):
         raise SystemExit(
             "--parallel_window and --forecast_stride are mutually exclusive "
             "sampler opt-ins; pass at most one")
-    if getattr(args, "model_parallel", 1) > 1 and getattr(args, "pipeline_parallel", 1) > 1:
+    layouts = [f"--{n} {getattr(args, n)}" for n in
+               ("model_parallel", "pipeline_parallel", "sequence_parallel")
+               if getattr(args, n, 1) > 1]
+    if len(layouts) > 1:
         raise SystemExit(
-            "--model_parallel and --pipeline_parallel are mutually exclusive "
-            "mesh layouts; pass at most one")
+            f"{' and '.join(layouts)} are mutually exclusive mesh layouts; "
+            "pass at most one")
     return args
 
 

@@ -93,9 +93,9 @@ def main(argv=None):
                 "enc_text": caption_enc(list(cond["y"]["text"])),
                 "mask": cond["y"]["mask"][:, :1, :1, :].astype(np.float32),
             }
-            loss = trainer.run_step(batch)
+            loss = trainer.run_step(batch)  # 0-d device array; syncs on read
             if step % args.log_interval == 0:
-                print(f"prior step[{step}]: loss[{loss:0.5f}]")
+                print(f"prior step[{step}]: loss[{float(loss):0.5f}]")
                 logger.dumpkvs()
             step += 1
     mdm_path, warm_path = trainer.save()

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Callable, Sequence
@@ -30,20 +31,44 @@ def bucket_for(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def _percentile_ms(xs, q: float) -> float:
+    """Nearest-rank percentile of a latency window, in milliseconds."""
+    if not xs:
+        return 0.0
+    s = sorted(xs)
+    return round(s[min(len(s) - 1, int(q / 100.0 * len(s)))] * 1e3, 2)
+
+
+# sliding observability window: enough for stable p99 under load, bounded
+# so a long-lived server never grows its stats without limit
+_WINDOW = 2048
+
+
 @dataclass
 class BatcherStats:
     requests: int = 0
     batches: int = 0
     padded_items: int = 0
     batch_sizes: list = field(default_factory=list)
+    # per-request queue+device latency (submit -> future resolved) and
+    # per-batch device time over the last _WINDOW observations
+    latencies_s: deque = field(default_factory=lambda: deque(maxlen=_WINDOW))
+    batch_seconds: deque = field(default_factory=lambda: deque(maxlen=_WINDOW))
 
     def as_dict(self) -> dict:
+        lat = list(self.latencies_s)
+        bt = list(self.batch_seconds)
         return {
             "requests": self.requests,
             "batches": self.batches,
             "padded_items": self.padded_items,
             "mean_batch_size": (sum(self.batch_sizes) / len(self.batch_sizes)
                                 if self.batch_sizes else 0.0),
+            "latency_p50_ms": _percentile_ms(lat, 50),
+            "latency_p90_ms": _percentile_ms(lat, 90),
+            "latency_p99_ms": _percentile_ms(lat, 99),
+            "batch_p50_ms": _percentile_ms(bt, 50),
+            "window": len(lat),
         }
 
 
@@ -79,17 +104,24 @@ class DynamicBatcher:
         self._thread.start()
 
     def submit(self, item) -> Future:
+        import time
+
         fut: Future = Future()
         with self._admit:
             if self._stop.is_set():
                 raise RuntimeError("batcher is shut down")
             try:
-                self._q.put_nowait((item, fut))
+                self._q.put_nowait((item, fut, time.monotonic()))
             except queue.Full:
                 raise RuntimeError(
                     f"request queue full ({self._q.maxsize}); shed load or "
                     "raise max_queue") from None
         return fut
+
+    def queue_depth(self) -> int:
+        """Items admitted but not yet collected into a batch (approximate —
+        the queue drains concurrently)."""
+        return self._q.qsize()
 
     def close(self, drain_timeout: float = 600.0):
         """Stop admitting, let the worker FINISH its in-flight batch (up to
@@ -139,6 +171,8 @@ class DynamicBatcher:
         return batch
 
     def _loop(self):
+        import time
+
         while not self._stop.is_set():
             pairs = self._collect()
             if not pairs:
@@ -148,6 +182,7 @@ class DynamicBatcher:
             self.stats.batches += 1
             self.stats.batch_sizes.append(len(items))
             self.stats.padded_items += bucket_for(len(items), self.buckets) - len(items)
+            t_run = time.monotonic()
             try:
                 results = self.run_batch(items)
                 if len(results) != len(items):
@@ -155,11 +190,14 @@ class DynamicBatcher:
                         f"run_batch returned {len(results)} results for "
                         f"{len(items)} items")
             except Exception as ex:  # propagate to all waiters
-                for _, fut in pairs:
+                for _, fut, _t in pairs:
                     if not fut.done():
                         fut.set_exception(ex)
                 continue
-            for (_, fut), res in zip(pairs, results):
+            done = time.monotonic()
+            self.stats.batch_seconds.append(done - t_run)
+            for (_, fut, t_enq), res in zip(pairs, results):
+                self.stats.latencies_s.append(done - t_enq)
                 if isinstance(res, Exception):
                     fut.set_exception(res)
                 else:

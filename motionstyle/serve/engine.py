@@ -156,7 +156,13 @@ class ServingEngine:
         return took
 
     def stats(self) -> dict:
-        return self._batcher.stats.as_dict()
+        """Batcher counters + a sliding observability window: end-to-end
+        request latency percentiles (submit -> result, queueing included),
+        device batch time, and current queue depth — what a load balancer
+        or autoscaler polls via GET /stats."""
+        d = self._batcher.stats.as_dict()
+        d["queue_depth"] = self._batcher.queue_depth()
+        return d
 
     def close(self):
         self._batcher.close()

@@ -6,7 +6,10 @@ Endpoints:
                     line per completed long-form window (first motion after
                     ONE window's latency), final {"done": true} line
   GET  /healthz     liveness
-  GET  /stats       batcher statistics (requests, batches, mean batch size)
+  GET  /stats       batcher statistics: counters (requests, batches, mean
+                    batch size, padded items) + a sliding 2048-observation
+                    window of end-to-end latency p50/p90/p99, device batch
+                    p50, and current queue depth — the autoscaler/LB poll
 
 The JSON contract is translated to engine Requests by a `decode` callable so
 the same server fronts any workload (style transfer, prior sampling, ...);

@@ -123,7 +123,12 @@ class PriorTrainer:
 
         return jax.jit(train_step, donate_argnums=(0, 1))
 
-    def run_step(self, batch: dict) -> float:
+    def run_step(self, batch: dict):
+        """One training step. Returns the loss as a 0-d device array (floats
+        on demand) rather than a host float: forcing a host readback every
+        step would serialize dispatch->compute->RTT through the runtime and
+        cap throughput at the dispatch latency, not the MXU — callers that
+        want a number apply float() and pay the sync only when they look."""
         self.rng, sub, tsub = jax.random.split(self.rng, 3)
         t, _ = self.sampler.sample(tsub, batch["x_start"].shape[0])
         batch = dict(batch, t=t)
@@ -134,10 +139,9 @@ class PriorTrainer:
         self.params, self.opt_state, loss = self._train_step(
             self.params, self.opt_state, sub, batch)
         self.step += 1
-        loss = float(np.asarray(loss))
         if self.cfg.log_interval and self.step % self.cfg.log_interval == 0:
             logger.logkv("prior_step", self.step)
-            logger.logkv("prior_loss", loss)
+            logger.logkv("prior_loss", float(np.asarray(loss)))
         if self.cfg.save_interval and self.step % self.cfg.save_interval == 0:
             self.save()
         return loss

@@ -295,6 +295,34 @@ class TestCLIPipeline:
         assert np.isfinite(a["motion"]).all()
         np.testing.assert_allclose(a["motion"], b["motion"], rtol=1e-4, atol=1e-4)
 
+    def test_demo_sequence_parallel_serving(self, xia_root, tmp_path):
+        """--sequence_parallel 2 on the demo shards the frame axis over a
+        (data x seq) mesh (parallel/sequence.py) and matches the
+        single-device demo output on the same checkpoint/seed."""
+        from motionstyle.cli.demo_style_transfer import main as demo_main
+
+        save_dir = tmp_path / "ft" / "350angry_jumping"
+        save_dir.mkdir(parents=True)
+        with open(save_dir / "args.json", "w") as f:
+            json.dump({"dataset": "stylexia_posrot", "layers": 2, "latent_dim": 32,
+                       "diffusion_steps": 20, "skip_steps": 14}, f)
+
+        def run(tag, extra):
+            return demo_main([
+                "--model_path", str(save_dir / "model000000001.pt"),
+                "--input_content", "306neutral_running.npy",
+                "--data_dir", xia_root, "--skip_render",
+                "--output_dir", str(tmp_path / tag),
+            ] + extra)
+
+        out_sp = run("sp", ["--sequence_parallel", "2"])
+        out_ref = run("spref", [])
+        a = np.load(os.path.join(out_sp, "results.npy"), allow_pickle=True).item()
+        b = np.load(os.path.join(out_ref, "results.npy"), allow_pickle=True).item()
+        assert a["motion"].shape == (1, 20, 3, 76)
+        assert np.isfinite(a["motion"]).all()
+        np.testing.assert_allclose(a["motion"], b["motion"], rtol=1e-4, atol=1e-4)
+
     def test_clip_fallback_warning(self, capsys):
         """Semantic guidance + fallback CLIP tower -> prominent warning;
         guidance off -> flag still recorded, no warning noise."""
@@ -324,11 +352,17 @@ class TestCLIPipeline:
         # either alone is fine
         validate_sampling_args(Namespace(parallel_window=8, forecast_stride=1))
         validate_sampling_args(Namespace(parallel_window=0, forecast_stride=2))
-        # tensor- and pipeline-parallel meshes are alternatives, not layers
+        # tensor-, pipeline- and sequence-parallel meshes are alternatives,
+        # not layers
         with pytest.raises(SystemExit):
             validate_sampling_args(Namespace(model_parallel=2, pipeline_parallel=2))
+        with pytest.raises(SystemExit):
+            validate_sampling_args(Namespace(model_parallel=2, sequence_parallel=2))
+        with pytest.raises(SystemExit):
+            validate_sampling_args(Namespace(pipeline_parallel=2, sequence_parallel=2))
         validate_sampling_args(Namespace(model_parallel=2, pipeline_parallel=1))
         validate_sampling_args(Namespace(model_parallel=1, pipeline_parallel=2))
+        validate_sampling_args(Namespace(sequence_parallel=2))
 
     def test_style_strength_task_vector(self, xia_root, tmp_path):
         """--style_strength a sets style_encoder = base + a*(finetuned-base):

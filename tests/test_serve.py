@@ -32,6 +32,31 @@ class TestBatcher:
         finally:
             b.close()
 
+    def test_latency_stats_window(self):
+        """stats() exposes a sliding window of end-to-end request latency
+        percentiles + device batch time (what GET /stats serves): p50 must
+        cover at least the run_batch sleep, percentiles are monotone, and
+        the window counts resolved requests."""
+
+        def run(items):
+            time.sleep(0.02)
+            return items
+
+        b = DynamicBatcher(run, max_batch=4, max_wait_ms=5)
+        try:
+            futs = [b.submit(i) for i in range(8)]
+            for f in futs:
+                f.result(timeout=5)
+            s = b.stats.as_dict()
+            assert s["window"] == 8
+            assert s["latency_p50_ms"] >= 20.0  # includes the device time
+            assert (s["latency_p50_ms"] <= s["latency_p90_ms"]
+                    <= s["latency_p99_ms"])
+            assert 20.0 <= s["batch_p50_ms"] < 1000.0
+            assert b.queue_depth() == 0
+        finally:
+            b.close()
+
     def test_lone_request_bounded_wait(self):
         b = DynamicBatcher(lambda items: items, max_batch=8, max_wait_ms=30)
         try:
