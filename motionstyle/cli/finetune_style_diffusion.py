@@ -202,6 +202,7 @@ def main(argv=None):
         orbax_checkpoints=bool(getattr(args, "orbax_checkpoints", 0)),
         lora_rank=getattr(args, "lora_rank", 0),
         lora_alpha=getattr(args, "lora_alpha", 0.0),
+        dropout_rng_impl=getattr(args, "dropout_rng_impl", "rbg"),
     )
     from motionstyle.parallel.mesh import cli_training_mesh
 

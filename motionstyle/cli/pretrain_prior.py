@@ -47,6 +47,10 @@ def main(argv=None):
     parser.add_argument("--num_frames", default=60, type=int)
     parser.add_argument("--log_interval", default=50, type=int)
     parser.add_argument("--save_interval", default=0, type=int)
+    parser.add_argument("--dropout_rng_impl", default="rbg",
+                        choices=["rbg", "threefry"],
+                        help="dropout bit generator; rbg = hardware RNG "
+                             "(utils.fast_dropout_key)")
     parser.add_argument("--data_parallel", default=0, type=int)
     parser.add_argument("--model_parallel", default=1, type=int)
     args = parser.parse_args(argv)
@@ -77,7 +81,9 @@ def main(argv=None):
                          num_steps=args.num_steps,
                          log_interval=args.log_interval,
                          save_interval=args.save_interval,
-                         cond_mask_prob=args.cond_mask_prob, seed=args.seed)
+                         cond_mask_prob=args.cond_mask_prob, seed=args.seed,
+                         dropout_rng_impl=getattr(args, "dropout_rng_impl",
+                                                  "rbg"))
     trainer = PriorTrainer(cfg, bundle.model, bundle.params, sched_full, mesh=mesh)
     print("Total prior params: %.2fM" % (
         sum(np.size(x) for x in jax.tree_util.tree_leaves(trainer.params["mdm"])) / 1e6))

@@ -31,6 +31,7 @@ from motionstyle.diffusion.schedule import DiffusionSchedule
 from motionstyle.models.denoiser import StyleDiffusion, mask_cond
 from motionstyle.models.torch_import import convert_encoder, export_style_encoder
 from motionstyle.train import logging as logger
+from motionstyle.utils import fast_dropout_key
 
 
 @dataclass
@@ -51,6 +52,10 @@ class FinetuneConfig:
     cond_mask_prob: float = 0.1
     resume_checkpoint: str = ""
     seed: int = 10
+    # "rbg" = hardware-RNG dropout bits (utils.fast_dropout_key — threefry
+    # dropout is 43% of a b64 prior train step on v5e, rbg reclaims most
+    # for 1.45x); "threefry" = escape hatch for bit-reproducible draws
+    dropout_rng_impl: str = "rbg"
     # Picard-parallel unroll: solve the DDIM chain's states in batched sweeps,
     # grads through one batched forward (diffusion/losses.py
     # _parallel_unroll_xstarts) — same gradients, fewer dependent calls
@@ -189,6 +194,7 @@ class StyleFinetuneTrainer:
             """batch: x_start, t, content, style_target, mask, inp_mask,
             enc_text_style, enc_text_t2m, text_features — all arrays."""
             rng_loss, rng_drop, rng_cond = jax.random.split(rng, 3)
+            rng_drop = fast_dropout_key(rng_drop, cfg.dropout_rng_impl)
 
             def loss_fn(p):
                 if cfg.lora_rank > 0:

@@ -37,6 +37,7 @@ from motionstyle.diffusion.schedule import DiffusionSchedule
 from motionstyle.models.denoiser import StyleDiffusion, mask_cond
 from motionstyle.models.torch_import import export_mdm, export_style_encoder
 from motionstyle.train import logging as logger
+from motionstyle.utils import fast_dropout_key
 
 
 @dataclass
@@ -49,6 +50,9 @@ class PretrainConfig:
     save_interval: int = 0  # 0 = only final save
     cond_mask_prob: float = 0.1
     seed: int = 10
+    # "rbg" = hardware-RNG dropout bits (1.45x step speedup on v5e, see
+    # utils.fast_dropout_key); "threefry" = bit-reproducible escape hatch
+    dropout_rng_impl: str = "rbg"
 
 
 class PriorTrainer:
@@ -97,6 +101,7 @@ class PriorTrainer:
             """batch: x_start (B,C,F,T), t (B,), enc_text (B,clip), mask
             (B,1,1,T)."""
             rng_noise, rng_drop, rng_cond = jax.random.split(rng, 3)
+            rng_drop = fast_dropout_key(rng_drop, cfg.dropout_rng_impl)
 
             def loss_fn(p):
                 noise = jax.random.normal(rng_noise, batch["x_start"].shape,

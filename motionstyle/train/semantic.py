@@ -35,6 +35,7 @@ from motionstyle.diffusion.schedule import DiffusionSchedule
 from motionstyle.models.denoiser import StyleDiffusion, mask_cond
 from motionstyle.models.torch_import import export_semantic_discriminator
 from motionstyle.train import logging as logger
+from motionstyle.utils import fast_dropout_key
 
 TRAINABLE_KEYS = ("motion_enc_encoder", "mu_query", "sigma_query")
 
@@ -49,6 +50,8 @@ class SemanticConfig:
     save_interval: int = 0  # 0 = only final save
     cond_mask_prob: float = 0.1
     seed: int = 10
+    # see utils.fast_dropout_key; "threefry" = bit-reproducible escape hatch
+    dropout_rng_impl: str = "rbg"
 
 
 class SemanticTrainer:
@@ -83,6 +86,7 @@ class SemanticTrainer:
             """batch: x_start (B,C,F,T), t (B,), frame_mask (B,T) bool,
             mask (B,1,1,T)."""
             rng_noise, rng_drop, rng_cond = jax.random.split(rng, 3)
+            rng_drop = fast_dropout_key(rng_drop, cfg.dropout_rng_impl)
 
             def loss_fn(p):
                 noise = jax.random.normal(rng_noise, batch["x_start"].shape,

@@ -27,6 +27,29 @@ def fixseed(seed: int) -> None:
         pass
 
 
+def fast_dropout_key(rng, impl: str = "rbg"):
+    """Derive the dropout PRNG key for a training step.
+
+    impl="rbg" re-keys onto XLA's RngBitGenerator: with threefry keys,
+    dropout (bulk-bit generation on the VPU + masking, fwd+bwd) measures
+    15.2 ms of a 35.6 ms b64 prior train step on v5e (43%); rbg bits cut
+    the step to 24.5 ms — a 1.45x end-to-end training speedup
+    (BASELINE.md). Dropout needs per-step independence, not cross-backend
+    bit reproducibility, and the threefry-derived 32-bit seed keeps steps
+    independent. flax's internal fold_in/split on the returned key stay
+    cheap — they act on key words, not bulk bits.
+
+    impl="threefry" returns the key unchanged — the escape hatch for
+    bit-level reproducibility of dropout draws across XLA versions.
+    """
+    if impl == "threefry":
+        return rng
+    import jax
+
+    seed = jax.random.bits(rng, (), "uint32")
+    return jax.random.key(seed, impl=impl)
+
+
 def to_numpy(tensor):
     if hasattr(tensor, "detach"):
         return tensor.detach().cpu().numpy()

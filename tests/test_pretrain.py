@@ -55,6 +55,41 @@ class TestPriorTrainer:
                             jax.tree_util.tree_leaves(after["mdm"])))
         assert mdm_moved
 
+    def test_fast_dropout_key(self):
+        """utils.fast_dropout_key: threefry passthrough; rbg keys are
+        reproducible per parent key, distinct across parents, and survive
+        the fold_in flax's make_rng applies."""
+        from motionstyle.utils import fast_dropout_key
+
+        rng = jax.random.PRNGKey(0)
+        assert fast_dropout_key(rng, "threefry") is rng
+        a = np.asarray(jax.random.bernoulli(
+            fast_dropout_key(jax.random.PRNGKey(0)), 0.5, (256,)))
+        b = np.asarray(jax.random.bernoulli(
+            fast_dropout_key(jax.random.PRNGKey(1)), 0.5, (256,)))
+        c = np.asarray(jax.random.bernoulli(
+            fast_dropout_key(jax.random.PRNGKey(0)), 0.5, (256,)))
+        assert not np.array_equal(a, b)
+        np.testing.assert_array_equal(a, c)
+        folded = jax.random.fold_in(fast_dropout_key(rng), 3)
+        assert np.asarray(jax.random.bernoulli(folded, 0.5, (8,))).shape == (8,)
+
+    def test_threefry_escape_hatch_trains(self, tmp_path):
+        """dropout_rng_impl='threefry' still trains (the bit-reproducible
+        path stays live alongside the default hardware-RNG path)."""
+        cfg, model, params, sched, pcfg = _tiny_setup(tmp_path)
+        pcfg.dropout_rng_impl = "threefry"
+        trainer = PriorTrainer(pcfg, model, params, sched)
+        r = np.random.RandomState(0)
+        batch = {
+            "x_start": r.randn(8, cfg.njoints, 1, 8).astype(np.float32) * 0.5,
+            "enc_text": r.randn(8, 32).astype(np.float32),
+            "mask": np.ones((8, 1, 1, 8), np.float32),
+        }
+        losses = [float(trainer.run_step(batch)) for _ in range(20)]
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
     def test_export_mdm_roundtrip(self, tmp_path):
         """export_mdm -> convert_mdm reproduces the prior subtree exactly,
         and the saved mdm.pt feeds assemble_style_diffusion_params."""

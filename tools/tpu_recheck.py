@@ -47,6 +47,8 @@ def finetune_step():
     vp = bench.bench_finetune_steps(steps=8, parallel=True)
     print(json.dumps({"metric": "finetune_steps_per_sec_parallel", "value": round(vp, 3),
                       "speedup": round(vp / v, 2)}))
+    r = bench.bench_pretrain(batch=64, steps=20)
+    print(json.dumps({"metric": "prior_pretrain_humanml_b64", **r}))
 
 
 def opt_in_modes():
