@@ -305,7 +305,8 @@ def bench_bandai_long_batch(batch: int = 16, reps: int = 3) -> float:
     return batch / float(np.median(times))
 
 
-def bench_finetune_steps(steps: int = 32, parallel: bool = False) -> float:
+def bench_finetune_steps(steps: int = 32, parallel: bool = False,
+                         fused_train: bool = False) -> float:
     """BASELINE config: few-shot finetune (~32 steps). Returns steps/sec
     (steady state, compile excluded)."""
     import tempfile
@@ -319,7 +320,7 @@ def bench_finetune_steps(steps: int = 32, parallel: bool = False) -> float:
     from motionstyle.train.finetune import FinetuneConfig, StyleFinetuneTrainer
 
     Tx = 76
-    cfg_m = MDMConfig(njoints=C, nfeats=1)
+    cfg_m = MDMConfig(njoints=C, nfeats=1, fused_train=fused_train)
     model = StyleDiffusion(cfg_m)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, C, 1, Tx)),
                         jnp.zeros((1,), jnp.int32), jnp.zeros((1, 512)),
@@ -358,7 +359,8 @@ def denoiser_forward_gflops(C_feats: int, n_tokens: int, d: int = LATENT,
     return n_tokens * per_tok / 1e9
 
 
-def bench_pretrain(batch: int = 64, steps: int = 30, dtype: str = "bfloat16") -> dict:
+def bench_pretrain(batch: int = 64, steps: int = 30, dtype: str = "bfloat16",
+                   fused_train: bool = False) -> dict:
     """Prior-pretraining throughput: the full-size text-conditioned MDM
     prior (d=512/8L) trained with the standard denoising objective
     (train/pretrain.py — the large-batch production TRAINING path, vs the
@@ -381,7 +383,7 @@ def bench_pretrain(batch: int = 64, steps: int = 30, dtype: str = "bfloat16") ->
     from motionstyle.train.pretrain import PretrainConfig, PriorTrainer
 
     Ch, Th = 263, 196
-    cfg_m = MDMConfig(njoints=Ch, nfeats=1, dtype=dtype)
+    cfg_m = MDMConfig(njoints=Ch, nfeats=1, dtype=dtype, fused_train=fused_train)
     model = StyleDiffusion(cfg_m)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((batch, Ch, 1, Th)),
                         jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)),
@@ -398,14 +400,18 @@ def bench_pretrain(batch: int = 64, steps: int = 30, dtype: str = "bfloat16") ->
               mask=np.ones((batch, 1, 1, Th), np.float32))
     bt = {k: jax.device_put(v) for k, v in bt.items()}  # resident, once
     flops = None
-    try:  # exact compiled flops (includes the backward; axon may not report)
-        t_probe = np.zeros((batch,), np.int64)
-        ca = tr._train_step.lower(tr.params, tr.opt_state, tr.rng,
-                                  dict(bt, t=t_probe)).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    # XLA cost analysis reports ~0 flops for Pallas custom calls, so the
+    # fused_train path always uses the analytic fwd+bwd estimate — keeps
+    # MFU comparable across the XLA and fused paths
+    if not fused_train:
+        try:  # exact compiled flops (includes backward; axon may not report)
+            t_probe = np.zeros((batch,), np.int64)
+            ca = tr._train_step.lower(tr.params, tr.opt_state, tr.rng,
+                                      dict(bt, t=t_probe)).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
     float(np.asarray(tr.run_step(bt)))  # compile + flush
     t0 = time.perf_counter()
     loss = None
@@ -417,9 +423,12 @@ def bench_pretrain(batch: int = 64, steps: int = 30, dtype: str = "bfloat16") ->
     if flops is None:  # analytic fwd+bwd: backward ~ 2x forward matmul FLOPs
         flops = 3.0 * denoiser_forward_gflops(Ch, Th + 1) * 1e9 * batch
     mfu = flops * sps / (V5E_BF16_PEAK_TFLOPS * 1e12) * 100.0
-    return {"steps_per_sec": round(sps, 3),
-            "clips_per_sec": round(sps * batch, 1),
-            "mfu_pct": round(mfu, 1), "batch": batch, "dtype": dtype}
+    out = {"steps_per_sec": round(sps, 3),
+           "clips_per_sec": round(sps * batch, 1),
+           "mfu_pct": round(mfu, 1), "batch": batch, "dtype": dtype}
+    if fused_train:
+        out["fused_train"] = True
+    return out
 
 
 def bench_humanml_prior_fk(batch: int = 8, reps: int = 2) -> float:

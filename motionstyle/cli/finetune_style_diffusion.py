@@ -208,7 +208,8 @@ def main(argv=None):
 
     mesh = cli_training_mesh(bool(getattr(args, "data_parallel", 0)),
                              getattr(args, "model_parallel", 1),
-                             args.batch_size, label="finetune")
+                             args.batch_size, label="finetune",
+                             fused_train=bool(getattr(args, "fused_train", 0)))
     trainer = StyleFinetuneTrainer(ft_cfg, bundle.model, bundle.params, sched, platform,
                                    mesh=mesh)
     trainable_key = "lora_style" if args.lora_rank else "style_encoder"

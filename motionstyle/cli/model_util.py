@@ -65,6 +65,9 @@ def get_transfer_config(args) -> MDMConfig:
         # --quant_int8 alone can never silently serve the unquantized path
         fused=bool(getattr(args, "fused", 0)) or bool(getattr(args, "quant_int8", 0)),
         quant_int8=bool(getattr(args, "quant_int8", 0)),
+        # opt-in fused training path (--fused_train on the train CLIs):
+        # Pallas fwd+bwd encoder layers inside the loss forwards
+        fused_train=bool(getattr(args, "fused_train", 0)),
         # compute dtype: explicit --dtype wins; otherwise the fused kernel
         # defaults to its designed bf16 input (the benchmarked TPU serving
         # config — BASELINE.md headline) and everything else stays fp32 for

@@ -41,7 +41,7 @@ def parse_and_load_from_model(parser: ArgumentParser):
                                       "forecast_order", "model_parallel",
                                       "pipeline_parallel", "pipeline_micro",
                                       "sequence_parallel",
-                                      "quant_int8", "dtype",
+                                      "quant_int8", "fused_train", "dtype",
                                       "native_loader", "prefetch", "style_strength",
                                       "style_mix", "long_frames")]
     # ...and a flag the user EXPLICITLY passed must never be clobbered by
@@ -141,6 +141,12 @@ def add_model_options(parser):
                        help="opt-in int8 quantized serving (requires --fused 1): "
                             "the large matmuls run int8 on the MXU; ~1.13x over "
                             "bf16 at ~2.6%% output deviation")
+    group.add_argument("--fused_train", default=0, type=int,
+                       help="opt-in fused TRAINING path: encoder stacks run the "
+                            "Pallas fwd+bwd layer kernels inside the loss "
+                            "forwards (ops/fused_encoder_train.py; bf16 "
+                            "matmul/fp32 accum, tanh-approx gelu). The default "
+                            "XLA path stays the bit-reproducible baseline")
 
 
 def add_data_options(parser):

@@ -74,7 +74,8 @@ def main(argv=None):
     from motionstyle.parallel.mesh import cli_training_mesh
 
     mesh = cli_training_mesh(bool(args.data_parallel), args.model_parallel,
-                             args.batch_size, label="pretraining")
+                             args.batch_size, label="pretraining",
+                             fused_train=bool(getattr(args, "fused_train", 0)))
 
     cfg = PretrainConfig(save_dir=args.save_dir, lr=args.lr,
                          weight_decay=args.weight_decay,

@@ -79,6 +79,14 @@ class MDMConfig:
     # per-channel weight / per-token activation scales; attention stays bf16.
     # An accuracy/throughput trade for serving — OFF for parity paths.
     quant_int8: bool = False
+    # opt-in fused TRAINING path (ops/fused_encoder_train.py): the encoder
+    # stacks run the fused Pallas layer with in-layer dropout and a Pallas
+    # backward under deterministic=False — i.e. inside every trainer's loss,
+    # including the grad-through-DDIM finetune unroll. bf16 matmul / fp32
+    # accum numerics with tanh-approx gelu (the XLA training path uses exact
+    # erf gelu); OFF by default so the bit-reproducible XLA path stays the
+    # parity baseline. DP-only (no sequence-parallel kv gather, int8 n/a).
+    fused_train: bool = False
 
     @property
     def input_feats(self) -> int:
@@ -161,7 +169,8 @@ class MDM(nn.Module):
             xseq = self._apply_pe(xseq, deterministic)
             out = self.seqTransEncoder(
                 xseq, deterministic=deterministic,
-                use_fused=(self.cfg.fused or self.cfg.quant_int8) and deterministic,
+                use_fused=((self.cfg.fused or self.cfg.quant_int8) and deterministic)
+                or (self.cfg.fused_train and not deterministic),
                 use_int8=self.cfg.quant_int8,
             )[:, 1:]
         elif self.cfg.arch == "trans_dec":
@@ -240,7 +249,8 @@ class StyleDiffusion(nn.Module):
         xseq = self._embed_tokens(x, timesteps, enc_text, deterministic)
         out = self.style_encoder(
             xseq, deterministic=deterministic,
-            use_fused=(self.cfg.fused or self.cfg.quant_int8) and deterministic,
+            use_fused=((self.cfg.fused or self.cfg.quant_int8) and deterministic)
+                or (self.cfg.fused_train and not deterministic),
             use_int8=self.cfg.quant_int8,
         )[:, 1:]
         return self.mdm._tokens_to_frames(self.mdm.output_process(out)).astype(jnp.float32)

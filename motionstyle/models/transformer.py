@@ -213,6 +213,18 @@ class TransformerEncoder(nn.Module):
                 x, params, self.num_layers, self.nhead, key_padding_mask,
                 int8=use_int8,
             ).astype(x.dtype)
+        if use_fused and not deterministic and not self.is_initializing() \
+                and self.gather_kv_axis is None and not use_int8:
+            # differentiable fused training path (MDMConfig.fused_train):
+            # in-layer dropout masks ride the caller's 'dropout' rng
+            from motionstyle.ops.fused_encoder_train import fused_encoder_train
+
+            params = self.variables["params"]
+            rng = self.make_rng("dropout") if self.dropout > 0.0 else None
+            return fused_encoder_train(
+                x, params, self.num_layers, self.nhead, self.dropout, rng,
+                key_padding_mask,
+            ).astype(x.dtype)
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,

@@ -1,0 +1,475 @@
+"""Pallas TPU kernels: the fused encoder layer's TRAINING path.
+
+The inference kernel (ops/fused_encoder.py) is forward-only, so every
+trainer — prior pretraining, the semantic discriminator, and the whole
+grad-through-DDIM finetune loss (train/finetune.py runs EVERY forward with
+deterministic=False) — rides the XLA encoder, which measures ~2x slower per
+forward than the fused layer (BASELINE.md). This module closes that gap:
+
+  * a fused forward that applies the layer's three dropout sites
+    (TransformerEncoderLayer: after the attention out-projection, after
+    gelu, after linear2 — models/transformer.py:72-81) and additionally
+    emits the two residuals the backward needs (`a1`, the pre-LN1 sum, and
+    `attn`, the pre-out-projection attention output);
+  * a custom_vjp whose backward is TWO Pallas kernels — the FFN/LayerNorm
+    half and the attention half — that recompute the remaining
+    intermediates in VMEM and accumulate the weight gradients across the
+    sequential batch grid.
+
+Dropout masks are generated OUTSIDE the kernels (bf16 arrays holding
+{0, 1/keep}) with the trainer's rbg dropout key: bulk bits are then
+hardware-RNG cheap, the masks become autodiff residuals for free, the
+forward and backward see bit-identical masks without any in-kernel PRNG
+state, and CPU interpret mode (the test mesh) needs no TPU-only
+primitives. rate=0 specializes mask-free kernels, which makes the
+DETERMINISTIC fused layer differentiable too.
+
+Numerics: bf16 matmuls with fp32 accumulation and fp32 LayerNorm/softmax
+stats, like the inference kernel; gelu is the tanh approximation (the XLA
+path uses exact erf — ~1e-3 absolute, inside training tolerance, see
+tests/test_fused_train.py gradient-parity bounds). Weight gradients
+accumulate in fp32.
+
+Parity notes: layer structure per the reference's
+nn.TransformerEncoderLayer usage (mdm_forstyledataset.py:214-221,
+dropout=0.1); this file cites the JAX module it must match,
+models/transformer.py:58-83, as the ground truth.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from motionstyle.ops.fused_encoder import (
+    SEQ_ALIGN,
+    _attention,
+    _bf16_dot,
+    _layernorm,
+    _round_up,
+    _shared_layer_inputs,
+)
+
+_EPS = 1e-5
+_C = 0.7978845608028654  # sqrt(2/pi)
+_A = 0.044715
+
+
+def _gelu_tanh_fwd(u):
+    t = jnp.tanh(_C * (u + _A * u ** 3))
+    return 0.5 * u * (1.0 + t), t
+
+
+def _gelu_tanh_grad(u, t):
+    return 0.5 * (1.0 + t) + 0.5 * u * (1.0 - t * t) * _C * (1.0 + 3.0 * _A * u * u)
+
+
+def _dotT_ab(a, b):
+    """a^T @ b (contract rows), bf16 in / fp32 accum — weight-grad shape."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_abT(a, b):
+    """a @ b^T (contract cols), bf16 in / fp32 accum — input-grad shape."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _ln_stats(xin):
+    mu = jnp.mean(xin, axis=-1, keepdims=True)
+    var = jnp.mean((xin - mu) ** 2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + _EPS)
+    return (xin - mu) * rstd, rstd
+
+
+def _ln_bwd(dh, xhat, rstd, scale_row):
+    """Per-row LayerNorm backward; returns (dx, dscale (1,D), dbias (1,D))."""
+    dxh = dh * scale_row
+    dscale = jnp.sum(dh * xhat, axis=0, keepdims=True)
+    dbias = jnp.sum(dh, axis=0, keepdims=True)
+    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
+    return rstd * (dxh - m1 - xhat * m2), dscale, dbias
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(num_heads, dropped, *refs):
+    if dropped:
+        (x_ref, kmask_ref, m0_ref, m1_ref, m2_ref, wqkv_ref, bqkv_ref,
+         wo_ref, bo_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         ln2s_ref, ln2b_ref, o_ref, a1_ref, attn_ref) = refs
+    else:
+        (x_ref, kmask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+         ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         ln2s_ref, ln2b_ref, o_ref, a1_ref, attn_ref) = refs
+    x = x_ref[0]  # (S, D) bf16
+    qkv = _bf16_dot(x, wqkv_ref, bqkv_ref)
+    attn = _attention(qkv, kmask_ref[0], num_heads)  # (S, D) fp32
+    proj = _bf16_dot(attn, wo_ref, bo_ref)
+    if dropped:
+        proj = proj * m0_ref[0].astype(jnp.float32)
+    a1 = x.astype(jnp.float32) + proj
+    h1 = _layernorm(a1, ln1s_ref, ln1b_ref)
+    g, _ = _gelu_tanh_fwd(_bf16_dot(h1, w1_ref, b1_ref))
+    if dropped:
+        g = g * m1_ref[0].astype(jnp.float32)
+    f = _bf16_dot(g, w2_ref, b2_ref)
+    if dropped:
+        f = f * m2_ref[0].astype(jnp.float32)
+    h2 = _layernorm(h1 + f, ln2s_ref, ln2b_ref)
+    o_ref[0] = h2.astype(o_ref.dtype)
+    a1_ref[0] = a1
+    attn_ref[0] = attn.astype(attn_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# backward, FFN + LayerNorm half
+# ---------------------------------------------------------------------------
+
+def _bwd_ffn_kernel(dropped, *refs):
+    import jax.experimental.pallas as pl
+
+    if dropped:
+        (dh2_ref, a1_ref, m1_ref, m2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+         da1_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+         dls1_ref, dlb1_ref, dls2_ref, dlb2_ref) = refs
+    else:
+        (dh2_ref, a1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+         da1_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+         dls1_ref, dlb1_ref, dls2_ref, dlb2_ref) = refs
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros(dw1_ref.shape, dw1_ref.dtype)
+        db1_ref[...] = jnp.zeros(db1_ref.shape, db1_ref.dtype)
+        dw2_ref[...] = jnp.zeros(dw2_ref.shape, dw2_ref.dtype)
+        db2_ref[...] = jnp.zeros(db2_ref.shape, db2_ref.dtype)
+        dls1_ref[...] = jnp.zeros(dls1_ref.shape, dls1_ref.dtype)
+        dlb1_ref[...] = jnp.zeros(dlb1_ref.shape, dlb1_ref.dtype)
+        dls2_ref[...] = jnp.zeros(dls2_ref.shape, dls2_ref.dtype)
+        dlb2_ref[...] = jnp.zeros(dlb2_ref.shape, dlb2_ref.dtype)
+
+    # ---- recompute the FFN forward from the stored pre-LN1 sum
+    a1 = a1_ref[0]  # (S, D) fp32
+    xhat1, rstd1 = _ln_stats(a1)
+    h1 = xhat1 * ln1s_ref[0] + ln1b_ref[0]
+    u = _bf16_dot(h1, w1_ref, b1_ref)
+    g, t = _gelu_tanh_fwd(u)
+    gd = g * m1_ref[0].astype(jnp.float32) if dropped else g
+    f = _bf16_dot(gd, w2_ref, b2_ref)
+    fd = f * m2_ref[0].astype(jnp.float32) if dropped else f
+    a2 = h1 + fd
+    xhat2, rstd2 = _ln_stats(a2)
+
+    # ---- backward
+    dh2 = dh2_ref[0].astype(jnp.float32)
+    da2, dls2, dlb2 = _ln_bwd(dh2, xhat2, rstd2, ln2s_ref[0])
+    dls2_ref[...] += dls2
+    dlb2_ref[...] += dlb2
+    df = da2 * m2_ref[0].astype(jnp.float32) if dropped else da2
+    dw2_ref[...] += _dotT_ab(gd, df)
+    db2_ref[...] += jnp.sum(df, axis=0, keepdims=True)
+    dgd = _dot_abT(df, w2_ref[...])
+    dg = dgd * m1_ref[0].astype(jnp.float32) if dropped else dgd
+    du = dg * _gelu_tanh_grad(u, t)
+    dw1_ref[...] += _dotT_ab(h1, du)
+    db1_ref[...] += jnp.sum(du, axis=0, keepdims=True)
+    dh1 = da2 + _dot_abT(du, w1_ref[...])
+    da1, dls1, dlb1 = _ln_bwd(dh1, xhat1, rstd1, ln1s_ref[0])
+    dls1_ref[...] += dls1
+    dlb1_ref[...] += dlb1
+    da1_ref[0] = da1
+
+
+# ---------------------------------------------------------------------------
+# backward, attention half
+# ---------------------------------------------------------------------------
+
+def _bwd_attn_kernel(num_heads, dropped, *refs):
+    import jax.experimental.pallas as pl
+
+    if dropped:
+        (da1_ref, x_ref, attn_ref, m0_ref, kmask_ref, wqkv_ref, bqkv_ref,
+         wo_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref) = refs
+    else:
+        (da1_ref, x_ref, attn_ref, kmask_ref, wqkv_ref, bqkv_ref,
+         wo_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref) = refs
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[...] = jnp.zeros(dwqkv_ref.shape, dwqkv_ref.dtype)
+        dbqkv_ref[...] = jnp.zeros(dbqkv_ref.shape, dbqkv_ref.dtype)
+        dwo_ref[...] = jnp.zeros(dwo_ref.shape, dwo_ref.dtype)
+        dbo_ref[...] = jnp.zeros(dbo_ref.shape, dbo_ref.dtype)
+
+    da1 = da1_ref[0]  # (S, D) fp32
+    x = x_ref[0]      # (S, D) bf16
+    attn = attn_ref[0]
+    dproj = da1 * m0_ref[0].astype(jnp.float32) if dropped else da1
+    dwo_ref[...] += _dotT_ab(attn, dproj)
+    dbo_ref[...] += jnp.sum(dproj, axis=0, keepdims=True)
+    dattn = _dot_abT(dproj, wo_ref[...])
+
+    # recompute qkv + per-head softmax, then walk the attention backward
+    qkv = _bf16_dot(x, wqkv_ref, bqkv_ref)
+    D = qkv.shape[1] // 3
+    dh = D // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    kmask = kmask_ref[0]
+    dq_cols, dk_cols, dv_cols = [], [], []
+    for h in range(num_heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, D + h * dh: D + (h + 1) * dh]
+        v = qkv[:, 2 * D + h * dh: 2 * D + (h + 1) * dh]
+        scores = jax.lax.dot_general(
+            (q * scale).astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + kmask
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # bit-equal to the fwd's
+        da = dattn[:, h * dh:(h + 1) * dh]
+        dv_cols.append(_dotT_ab(p, da))
+        dp = _dot_abT(da, v)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_cols.append(jax.lax.dot_general(
+            ds.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale)
+        dk_cols.append(_dotT_ab(ds, q) * scale)
+    dqkv = jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1)  # (S, 3D)
+    dwqkv_ref[...] += _dotT_ab(x.astype(jnp.float32), dqkv)
+    dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dx_ref[0] = da1 + _dot_abT(dqkv, wqkv_ref[...])
+
+
+# ---------------------------------------------------------------------------
+# layer wrapper with custom VJP
+# ---------------------------------------------------------------------------
+
+def _layer_arrays(layer_params):
+    p = layer_params
+    f32row = lambda a: a.astype(jnp.float32)[None]
+    return (
+        p["self_attn"]["in_proj"]["kernel"].astype(jnp.bfloat16),
+        f32row(p["self_attn"]["in_proj"]["bias"]),
+        p["self_attn"]["out_proj"]["kernel"].astype(jnp.bfloat16),
+        f32row(p["self_attn"]["out_proj"]["bias"]),
+        f32row(p["norm1"]["scale"]), f32row(p["norm1"]["bias"]),
+        p["linear1"]["kernel"].astype(jnp.bfloat16),
+        f32row(p["linear1"]["bias"]),
+        p["linear2"]["kernel"].astype(jnp.bfloat16),
+        f32row(p["linear2"]["bias"]),
+        f32row(p["norm2"]["scale"]), f32row(p["norm2"]["bias"]),
+    )
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_call(x_p, kmask, params, masks, num_heads, out_dtype):
+    """Run the fused training forward; returns (out, a1, attn)."""
+    from jax.experimental import pallas as pl
+
+    B, Sp, D = x_p.shape
+    (wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b) = \
+        _layer_arrays(params)
+    F = w1.shape[1]
+    dropped = masks is not None
+    row = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
+    mat = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+    blk = lambda d: pl.BlockSpec((1, Sp, d), lambda i: (i, 0, 0))
+    in_specs = [blk(D), pl.BlockSpec((1, 1, Sp), lambda i: (i, 0, 0))]
+    operands = [x_p, kmask]
+    if dropped:
+        in_specs += [blk(D), blk(F), blk(D)]
+        operands += list(masks)
+    in_specs += [mat(D, 3 * D), row(3 * D), mat(D, D), row(D),
+                 row(D), row(D), mat(D, F), row(F), mat(F, D), row(D),
+                 row(D), row(D)]
+    operands += [wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b]
+    out, a1, attn = pl.pallas_call(
+        functools.partial(_fwd_kernel, num_heads, dropped),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=(blk(D), blk(D), blk(D)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Sp, D), out_dtype),
+            jax.ShapeDtypeStruct((B, Sp, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Sp, D), jnp.bfloat16),
+        ),
+        interpret=_interpret(),
+    )(*operands)
+    return out, a1, attn
+
+
+def _bwd_call(dh2, x_p, kmask, params, masks, a1, attn, num_heads):
+    from jax.experimental import pallas as pl
+
+    B, Sp, D = x_p.shape
+    (wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b) = \
+        _layer_arrays(params)
+    F = w1.shape[1]
+    dropped = masks is not None
+    row = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
+    mat = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+    blk = lambda d: pl.BlockSpec((1, Sp, d), lambda i: (i, 0, 0))
+    f32 = jnp.float32
+
+    in_specs = [blk(D), blk(D)]
+    operands = [dh2, a1]
+    if dropped:
+        in_specs += [blk(F), blk(D)]
+        operands += [masks[1], masks[2]]
+    in_specs += [mat(D, F), row(F), mat(F, D), row(D),
+                 row(D), row(D), row(D), row(D)]
+    operands += [w1, b1, w2, b2, ln1s, ln1b, ln2s, ln2b]
+    da1, dw1, db1, dw2, db2, dls1, dlb1, dls2, dlb2 = pl.pallas_call(
+        functools.partial(_bwd_ffn_kernel, dropped),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=(blk(D), mat(D, F), row(F), mat(F, D), row(D),
+                   row(D), row(D), row(D), row(D)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Sp, D), f32),
+            jax.ShapeDtypeStruct((D, F), f32), jax.ShapeDtypeStruct((1, F), f32),
+            jax.ShapeDtypeStruct((F, D), f32), jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32), jax.ShapeDtypeStruct((1, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32), jax.ShapeDtypeStruct((1, D), f32),
+        ),
+        interpret=_interpret(),
+    )(*operands)
+
+    in_specs = [blk(D), blk(D), blk(D)]
+    operands = [da1, x_p, attn]
+    if dropped:
+        in_specs += [blk(D)]
+        operands += [masks[0]]
+    in_specs += [pl.BlockSpec((1, 1, Sp), lambda i: (i, 0, 0)),
+                 mat(D, 3 * D), row(3 * D), mat(D, D)]
+    operands += [kmask, wqkv, bqkv, wo]
+    dx, dwqkv, dbqkv, dwo, dbo = pl.pallas_call(
+        functools.partial(_bwd_attn_kernel, num_heads, dropped),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=(blk(D), mat(D, 3 * D), row(3 * D), mat(D, D), row(D)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Sp, D), f32),
+            jax.ShapeDtypeStruct((D, 3 * D), f32),
+            jax.ShapeDtypeStruct((1, 3 * D), f32),
+            jax.ShapeDtypeStruct((D, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+        ),
+        interpret=_interpret(),
+    )(*operands)
+
+    dparams = {
+        "self_attn": {
+            "in_proj": {"kernel": dwqkv, "bias": dbqkv[0]},
+            "out_proj": {"kernel": dwo, "bias": dbo[0]},
+        },
+        "norm1": {"scale": dls1[0], "bias": dlb1[0]},
+        "linear1": {"kernel": dw1, "bias": db1[0]},
+        "linear2": {"kernel": dw2, "bias": db2[0]},
+        "norm2": {"scale": dls2[0], "bias": dlb2[0]},
+    }
+    return dx, dparams
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_layer_train(num_heads, out_dtype, x_p, kmask, params, masks):
+    out, _, _ = _fwd_call(x_p, kmask, params, masks, num_heads, out_dtype)
+    return out
+
+
+def _fused_layer_train_fwd(num_heads, out_dtype, x_p, kmask, params, masks):
+    out, a1, attn = _fwd_call(x_p, kmask, params, masks, num_heads, out_dtype)
+    return out, (x_p, kmask, params, masks, a1, attn)
+
+
+def _fused_layer_train_bwd(num_heads, out_dtype, res, dh2):
+    x_p, kmask, params, masks, a1, attn = res
+    dx, dparams = _bwd_call(dh2, x_p, kmask, params, masks, a1, attn, num_heads)
+    dmasks = None if masks is None else tuple(jnp.zeros_like(m) for m in masks)
+    # cast param grads onto the param dtypes (params are stored fp32)
+    dparams = jax.tree_util.tree_map(
+        lambda g, p: g.astype(p.dtype), dparams, params)
+    return (dx.astype(x_p.dtype), jnp.zeros_like(kmask), dparams, dmasks)
+
+
+_fused_layer_train.defvjp(_fused_layer_train_fwd, _fused_layer_train_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+
+def make_dropout_masks(rng, shape, rate: float, dim_feedforward: int):
+    """Scaled keep-masks {0, 1/keep} (bf16) for one layer's three dropout
+    sites, matching models/transformer.py:72-81: (S,D) after the attention
+    out-projection, (S,F) after gelu, (S,D) after linear2."""
+    B, Sp, D = shape
+    keep = 1.0 - rate
+    k0, k1, k2 = jax.random.split(rng, 3)
+    mk = lambda k, d: (jax.random.bernoulli(k, keep, (B, Sp, d))
+                       .astype(jnp.bfloat16) * jnp.bfloat16(1.0 / keep))
+    return mk(k0, D), mk(k1, dim_feedforward), mk(k2, D)
+
+
+def fused_encoder_layer_train(
+    x: jax.Array,
+    layer_params: dict,
+    num_heads: int,
+    masks=None,
+    key_padding_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """One differentiable fused encoder layer. x (B, S, D); masks = scaled
+    keep-masks from make_dropout_masks (None = deterministic)."""
+    B, S, D = x.shape
+    Sp = _round_up(S, SEQ_ALIGN)
+    xp, kmask, _ = _shared_layer_inputs(x, Sp, layer_params, key_padding_mask)
+    out = _fused_layer_train(num_heads, jnp.dtype(x.dtype), xp, kmask,
+                             layer_params, masks)
+    return out[:, :S]
+
+
+def fused_encoder_train(
+    x: jax.Array,
+    encoder_params: dict,
+    num_layers: int,
+    num_heads: int,
+    dropout: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    key_padding_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Differentiable fused encoder stack (training path). dropout > 0
+    requires rng; each layer draws independent masks."""
+    B, S, D = x.shape
+    Sp = _round_up(S, SEQ_ALIGN)
+    F = encoder_params["layers_0"]["linear1"]["kernel"].shape[1]
+    for i in range(num_layers):
+        masks = None
+        if dropout > 0.0:
+            masks = make_dropout_masks(jax.random.fold_in(rng, i),
+                                       (B, Sp, D), dropout, F)
+        x = fused_encoder_layer_train(
+            x, encoder_params[f"layers_{i}"], num_heads,
+            masks=masks, key_padding_mask=key_padding_mask)
+    return x

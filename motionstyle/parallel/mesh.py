@@ -25,7 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def cli_training_mesh(data_parallel: bool, model_parallel: int,
-                      batch_size: int, label: str = "training"):
+                      batch_size: int, label: str = "training",
+                      fused_train: bool = False):
     """The (data x model) mesh policy shared by the training CLIs
     (finetune/pretrain): the model axis must divide the device count; the
     data axis takes the largest divisor the batch supports. Returns None
@@ -38,6 +39,11 @@ def cli_training_mesh(data_parallel: bool, model_parallel: int,
     mp = max(1, model_parallel)
     if not data_parallel and mp <= 1:
         return None
+    if fused_train and mp > 1:
+        raise SystemExit(
+            f"--fused_train is data-parallel only: the Pallas layer kernels "
+            f"have no tensor-parallel collectives, so --model_parallel {mp} "
+            f"would silently replicate the encoder weights. Drop one flag.")
     ndev = len(jax.devices())
     if ndev % mp != 0:
         raise ValueError(

@@ -49,6 +49,8 @@ def finetune_step():
                       "speedup": round(vp / v, 2)}))
     r = bench.bench_pretrain(batch=64, steps=20)
     print(json.dumps({"metric": "prior_pretrain_humanml_b64", **r}))
+    r = bench.bench_pretrain(batch=128, steps=12, fused_train=True)
+    print(json.dumps({"metric": "prior_pretrain_humanml_b128_fused", **r}))
 
 
 def opt_in_modes():
