@@ -202,7 +202,8 @@ def prepare_assets(work: str, *, prior_steps: int = 500, batch_size: int = 16,
                    diffusion_steps: int = 100, latent_dim: int = 64,
                    layers: int = 2, seed: int = 10,
                    semantic_steps: int = 0, styles: dict = None,
-                   dataset: str = "stylexia_posrot") -> dict:
+                   dataset: str = "stylexia_posrot",
+                   fused_train: bool = False) -> dict:
     """Stage 1+2: corpus + pretrained prior (reusable across finetune runs).
 
     semantic_steps > 0 additionally trains the semantic discriminator
@@ -223,8 +224,10 @@ def prepare_assets(work: str, *, prior_steps: int = 500, batch_size: int = 16,
         "--latent_dim", str(latent_dim),
         "--diffusion_steps", str(diffusion_steps), "--seed", str(seed),
         "--log_interval", "100",
+        "--fused_train", "1" if fused_train else "0",
     ])
     assets = dict(work=work, data_root=data_root, dataset=dataset,
+                  fused_train=fused_train,
                   mdm_path=pjoin(prior_dir, "mdm.pt"),
                   warm_path=pjoin(prior_dir, "model_pretrained.pt"),
                   semantic_path="",
@@ -298,6 +301,7 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
         "--latent_dim", str(assets["latent_dim"]),
         "--diffusion_steps", str(diffusion_steps), "--skip_steps", str(skip),
         "--semantic_guidance", "1" if semantic_guidance else "0",
+        "--fused_train", "1" if assets.get("fused_train") else "0",
         "--seed", str(seed),
     ] + sem_args)
     ckpts = sorted(f for f in os.listdir(ft_dir)
@@ -526,7 +530,8 @@ def run_protocol(work: str, *, prior_steps: int = 1500, finetune_steps: int = 20
                  style_example: str = "624angry_jumping.npy",
                  content_clip: str = "600neutral_walking.npy",
                  strengths: tuple = (),
-                 dataset: str = "stylexia_posrot") -> dict:
+                 dataset: str = "stylexia_posrot",
+                 fused_train: bool = False) -> dict:
     if dataset != "stylexia_posrot" and style_example == "624angry_jumping.npy":
         fname = PROFILES[dataset]["fname"]
         style_example = fname(624, "angry", "jumping")
@@ -535,7 +540,7 @@ def run_protocol(work: str, *, prior_steps: int = 1500, finetune_steps: int = 20
                             batch_size=batch_size,
                             diffusion_steps=diffusion_steps,
                             latent_dim=latent_dim, layers=layers, seed=seed,
-                            dataset=dataset)
+                            dataset=dataset, fused_train=fused_train)
     return evaluate_transfer(assets, finetune_steps=finetune_steps, lr=lr,
                              save_interval=save_interval, ladder=ladder,
                              style_example=style_example,
