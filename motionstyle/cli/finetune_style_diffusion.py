@@ -210,8 +210,10 @@ def main(argv=None):
                              getattr(args, "model_parallel", 1),
                              args.batch_size, label="finetune",
                              fused_train=bool(getattr(args, "fused_train", 0)))
+    if getattr(args, "fsdp", 0) and mesh is None:
+        raise SystemExit("--fsdp needs a mesh: pass --data_parallel 1")
     trainer = StyleFinetuneTrainer(ft_cfg, bundle.model, bundle.params, sched, platform,
-                                   mesh=mesh)
+                                   mesh=mesh, fsdp=bool(getattr(args, "fsdp", 0)))
     trainable_key = "lora_style" if args.lora_rank else "style_encoder"
     print("Total params: %.2fM trainable" % (
         sum(np.size(x) for x in jax.tree_util.tree_leaves(trainer.params[trainable_key])) / 1e6))

@@ -192,6 +192,14 @@ def add_finetune_options(parser):
                             "mesh.py); composes with --data_parallel into a "
                             "(data x model) mesh. Identical numerics to "
                             "single-device")
+    group.add_argument("--fsdp", default=0, type=int,
+                       help="1 = ZeRO/FSDP layout: additionally shard the "
+                            "params AND Adam moments over the 'data' axis "
+                            "(parallel/mesh.py::fsdp_spec; XLA derives the "
+                            "all-gather/reduce-scatter schedule). Identical "
+                            "numerics to plain --data_parallel; cuts "
+                            "per-device state ~data-axis-fold. Requires "
+                            "--data_parallel 1")
     group.add_argument("--orbax_checkpoints", default=0, type=int,
                        help="1 = ALSO write orbax checkpoints of the full "
                             "sharded state (cross-topology restore; "

@@ -53,6 +53,10 @@ def main(argv=None):
                              "(utils.fast_dropout_key)")
     parser.add_argument("--data_parallel", default=0, type=int)
     parser.add_argument("--model_parallel", default=1, type=int)
+    parser.add_argument("--fsdp", default=0, type=int,
+                        help="1 = ZeRO/FSDP layout: shard params + Adam "
+                             "moments over 'data' (needs --data_parallel 1; "
+                             "parallel/mesh.py::fsdp_spec)")
     args = parser.parse_args(argv)
     # the factory expects the style-inpainting arg surface
     args.semantic_discriminator_path = ""
@@ -85,7 +89,10 @@ def main(argv=None):
                          cond_mask_prob=args.cond_mask_prob, seed=args.seed,
                          dropout_rng_impl=getattr(args, "dropout_rng_impl",
                                                   "rbg"))
-    trainer = PriorTrainer(cfg, bundle.model, bundle.params, sched_full, mesh=mesh)
+    if args.fsdp and mesh is None:
+        raise SystemExit("--fsdp needs a mesh: pass --data_parallel 1")
+    trainer = PriorTrainer(cfg, bundle.model, bundle.params, sched_full,
+                           mesh=mesh, fsdp=bool(args.fsdp))
     print("Total prior params: %.2fM" % (
         sum(np.size(x) for x in jax.tree_util.tree_leaves(trainer.params["mdm"])) / 1e6))
 

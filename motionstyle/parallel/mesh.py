@@ -105,15 +105,51 @@ def param_spec(path: tuple, leaf) -> P:
     return P()  # replicated
 
 
-def shard_params(params, mesh: Mesh):
-    """Place a parameter pytree onto the mesh per param_spec. On a mesh
-    without a 'model' axis (e.g. the ('data','pipe') pipeline mesh) all
-    params are replicated — the pipelined encoder reshards its own stage
-    stack inside shard_map."""
+def fsdp_spec(path: tuple, leaf, dp: int, min_leaf_size: int = 1024,
+              use_model_base: bool = True) -> P:
+    """ZeRO/FSDP sharding rule: extend the (possibly Megatron-TP) base spec
+    by additionally sharding ONE free dimension over 'data'.
+
+    This is FSDP the GSPMD way: annotate the weight layout and let XLA derive
+    the collectives — an all-gather of each (data-sharded) param at its use
+    site in the forward/backward and a reduce-scatter of its gradient, which
+    is exactly the ZeRO-3 communication schedule. Optimizer moments are
+    zeros_like the params so they inherit the same layout, giving the ZeRO-1
+    optimizer-state sharding for free. The reference has no distributed path
+    at all (utils/dist_util.py is a stub, SURVEY.md §5); this composes with
+    the Megatron 'model' axis for 2-D (fsdp x tp) layouts.
+
+    Picks the LARGEST dimension not already sharded whose size divides the
+    'data' axis degree; leaves smaller than min_leaf_size elements stay in
+    the base layout (all-gathering a 512-float LayerNorm scale every step
+    costs more in latency than its shard saves in HBM)."""
+    base = param_spec(path, leaf) if use_model_base else P()
+    spec = list(base) + [None] * (leaf.ndim - len(base))
+    if dp > 1 and leaf.size >= min_leaf_size:
+        free = [i for i in range(leaf.ndim)
+                if spec[i] is None and leaf.shape[i] % dp == 0]
+        if free:
+            spec[max(free, key=lambda i: leaf.shape[i])] = "data"
+    while spec and spec[-1] is None:  # normalize: P(None) == P() semantically
+        spec.pop()
+    return P(*spec)
+
+
+def shard_params(params, mesh: Mesh, fsdp: bool = False):
+    """Place a parameter pytree onto the mesh per param_spec (or fsdp_spec
+    when fsdp=True — ZeRO-style param + optimizer-state sharding over the
+    'data' axis on top of any 'model' sharding). On a mesh without a 'model'
+    axis (e.g. the ('data','pipe') pipeline mesh) the base layout is
+    replicated — the pipelined encoder reshards its own stage stack inside
+    shard_map."""
     has_model = "model" in mesh.axis_names
+    dp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
 
     def place(path, leaf):
-        spec = param_spec(path, leaf) if has_model else P()
+        if fsdp:
+            spec = fsdp_spec(path, leaf, dp, use_model_base=has_model)
+        else:
+            spec = param_spec(path, leaf) if has_model else P()
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

@@ -107,6 +107,7 @@ class StyleFinetuneTrainer:
         sched: DiffusionSchedule,
         train_platform=None,
         mesh=None,
+        fsdp: bool = False,
     ):
         self.cfg = cfg
         self.model = model
@@ -114,6 +115,7 @@ class StyleFinetuneTrainer:
         self.sched = sched
         self.platform = train_platform
         self.mesh = mesh
+        self.fsdp = bool(fsdp and mesh is not None)
         self.step = 0
         self.resume_step = 0
         self.preempted = False
@@ -167,7 +169,9 @@ class StyleFinetuneTrainer:
 
             from motionstyle.parallel.mesh import shard_params
 
-            self.params = shard_params(self.params, mesh)
+            # fsdp=True additionally shards params + Adam moments over
+            # 'data' (ZeRO layout, parallel/mesh.py::fsdp_spec)
+            self.params = shard_params(self.params, mesh, fsdp=self.fsdp)
             self.opt_state = self.tx.init(self.params)
             self.opt_state = jax.tree_util.tree_map(
                 lambda a: a if getattr(a, "ndim", 1) > 0

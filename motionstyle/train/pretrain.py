@@ -60,12 +60,13 @@ class PriorTrainer:
     StyleDiffusion model with the standard denoising objective."""
 
     def __init__(self, cfg: PretrainConfig, model: StyleDiffusion, params: dict,
-                 sched: DiffusionSchedule, mesh=None):
+                 sched: DiffusionSchedule, mesh=None, fsdp: bool = False):
         self.cfg = cfg
         self.model = model
         self.params = params["params"] if "params" in params else params
         self.sched = sched
         self.mesh = mesh
+        self.fsdp = bool(fsdp and mesh is not None)
         self.step = 0
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.sampler = UniformSampler(sched.num_timesteps)
@@ -83,7 +84,11 @@ class PriorTrainer:
 
             from motionstyle.parallel.mesh import shard_params
 
-            self.params = shard_params(self.params, mesh)
+            # fsdp=True: ZeRO-style sharding — params AND the Adam moments
+            # (zeros_like inherits the layout) live sharded over 'data';
+            # XLA derives the all-gather-at-use / reduce-scatter-of-grads
+            # schedule from the annotations (parallel/mesh.py::fsdp_spec)
+            self.params = shard_params(self.params, mesh, fsdp=self.fsdp)
             self.opt_state = self.tx.init(self.params)
             self.opt_state = jax.tree_util.tree_map(
                 lambda a: a if getattr(a, "ndim", 1) > 0

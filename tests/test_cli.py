@@ -247,6 +247,52 @@ class TestCLIPipeline:
         for k in a:
             np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5, err_msg=k)
 
+    def test_fsdp_finetune_matches_data_parallel(self, xia_root, tmp_path):
+        """--fsdp 1 from the CLI path (ZeRO param+moment sharding,
+        parallel/mesh.py::fsdp_spec) produces the same finetuned weights as
+        plain --data_parallel on the 8-virtual-device CPU mesh."""
+        import torch
+
+        from motionstyle.cli.finetune_style_diffusion import main as ft_main
+
+        def run(tag, extra):
+            return ft_main([
+                "--dataset", "stylexia_posrot", "--save_dir", str(tmp_path / tag),
+                "--style_example", "350angry_jumping.npy", "--data_dir", xia_root,
+                "--num_steps", "1", "--batch_size", "2", "--overwrite",
+                "--train_platform_type", "NoPlatform", "--skip_render",
+                "--layers", "1", "--latent_dim", "32", "--diffusion_steps", "20",
+                "--skip_steps", "18", "--semantic_guidance", "0", "--seed", "7",
+            ] + extra)
+
+        dp_dir = run("dp_base", ["--data_parallel", "1"])
+        zs_dir = run("zero", ["--data_parallel", "1", "--fsdp", "1"])
+
+        def last_ckpt(d):
+            name = sorted(f for f in os.listdir(d) if f.startswith("model"))[-1]
+            return {k: v.numpy() for k, v in
+                    torch.load(os.path.join(d, name), map_location="cpu",
+                               weights_only=False).items()}
+
+        a, b = last_ckpt(dp_dir), last_ckpt(zs_dir)
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=2e-5, err_msg=k)
+
+    def test_fsdp_without_mesh_exits(self, xia_root, tmp_path):
+        from motionstyle.cli.finetune_style_diffusion import main as ft_main
+
+        with pytest.raises(SystemExit):
+            ft_main([
+                "--dataset", "stylexia_posrot", "--save_dir", str(tmp_path / "f"),
+                "--style_example", "350angry_jumping.npy", "--data_dir", xia_root,
+                "--num_steps", "1", "--batch_size", "2", "--overwrite",
+                "--train_platform_type", "NoPlatform", "--skip_render",
+                "--layers", "1", "--latent_dim", "32", "--diffusion_steps", "20",
+                "--skip_steps", "18", "--semantic_guidance", "0",
+                "--fsdp", "1",
+            ])
+
     def test_demo_model_parallel_serving(self, xia_root, tmp_path):
         """--model_parallel 2 on the demo routes sampling through the
         Megatron-sharded ShardedSampler and produces a valid results.npy."""
