@@ -57,6 +57,12 @@ def main(argv=None):
                         help="1 = ZeRO/FSDP layout: shard params + Adam "
                              "moments over 'data' (needs --data_parallel 1; "
                              "parallel/mesh.py::fsdp_spec)")
+    parser.add_argument("--resume_checkpoint", default="", type=str,
+                        help="resume a preempted/killed run: a "
+                             "mdm{step:09d}.pt written by --save_interval "
+                             "(or the save dir holding them); optimizer "
+                             "state restores from the sibling opt{step}.pt. "
+                             "--num_steps is the TOTAL step budget")
     args = parser.parse_args(argv)
     # the factory expects the style-inpainting arg surface
     args.semantic_discriminator_path = ""
@@ -88,7 +94,8 @@ def main(argv=None):
                          save_interval=args.save_interval,
                          cond_mask_prob=args.cond_mask_prob, seed=args.seed,
                          dropout_rng_impl=getattr(args, "dropout_rng_impl",
-                                                  "rbg"))
+                                                  "rbg"),
+                         resume_checkpoint=args.resume_checkpoint)
     if args.fsdp and mesh is None:
         raise SystemExit("--fsdp needs a mesh: pass --data_parallel 1")
     trainer = PriorTrainer(cfg, bundle.model, bundle.params, sched_full,
@@ -96,11 +103,13 @@ def main(argv=None):
     print("Total prior params: %.2fM" % (
         sum(np.size(x) for x in jax.tree_util.tree_leaves(trainer.params["mdm"])) / 1e6))
 
-    step = 0
+    # --num_steps is the TOTAL budget: a resumed run does the remainder
     caption_enc = model_util.CaptionEncoder(bundle, args.dataset)
-    while step < args.num_steps:
+    trainer.install_preemption_handler()
+    while trainer.step + trainer.resume_step < args.num_steps:
         for motion, cond in data:
-            if step >= args.num_steps:
+            if (trainer.step + trainer.resume_step >= args.num_steps
+                    or trainer.preempted):
                 break
             batch = {
                 "x_start": motion.astype(np.float32),
@@ -108,10 +117,16 @@ def main(argv=None):
                 "mask": cond["y"]["mask"][:, :1, :1, :].astype(np.float32),
             }
             loss = trainer.run_step(batch)  # 0-d device array; syncs on read
+            step = trainer.step + trainer.resume_step - 1
             if step % args.log_interval == 0:
                 print(f"prior step[{step}]: loss[{float(loss):0.5f}]")
                 logger.dumpkvs()
-            step += 1
+        if trainer.preempted:
+            path = trainer.save_step()
+            trainer.restore_signal_handlers()
+            print(f"[Preempted] prior checkpoint saved: {path}")
+            return args.save_dir
+    trainer.restore_signal_handlers()
     mdm_path, warm_path = trainer.save()
     print(f"[Done] prior saved: {mdm_path} + {warm_path}")
     return args.save_dir

@@ -96,7 +96,10 @@ def find_resume_checkpoint(save_dir: str, mode: str = "model") -> Optional[str]:
     return os.path.join(save_dir, f"{mode}{steps[-1]:09d}.pt")
 
 
-class StyleFinetuneTrainer:
+from motionstyle.train.preemption import PreemptionMixin
+
+
+class StyleFinetuneTrainer(PreemptionMixin):
     """Drives few-shot style finetuning of a StyleDiffusion model."""
 
     def __init__(
@@ -255,33 +258,8 @@ class StyleFinetuneTrainer:
 
         return jax.jit(train_step, donate_argnums=(0, 1))
 
-    # ------------------------------------------------------------------
-    def install_preemption_handler(self, signals=None):
-        """Graceful-preemption support (SURVEY §5: the reference has no
-        failure handling; recovery is manual --resume_checkpoint). On
-        SIGTERM/SIGINT the CURRENT step finishes, a checkpoint is written at
-        the step boundary, and `self.preempted` turns True so the caller's
-        loop can exit; resume picks up from the saved step. Call
-        restore_signal_handlers() once the loop exits so later signals kill
-        the process normally again."""
-        import signal as _signal
-
-        self.preempted = False
-        self._old_handlers = {}
-
-        def _handler(signum, frame):
-            logger.log(f"signal {signum}: checkpointing at next step boundary")
-            self.preempted = True
-
-        for s in signals or (_signal.SIGTERM, _signal.SIGINT):
-            self._old_handlers[s] = _signal.signal(s, _handler)
-
-    def restore_signal_handlers(self):
-        import signal as _signal
-
-        for s, h in getattr(self, "_old_handlers", {}).items():
-            _signal.signal(s, h)
-        self._old_handlers = {}
+    # preemption handling (install_preemption_handler/restore_signal_handlers)
+    # comes from PreemptionMixin — shared with PriorTrainer
 
     # ------------------------------------------------------------------
     def run_step(self, batch: dict) -> dict:

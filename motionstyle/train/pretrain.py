@@ -35,8 +35,13 @@ from motionstyle.diffusion import ddpm
 from motionstyle.diffusion.resample import UniformSampler
 from motionstyle.diffusion.schedule import DiffusionSchedule
 from motionstyle.models.denoiser import StyleDiffusion, mask_cond
-from motionstyle.models.torch_import import export_mdm, export_style_encoder
+from motionstyle.models.torch_import import (
+    convert_mdm,
+    export_mdm,
+    export_style_encoder,
+)
 from motionstyle.train import logging as logger
+from motionstyle.train.preemption import PreemptionMixin
 from motionstyle.utils import fast_dropout_key
 
 
@@ -53,9 +58,14 @@ class PretrainConfig:
     # "rbg" = hardware-RNG dropout bits (1.45x step speedup on v5e, see
     # utils.fast_dropout_key); "threefry" = bit-reproducible escape hatch
     dropout_rng_impl: str = "rbg"
+    # resume a long pretraining run: a mdm{step:09d}.pt file (or the save
+    # dir holding them) written by save_step(); optimizer state rides in
+    # the sibling opt{step:09d}.pt (same tolerant-load semantics as the
+    # finetune trainer / reference training_loop.py:126-141)
+    resume_checkpoint: str = ""
 
 
-class PriorTrainer:
+class PriorTrainer(PreemptionMixin):
     """Trains the frozen-in-the-reference MDM prior subtree of a
     StyleDiffusion model with the standard denoising objective."""
 
@@ -68,8 +78,11 @@ class PriorTrainer:
         self.mesh = mesh
         self.fsdp = bool(fsdp and mesh is not None)
         self.step = 0
+        self.resume_step = 0
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.sampler = UniformSampler(sched.num_timesteps)
+        if cfg.resume_checkpoint:
+            self._load_checkpoint(cfg.resume_checkpoint)
 
         def label(path, _):
             return "trainable" if str(path[0].key) == "mdm" else "frozen"
@@ -97,6 +110,8 @@ class PriorTrainer:
             )
         else:
             self.opt_state = self.tx.init(self.params)
+        if self.resume_step:
+            self._load_optimizer_state()
         self._train_step = self._build_train_step()
 
     def _build_train_step(self):
@@ -150,11 +165,78 @@ class PriorTrainer:
             self.params, self.opt_state, sub, batch)
         self.step += 1
         if self.cfg.log_interval and self.step % self.cfg.log_interval == 0:
-            logger.logkv("prior_step", self.step)
+            logger.logkv("prior_step", self.step + self.resume_step)
             logger.logkv("prior_loss", float(np.asarray(loss)))
         if self.cfg.save_interval and self.step % self.cfg.save_interval == 0:
-            self.save()
+            self.save_step()
         return loss
+
+    # ------------------------------------------------------------------
+    # long-run checkpointing: step-named prior + optimizer state, the
+    # pretraining counterpart of the finetune trainer's save/resume
+    # (reference semantics: training_loop.py:309-348 save, :110-141 resume)
+    def save_step(self):
+        """Write mdm{step:09d}.pt + opt{step:09d}.pt so a preempted or
+        killed pretraining run resumes exactly (PretrainConfig.
+        resume_checkpoint)."""
+        import torch
+
+        os.makedirs(self.cfg.save_dir, exist_ok=True)
+        host = jax.tree_util.tree_map(np.asarray, self.params)
+        step = self.step + self.resume_step
+        path = os.path.join(self.cfg.save_dir, f"mdm{step:09d}.pt")
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in export_mdm({"mdm": host["mdm"]},
+                                           self.model.cfg.num_layers).items()},
+                   path)
+        opt_path = os.path.join(self.cfg.save_dir, f"opt{step:09d}.pt")
+        flat, _ = jax.tree_util.tree_flatten(self.opt_state)
+        torch.save([np.asarray(x) for x in flat], opt_path)
+        logger.log(f"saved prior step checkpoint {path}")
+        return path
+
+    def _load_checkpoint(self, path: str):
+        import torch
+
+        from motionstyle.train.finetune import find_resume_checkpoint
+
+        if os.path.isdir(path):
+            found = find_resume_checkpoint(path, "mdm")
+            if found is None:
+                logger.log(f"no mdm step checkpoint in {path}; fresh start")
+                return
+            path = found
+        self._resolved_checkpoint = path
+        base = os.path.basename(path)
+        digits = base[len("mdm"): len("mdm") + 9]
+        self.resume_step = int(digits) if digits.isdigit() else 0
+        logger.log(f"resuming prior from {path} (step {self.resume_step})")
+        sd = {k: v.numpy() for k, v in
+              torch.load(path, map_location="cpu", weights_only=False).items()}
+        self.params = dict(self.params, mdm=convert_mdm(sd, self.model.cfg))
+
+    def _load_optimizer_state(self):
+        """Tolerant opt-state load (reference training_loop.py:138-141):
+        missing/mismatched files fall back to fresh moments."""
+        import torch
+
+        opt_path = os.path.join(
+            os.path.dirname(getattr(self, "_resolved_checkpoint",
+                                    self.cfg.resume_checkpoint)),
+            f"opt{self.resume_step:09d}.pt")
+        if not os.path.exists(opt_path):
+            return
+        try:
+            flat = torch.load(opt_path, map_location="cpu", weights_only=False)
+            _, treedef = jax.tree_util.tree_flatten(self.opt_state)
+            shardings = [getattr(a, "sharding", None)
+                         for a in jax.tree_util.tree_leaves(self.opt_state)]
+            leaves = [jax.device_put(jnp.asarray(x), s) if s is not None
+                      else jnp.asarray(x) for x, s in zip(flat, shardings)]
+            self.opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+            logger.log(f"loaded optimizer state from {opt_path}")
+        except Exception as e:
+            logger.log(f"could not load optimizer state ({e}); fresh moments")
 
     def save(self):
         """Write mdm.pt (--mdm_path) + model_pretrained.pt

@@ -148,3 +148,97 @@ class TestPriorTrainer:
                          jnp.zeros((1, 32)), method=StyleDiffusion.denoise_prior)
         err_trained = float(jnp.abs(x0 - target).mean())
         assert err_trained < 0.6 * err_init, (err_trained, err_init)
+
+
+class TestPretrainResume:
+    """Long-run checkpoint/resume + preemption for the prior trainer — the
+    pretraining counterpart of the finetune trainer's save/resume semantics
+    (reference training_loop.py:309-348 / :110-141)."""
+
+    def test_save_step_resume_restores_state(self, tmp_path):
+        cfg, model, params, sched, pcfg = _tiny_setup(tmp_path)
+        import dataclasses
+
+        pcfg = dataclasses.replace(pcfg, save_dir=str(tmp_path / "run"))
+        tr = PriorTrainer(pcfg, model, params, sched)
+        r = np.random.RandomState(0)
+        batch = {
+            "x_start": r.randn(8, cfg.njoints, 1, 8).astype(np.float32),
+            "enc_text": r.randn(8, 32).astype(np.float32),
+            "mask": np.ones((8, 1, 1, 8), np.float32),
+        }
+        for _ in range(5):
+            tr.run_step(dict(batch))
+        path = tr.save_step()
+        assert path.endswith("mdm000000005.pt")
+        assert os.path.exists(os.path.join(pcfg.save_dir, "opt000000005.pt"))
+
+        # fresh init + resume: the mdm subtree and Adam moments restore
+        cfg2, model2, params2, sched2, pcfg2 = _tiny_setup(tmp_path)
+        pcfg2 = dataclasses.replace(pcfg2, save_dir=str(tmp_path / "run2"),
+                                    resume_checkpoint=pcfg.save_dir)
+        tr2 = PriorTrainer(pcfg2, model2, params2, sched2)
+        assert tr2.resume_step == 5
+        a = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, tr.params["mdm"]))
+        b = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, tr2.params["mdm"]))
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, rtol=0, atol=0)
+        oa = [np.asarray(x) for x in jax.tree_util.tree_leaves(tr.opt_state)]
+        ob = [np.asarray(x) for x in jax.tree_util.tree_leaves(tr2.opt_state)]
+        assert len(oa) == len(ob)
+        for x, y in zip(oa, ob):
+            np.testing.assert_array_equal(x, y)
+        # and training continues from there
+        tr2.run_step(dict(batch))
+        assert tr2.step + tr2.resume_step == 6
+
+    def test_preemption_checkpoints_and_flags(self, tmp_path):
+        import signal
+
+        cfg, model, params, sched, pcfg = _tiny_setup(tmp_path)
+        tr = PriorTrainer(pcfg, model, params, sched)
+        r = np.random.RandomState(0)
+        batch = {
+            "x_start": r.randn(8, cfg.njoints, 1, 8).astype(np.float32),
+            "enc_text": r.randn(8, 32).astype(np.float32),
+            "mask": np.ones((8, 1, 1, 8), np.float32),
+        }
+        old = signal.getsignal(signal.SIGTERM)
+        try:
+            tr.install_preemption_handler()
+            tr.run_step(dict(batch))
+            os.kill(os.getpid(), signal.SIGTERM)
+            assert tr.preempted
+        finally:
+            tr.restore_signal_handlers()
+            signal.signal(signal.SIGTERM, old)
+
+    def test_cli_resume_total_budget(self, tmp_path):
+        """pretrain CLI: --resume_checkpoint picks up from the step saved by
+        --save_interval, and --num_steps counts the TOTAL budget."""
+        from motionstyle.cli.pretrain_prior import main as pretrain_main
+
+        root = tmp_path / "xia"
+        (root / "new_joint_vecs").mkdir(parents=True)
+        r = np.random.RandomState(0)
+        for f in ["350angry_jumping.npy", "306neutral_running.npy",
+                  "100angry_walking.npy", "101proud_walking.npy"]:
+            np.save(root / "new_joint_vecs" / f,
+                    (r.randn(40, 181) * 0.5).astype(np.float32))
+        np.save(root / "Mean.npy", (r.randn(181) * 0.1).astype(np.float32))
+        np.save(root / "Std.npy", (np.abs(r.randn(181)) + 0.5).astype(np.float32))
+        save_dir = str(tmp_path / "prior")
+        common = [
+            "--dataset", "stylexia_posrot", "--data_dir", str(root),
+            "--save_dir", save_dir, "--batch_size", "2",
+            "--layers", "1", "--latent_dim", "32", "--diffusion_steps", "20",
+            "--log_interval", "10", "--seed", "7",
+        ]
+        pretrain_main(common + ["--num_steps", "3", "--save_interval", "3"])
+        assert os.path.exists(os.path.join(save_dir, "mdm000000003.pt"))
+        pretrain_main(common + ["--num_steps", "5",
+                                "--resume_checkpoint", save_dir])
+        assert os.path.exists(os.path.join(save_dir, "mdm.pt"))
+        assert os.path.exists(os.path.join(save_dir, "model_pretrained.pt"))
