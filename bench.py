@@ -360,7 +360,7 @@ def denoiser_forward_gflops(C_feats: int, n_tokens: int, d: int = LATENT,
 
 
 def bench_pretrain(batch: int = 64, steps: int = 30, dtype: str = "bfloat16",
-                   fused_train: bool = False) -> dict:
+                   fused_train: bool = False, grad_accum: int = 1) -> dict:
     """Prior-pretraining throughput: the full-size text-conditioned MDM
     prior (d=512/8L) trained with the standard denoising objective
     (train/pretrain.py — the large-batch production TRAINING path, vs the
@@ -392,7 +392,8 @@ def bench_pretrain(batch: int = 64, steps: int = 30, dtype: str = "bfloat16",
     import tempfile
 
     tr = PriorTrainer(PretrainConfig(save_dir=tempfile.mkdtemp(),
-                                     log_interval=0, save_interval=0),
+                                     log_interval=0, save_interval=0,
+                                     grad_accum=grad_accum),
                       model, params, sched)
     r = np.random.RandomState(0)
     bt = dict(x_start=r.randn(batch, Ch, 1, Th).astype(np.float32),
@@ -428,6 +429,8 @@ def bench_pretrain(batch: int = 64, steps: int = 30, dtype: str = "bfloat16",
            "mfu_pct": round(mfu, 1), "batch": batch, "dtype": dtype}
     if fused_train:
         out["fused_train"] = True
+    if grad_accum > 1:
+        out["grad_accum"] = grad_accum
     return out
 
 

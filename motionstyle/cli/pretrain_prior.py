@@ -47,6 +47,16 @@ def main(argv=None):
     parser.add_argument("--num_frames", default=60, type=int)
     parser.add_argument("--log_interval", default=50, type=int)
     parser.add_argument("--save_interval", default=0, type=int)
+    parser.add_argument("--lr_anneal_steps", default=0, type=int,
+                        help="linear LR decay to 0 over this many steps "
+                             "(reference training_loop._anneal_lr "
+                             "semantics; 0 = constant LR)")
+    parser.add_argument("--grad_accum", default=1, type=int,
+                        help="split each batch into N sequential "
+                             "microbatches inside the jitted step (lax."
+                             "scan), one optimizer update per batch: N-fold "
+                             "smaller activation footprint for the same "
+                             "effective batch. Must divide --batch_size")
     parser.add_argument("--dropout_rng_impl", default="rbg",
                         choices=["rbg", "threefry"],
                         help="dropout bit generator; rbg = hardware RNG "
@@ -95,6 +105,8 @@ def main(argv=None):
                          cond_mask_prob=args.cond_mask_prob, seed=args.seed,
                          dropout_rng_impl=getattr(args, "dropout_rng_impl",
                                                   "rbg"),
+                         lr_anneal_steps=args.lr_anneal_steps,
+                         grad_accum=args.grad_accum,
                          resume_checkpoint=args.resume_checkpoint)
     if args.fsdp and mesh is None:
         raise SystemExit("--fsdp needs a mesh: pass --data_parallel 1")

@@ -58,6 +58,15 @@ class PretrainConfig:
     # "rbg" = hardware-RNG dropout bits (1.45x step speedup on v5e, see
     # utils.fast_dropout_key); "threefry" = bit-reproducible escape hatch
     dropout_rng_impl: str = "rbg"
+    # linear LR decay to 0 over this many steps (reference training_loop.py
+    # _anneal_lr:297-303 semantics; 0 = constant LR). The schedule count
+    # lives in the Adam state, so --resume_checkpoint resumes mid-anneal.
+    lr_anneal_steps: int = 0
+    # split each batch into N sequential microbatches inside the jitted step
+    # (lax.scan over the model fwd+bwd), averaging grads before ONE optimizer
+    # update: activation memory shrinks N-fold, so effective batch scales
+    # past what a chip's HBM fits at grad_accum=1. Must divide the batch.
+    grad_accum: int = 1
     # resume a long pretraining run: a mdm{step:09d}.pt file (or the save
     # dir holding them) written by save_step(); optimizer state rides in
     # the sibling opt{step:09d}.pt (same tolerant-load semantics as the
@@ -87,8 +96,10 @@ class PriorTrainer(PreemptionMixin):
         def label(path, _):
             return "trainable" if str(path[0].key) == "mdm" else "frozen"
 
+        lr = (optax.linear_schedule(cfg.lr, 0.0, cfg.lr_anneal_steps)
+              if cfg.lr_anneal_steps else cfg.lr)
         self.tx = optax.multi_transform(
-            {"trainable": optax.adamw(cfg.lr, weight_decay=cfg.weight_decay),
+            {"trainable": optax.adamw(lr, weight_decay=cfg.weight_decay),
              "frozen": optax.set_to_zero()},
             jax.tree_util.tree_map_with_path(label, self.params),
         )
@@ -123,26 +134,61 @@ class PriorTrainer(PreemptionMixin):
             rng_noise, rng_drop, rng_cond = jax.random.split(rng, 3)
             rng_drop = fast_dropout_key(rng_drop, cfg.dropout_rng_impl)
 
-            def loss_fn(p):
-                noise = jax.random.normal(rng_noise, batch["x_start"].shape,
-                                          dtype=jnp.float32)
-                x_t = ddpm.q_sample(sched, batch["x_start"], batch["t"], noise)
-                enc = mask_cond(rng_cond, batch["enc_text"], cfg.cond_mask_prob)
+            # q_sample and CFG cond-masking are cheap elementwise work with
+            # no parameter dependence: do them ONCE at full batch, so the
+            # grad_accum split below changes only the granularity of the
+            # model forward/backward, not the training distribution
+            noise = jax.random.normal(rng_noise, batch["x_start"].shape,
+                                      dtype=jnp.float32)
+            x_t = ddpm.q_sample(sched, batch["x_start"], batch["t"], noise)
+            enc = mask_cond(rng_cond, batch["enc_text"], cfg.cond_mask_prob)
+            full = {"x_t": x_t, "t": batch["t"], "enc": enc,
+                    "mask": batch["mask"], "x_start": batch["x_start"]}
+
+            def micro_loss(p, mb):
                 out = model.apply(
-                    {"params": p}, x_t, batch["t"], enc,
+                    {"params": p}, mb["x_t"], mb["t"], mb["enc"],
                     deterministic=False, rngs={"dropout": rng_drop},
                     method=StyleDiffusion.denoise_prior,
                 )
                 # masked_l2 parity (gaussian_diffusion.py:223-248): per-entry
                 # SSE / per-sample unmasked-element count
-                mask = batch["mask"]
-                sse = jnp.sum(((out - batch["x_start"]) ** 2) * mask,
+                mask = mb["mask"]
+                sse = jnp.sum(((out - mb["x_start"]) ** 2) * mask,
                               axis=(1, 2, 3))
                 n = jnp.maximum(jnp.sum(mask, axis=(1, 2, 3)), 1.0) * (
-                    batch["x_start"].shape[1] * batch["x_start"].shape[2])
+                    mb["x_start"].shape[1] * mb["x_start"].shape[2])
                 return jnp.mean(sse / n)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            accum = max(1, cfg.grad_accum)
+            if accum == 1:
+                loss, grads = jax.value_and_grad(micro_loss)(params, full)
+            else:
+                B = x_t.shape[0]
+                if B % accum:
+                    raise ValueError(
+                        f"grad_accum={accum} must divide the batch size {B}")
+                micros = jax.tree_util.tree_map(
+                    lambda a: a.reshape(accum, B // accum, *a.shape[1:]),
+                    full)
+
+                # sequential microbatches: only one microbatch's activations
+                # are live at a time; grads/losses are means of equal-sized
+                # per-micro means, so the update equals the full-batch one
+                # (exactly at dropout rate 0; at rate>0 the masks are drawn
+                # per microbatch shape)
+                def acc(carry, mb):
+                    c_loss, c_grads = carry
+                    l, g = jax.value_and_grad(micro_loss)(params, mb)
+                    return (c_loss + l,
+                            jax.tree_util.tree_map(jnp.add, c_grads, g)), None
+
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (loss, grads), _ = jax.lax.scan(
+                    acc, (jnp.zeros((), jnp.float32), zeros), micros)
+                inv = 1.0 / accum
+                loss = loss * inv
+                grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
             updates, new_opt_state = self.tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_opt_state, loss
 

@@ -242,3 +242,89 @@ class TestPretrainResume:
                                 "--resume_checkpoint", save_dir])
         assert os.path.exists(os.path.join(save_dir, "mdm.pt"))
         assert os.path.exists(os.path.join(save_dir, "model_pretrained.pt"))
+
+
+class TestGradAccumAndAnneal:
+    """PretrainConfig.grad_accum (sequential microbatches inside one jitted
+    step) and lr_anneal_steps (reference training_loop._anneal_lr:297-303)."""
+
+    def _trainer(self, tmp_path, name, accum=1, anneal=0, lr=1e-3):
+        # dropout 0 so the accum split is EXACTLY the full-batch step (flax
+        # draws dropout masks per microbatch shape at rate > 0)
+        cfg = MDMConfig(njoints=16, nfeats=1, latent_dim=32, ff_size=64,
+                        num_layers=1, clip_dim=32, dropout=0.0)
+        model = StyleDiffusion(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 16, 1, 8), jnp.float32),
+                            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 32)),
+                            method=StyleDiffusion.full_init)
+        pcfg = PretrainConfig(save_dir=str(tmp_path / name), num_steps=3,
+                              lr=lr, log_interval=0, seed=3,
+                              dropout_rng_impl="threefry",
+                              grad_accum=accum, lr_anneal_steps=anneal)
+        sched = make_schedule("cosine", 50)
+        return cfg, PriorTrainer(pcfg, model, params, sched)
+
+    def _batch(self, cfg, B=8, seed=0):
+        r = np.random.RandomState(seed)
+        return {
+            "x_start": r.randn(B, cfg.njoints, 1, 8).astype(np.float32) * 0.5,
+            "enc_text": r.randn(B, 32).astype(np.float32),
+            "mask": np.ones((B, 1, 1, 8), np.float32),
+        }
+
+    def test_grad_accum_matches_full_batch(self, tmp_path):
+        """accum=4 is the same optimizer trajectory as accum=1: equal-sized
+        microbatch means average to the full-batch mean (fp32 path, dropout
+        0). Per-step losses across updated params must track for 3 steps --
+        the test_fsdp.py convention: param-leaf equality would only
+        re-measure Adam's sign-amplification of summation-order rounding
+        (at step 1 the bias-corrected update is g/(|g|+eps), a sign
+        function wherever the grad is near zero)."""
+        cfg, tr1 = self._trainer(tmp_path, "a1", accum=1)
+        _, tr4 = self._trainer(tmp_path, "a4", accum=4)
+        for i in range(3):
+            batch = self._batch(cfg, seed=i)
+            l1 = float(tr1.run_step(dict(batch)))
+            l4 = float(tr4.run_step(dict(batch)))
+            assert np.isclose(l1, l4, rtol=1e-5), (i, l1, l4)
+
+    def test_grad_accum_must_divide_batch(self, tmp_path):
+        cfg, tr = self._trainer(tmp_path, "bad", accum=3)
+        with pytest.raises(ValueError, match="grad_accum"):
+            tr.run_step(self._batch(cfg, B=8))
+
+    def test_lr_anneal_reaches_zero(self, tmp_path):
+        """After lr_anneal_steps updates the LR schedule hits 0: the third
+        step must leave the trainable subtree bit-unchanged (adamw scales
+        both the update and the decoupled weight decay by the LR)."""
+        cfg, tr = self._trainer(tmp_path, "anneal", anneal=2)
+        tr.run_step(self._batch(cfg, seed=0))
+        tr.run_step(self._batch(cfg, seed=1))
+        frozen = jax.tree_util.tree_map(np.asarray, tr.params["mdm"])
+        tr.run_step(self._batch(cfg, seed=2))
+        for a, b in zip(jax.tree_util.tree_leaves(frozen),
+                        jax.tree_util.tree_leaves(tr.params["mdm"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_anneal_state_survives_resume(self, tmp_path):
+        """The schedule count rides in the Adam state, so a resumed run
+        continues the anneal instead of restarting it: params stay frozen
+        after the budget even across a save/resume boundary."""
+        cfg, tr = self._trainer(tmp_path, "res", anneal=2)
+        tr.cfg.save_interval = 10 ** 9  # manual save below
+        tr.run_step(self._batch(cfg, seed=0))
+        tr.run_step(self._batch(cfg, seed=1))
+        path = tr.save_step()
+        pcfg2 = PretrainConfig(save_dir=str(tmp_path / "res2"), num_steps=3,
+                               lr=1e-3, log_interval=0, seed=3,
+                               dropout_rng_impl="threefry", lr_anneal_steps=2,
+                               resume_checkpoint=path)
+        sched = make_schedule("cosine", 50)
+        tr2 = PriorTrainer(pcfg2, tr.model, tr.params, sched)
+        assert tr2.resume_step == 2
+        frozen = jax.tree_util.tree_map(np.asarray, tr2.params["mdm"])
+        tr2.run_step(self._batch(cfg, seed=2))
+        for a, b in zip(jax.tree_util.tree_leaves(frozen),
+                        jax.tree_util.tree_leaves(tr2.params["mdm"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
