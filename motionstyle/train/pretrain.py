@@ -66,6 +66,10 @@ class PretrainConfig:
     # (lax.scan over the model fwd+bwd), averaging grads before ONE optimizer
     # update: activation memory shrinks N-fold, so effective batch scales
     # past what a chip's HBM fits at grad_accum=1. Must divide the batch.
+    # Composes exactly with the DP mesh and the FSDP layout (tests/
+    # test_pretrain.py); under FSDP, XLA may warn about repartitioning a
+    # few small sharded leaves inside the accumulation scan — correct,
+    # just not bandwidth-optimal on those leaves.
     grad_accum: int = 1
     # resume a long pretraining run: a mdm{step:09d}.pt file (or the save
     # dir holding them) written by save_step(); optimizer state rides in

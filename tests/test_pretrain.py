@@ -328,3 +328,25 @@ class TestGradAccumAndAnneal:
         for a, b in zip(jax.tree_util.tree_leaves(frozen),
                         jax.tree_util.tree_leaves(tr2.params["mdm"])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_grad_accum_composes_with_mesh(self, tmp_path):
+        """grad_accum under a DP mesh (and the FSDP layout) is the same
+        trajectory as the single-device full-batch step: the microbatch
+        reshape splits the sharded batch axis without changing the math."""
+        from motionstyle.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8, model_parallel=1)
+        cfg, tr0 = self._trainer(tmp_path, "m0", accum=1)
+        pcfg = PretrainConfig(save_dir=str(tmp_path / "mesh"), num_steps=3,
+                              lr=1e-3, log_interval=0, seed=3,
+                              dropout_rng_impl="threefry", grad_accum=2)
+        sched = make_schedule("cosine", 50)
+        model = tr0.model
+        params = jax.tree_util.tree_map(np.asarray, tr0.params)
+        trm = PriorTrainer(pcfg, model, {"params": params}, sched,
+                           mesh=mesh, fsdp=True)
+        for i in range(2):
+            batch = self._batch(cfg, seed=i)
+            l0 = float(tr0.run_step(dict(batch)))
+            lm = float(trm.run_step(dict(batch)))
+            assert np.isclose(l0, lm, rtol=1e-4), (i, l0, lm)
