@@ -26,12 +26,17 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batches", type=str, default="16,64,128")
     ap.add_argument("--dtypes", type=str, default="float32,bfloat16")
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="microbatches per step (PretrainConfig.grad_accum); "
+                         "measures the accumulation overhead at fixed "
+                         "effective batch")
     args = ap.parse_args()
     enable_compile_cache()
     rows = []
     for dtype in args.dtypes.split(","):
         for b in (int(x) for x in args.batches.split(",")):
-            r = bench_pretrain(batch=b, steps=args.steps, dtype=dtype)
+            r = bench_pretrain(batch=b, steps=args.steps, dtype=dtype,
+                               grad_accum=args.grad_accum)
             rows.append(r)
             print(json.dumps({"metric": "prior_pretrain", **r}), flush=True)
     # speedup summary at the largest common batch

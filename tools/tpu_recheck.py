@@ -51,6 +51,11 @@ def finetune_step():
     print(json.dumps({"metric": "prior_pretrain_humanml_b64", **r}))
     r = bench.bench_pretrain(batch=128, steps=12, fused_train=True)
     print(json.dumps({"metric": "prior_pretrain_humanml_b128_fused", **r}))
+    # grad_accum overhead at fixed effective batch (the r3 microbatching
+    # knob — train/pretrain.py PretrainConfig.grad_accum)
+    for accum in (2, 4):
+        r = bench.bench_pretrain(batch=128, steps=12, grad_accum=accum)
+        print(json.dumps({"metric": f"prior_pretrain_b128_accum{accum}", **r}))
 
 
 def opt_in_modes():
