@@ -149,10 +149,10 @@ class PriorTrainer(PreemptionMixin):
             full = {"x_t": x_t, "t": batch["t"], "enc": enc,
                     "mask": batch["mask"], "x_start": batch["x_start"]}
 
-            def micro_loss(p, mb):
+            def micro_loss(p, mb, drop_key=rng_drop):
                 out = model.apply(
                     {"params": p}, mb["x_t"], mb["t"], mb["enc"],
-                    deterministic=False, rngs={"dropout": rng_drop},
+                    deterministic=False, rngs={"dropout": drop_key},
                     method=StyleDiffusion.denoise_prior,
                 )
                 # masked_l2 parity (gaussian_diffusion.py:223-248): per-entry
@@ -179,17 +179,23 @@ class PriorTrainer(PreemptionMixin):
                 # sequential microbatches: only one microbatch's activations
                 # are live at a time; grads/losses are means of equal-sized
                 # per-micro means, so the update equals the full-batch one
-                # (exactly at dropout rate 0; at rate>0 the masks are drawn
-                # per microbatch shape)
-                def acc(carry, mb):
+                # (exactly at dropout rate 0; at rate>0 each microbatch draws
+                # its own masks from a split key — independent regularization
+                # noise across the effective batch, matching a microbatch
+                # loop that advances the RNG per step)
+                drop_keys = jax.random.split(rng_drop, accum)
+
+                def acc(carry, sc):
+                    mb, dk = sc
                     c_loss, c_grads = carry
-                    l, g = jax.value_and_grad(micro_loss)(params, mb)
+                    l, g = jax.value_and_grad(micro_loss)(params, mb, dk)
                     return (c_loss + l,
                             jax.tree_util.tree_map(jnp.add, c_grads, g)), None
 
                 zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
                 (loss, grads), _ = jax.lax.scan(
-                    acc, (jnp.zeros((), jnp.float32), zeros), micros)
+                    acc, (jnp.zeros((), jnp.float32), zeros),
+                    (micros, drop_keys))
                 inv = 1.0 / accum
                 loss = loss * inv
                 grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
@@ -265,6 +271,29 @@ class PriorTrainer(PreemptionMixin):
               torch.load(path, map_location="cpu", weights_only=False).items()}
         self.params = dict(self.params, mdm=convert_mdm(sd, self.model.cfg))
 
+    def _seed_opt_counts(self):
+        """Fallback path (missing/corrupt opt*.pt): fresh moments would also
+        reset every optax `count` leaf to 0, which with lr_anneal_steps set
+        re-runs the whole anneal from full LR at a late global step. The
+        reference is immune (its _anneal_lr derives LR from step+resume_step,
+        training_loop.py:297-303) — match it by seeding all scalar integer
+        count leaves (Adam bias-correction + schedule counts) from
+        resume_step."""
+        step = self.resume_step
+
+        def seed(leaf):
+            if (getattr(leaf, "ndim", None) == 0
+                    and jnp.issubdtype(leaf.dtype, jnp.integer)):
+                out = jnp.asarray(step, dtype=leaf.dtype)
+                sh = getattr(leaf, "sharding", None)
+                return jax.device_put(out, sh) if sh is not None else out
+            return leaf
+
+        self.opt_state = jax.tree_util.tree_map(seed, self.opt_state)
+        logger.log(f"optimizer state unavailable: fresh moments, count leaves "
+                   f"seeded to resume_step={step} (LR anneal continues from "
+                   f"the global step, not from 0)")
+
     def _load_optimizer_state(self):
         """Tolerant opt-state load (reference training_loop.py:138-141):
         missing/mismatched files fall back to fresh moments."""
@@ -275,6 +304,7 @@ class PriorTrainer(PreemptionMixin):
                                     self.cfg.resume_checkpoint)),
             f"opt{self.resume_step:09d}.pt")
         if not os.path.exists(opt_path):
+            self._seed_opt_counts()
             return
         try:
             flat = torch.load(opt_path, map_location="cpu", weights_only=False)
@@ -286,7 +316,8 @@ class PriorTrainer(PreemptionMixin):
             self.opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
             logger.log(f"loaded optimizer state from {opt_path}")
         except Exception as e:
-            logger.log(f"could not load optimizer state ({e}); fresh moments")
+            logger.log(f"could not load optimizer state ({e})")
+            self._seed_opt_counts()
 
     def save(self):
         """Write mdm.pt (--mdm_path) + model_pretrained.pt

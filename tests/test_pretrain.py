@@ -329,6 +329,84 @@ class TestGradAccumAndAnneal:
                         jax.tree_util.tree_leaves(tr2.params["mdm"])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_grad_accum_dropout_keys_independent(self, tmp_path):
+        """At dropout rate > 0 each microbatch must draw its OWN masks: the
+        r3 implementation reused one rng_drop for every scan iteration, so
+        all N microbatches saw identical dropout noise (weaker
+        regularization than a microbatch loop that advances the RNG). Pin
+        the fix by replicating the step's exact key derivation on a batch
+        whose two microbatches are identical: the trainer's loss must equal
+        the mean of the two split-key micro losses and differ from the
+        shared-key loss (which the duplicated data makes equal to a single
+        micro loss)."""
+        from motionstyle.diffusion import ddpm
+        from motionstyle.models.denoiser import mask_cond
+
+        cfg = MDMConfig(njoints=16, nfeats=1, latent_dim=32, ff_size=64,
+                        num_layers=1, clip_dim=32, dropout=0.5)
+        model = StyleDiffusion(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 16, 1, 8), jnp.float32),
+                            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 32)),
+                            method=StyleDiffusion.full_init)
+        pcfg = PretrainConfig(save_dir=str(tmp_path / "dk"), num_steps=1,
+                              lr=1e-3, log_interval=0, seed=3,
+                              dropout_rng_impl="threefry", grad_accum=2)
+        sched = make_schedule("cosine", 50)
+        tr = PriorTrainer(pcfg, model, params, sched)
+        half = self._batch(cfg, B=4, seed=0)
+        batch = {k: np.concatenate([v, v], axis=0) for k, v in half.items()}
+
+        # replicate run_step's rng threading for step 1
+        _, sub, tsub = jax.random.split(jax.random.PRNGKey(3), 3)
+        t, _ = tr.sampler.sample(tsub, 8)
+        rng_noise, rng_drop, rng_cond = jax.random.split(sub, 3)
+        noise = jax.random.normal(rng_noise, batch["x_start"].shape)
+        x_t = np.asarray(ddpm.q_sample(sched, batch["x_start"], t, noise))
+        enc = np.asarray(mask_cond(rng_cond, batch["enc_text"], 0.1))
+
+        def micro_loss(sl, key):
+            out = model.apply({"params": tr.params}, x_t[sl], t[sl], enc[sl],
+                              deterministic=False, rngs={"dropout": key},
+                              method=StyleDiffusion.denoise_prior)
+            mask = batch["mask"][sl]
+            sse = jnp.sum(((out - batch["x_start"][sl]) ** 2) * mask,
+                          axis=(1, 2, 3))
+            n = jnp.maximum(jnp.sum(mask, axis=(1, 2, 3)), 1.0) * 16
+            return float(jnp.mean(sse / n))
+
+        k0, k1 = jax.random.split(rng_drop, 2)
+        split_loss = 0.5 * (micro_loss(slice(0, 4), k0)
+                            + micro_loss(slice(4, 8), k1))
+        shared_loss = micro_loss(slice(0, 4), rng_drop)  # == both micros, old bug
+        got = float(tr.run_step(dict(batch)))
+        assert np.isclose(got, split_loss, rtol=1e-5), (got, split_loss)
+        assert not np.isclose(got, shared_loss, rtol=1e-3), got
+
+    def test_opt_fallback_seeds_anneal_count(self, tmp_path):
+        """A missing/corrupt opt*.pt must not restart the LR anneal: the
+        fallback seeds every optax count leaf from resume_step, so a resume
+        at step >= lr_anneal_steps keeps params frozen (matching the
+        reference's _anneal_lr, which derives LR from the global step)."""
+        cfg, tr = self._trainer(tmp_path, "fb", anneal=2)
+        tr.cfg.save_interval = 10 ** 9
+        tr.run_step(self._batch(cfg, seed=0))
+        tr.run_step(self._batch(cfg, seed=1))
+        path = tr.save_step()
+        os.remove(os.path.join(os.path.dirname(path), "opt000000002.pt"))
+        pcfg2 = PretrainConfig(save_dir=str(tmp_path / "fb2"), num_steps=3,
+                               lr=1e-3, log_interval=0, seed=3,
+                               dropout_rng_impl="threefry", lr_anneal_steps=2,
+                               resume_checkpoint=path)
+        sched = make_schedule("cosine", 50)
+        tr2 = PriorTrainer(pcfg2, tr.model, tr.params, sched)
+        assert tr2.resume_step == 2
+        frozen = jax.tree_util.tree_map(np.asarray, tr2.params["mdm"])
+        tr2.run_step(self._batch(cfg, seed=2))
+        for a, b in zip(jax.tree_util.tree_leaves(frozen),
+                        jax.tree_util.tree_leaves(tr2.params["mdm"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_grad_accum_composes_with_mesh(self, tmp_path):
         """grad_accum under a DP mesh (and the FSDP layout) is the same
         trajectory as the single-device full-batch step: the microbatch
