@@ -360,7 +360,8 @@ def denoiser_forward_gflops(C_feats: int, n_tokens: int, d: int = LATENT,
 
 
 def bench_pretrain(batch: int = 64, steps: int = 30, dtype: str = "bfloat16",
-                   fused_train: bool = False, grad_accum: int = 1) -> dict:
+                   fused_train: bool = False, fused_train_store: bool = False,
+                   grad_accum: int = 1) -> dict:
     """Prior-pretraining throughput: the full-size text-conditioned MDM
     prior (d=512/8L) trained with the standard denoising objective
     (train/pretrain.py — the large-batch production TRAINING path, vs the
@@ -383,7 +384,9 @@ def bench_pretrain(batch: int = 64, steps: int = 30, dtype: str = "bfloat16",
     from motionstyle.train.pretrain import PretrainConfig, PriorTrainer
 
     Ch, Th = 263, 196
-    cfg_m = MDMConfig(njoints=Ch, nfeats=1, dtype=dtype, fused_train=fused_train)
+    cfg_m = MDMConfig(njoints=Ch, nfeats=1, dtype=dtype,
+                      fused_train=fused_train or fused_train_store,
+                      fused_train_store=fused_train_store)
     model = StyleDiffusion(cfg_m)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((batch, Ch, 1, Th)),
                         jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)),
@@ -427,8 +430,10 @@ def bench_pretrain(batch: int = 64, steps: int = 30, dtype: str = "bfloat16",
     out = {"steps_per_sec": round(sps, 3),
            "clips_per_sec": round(sps * batch, 1),
            "mfu_pct": round(mfu, 1), "batch": batch, "dtype": dtype}
-    if fused_train:
+    if fused_train or fused_train_store:
         out["fused_train"] = True
+    if fused_train_store:
+        out["fused_train_store"] = True
     if grad_accum > 1:
         out["grad_accum"] = grad_accum
     return out

@@ -49,6 +49,8 @@ def get_transfer_config(args) -> MDMConfig:
         raise NotImplementedError(
             f"StyleDiffusion implements arch='trans_enc' only (got {arch!r}); "
             "build MDM directly for trans_dec/gru experiments")
+    if getattr(args, "fused_train_store", 0) and hasattr(args, "fused_train"):
+        args.fused_train = 1  # normalize for the TP mesh guard downstream
     return MDMConfig(
         njoints=njoints,
         nfeats=nfeats,
@@ -66,8 +68,13 @@ def get_transfer_config(args) -> MDMConfig:
         fused=bool(getattr(args, "fused", 0)) or bool(getattr(args, "quant_int8", 0)),
         quant_int8=bool(getattr(args, "quant_int8", 0)),
         # opt-in fused training path (--fused_train on the train CLIs):
-        # Pallas fwd+bwd encoder layers inside the loss forwards
-        fused_train=bool(getattr(args, "fused_train", 0)),
+        # Pallas fwd+bwd encoder layers inside the loss forwards.
+        # --fused_train_store implies it (like quant_int8 implies fused) so
+        # the store flag alone can never silently train the XLA path; the
+        # args object is normalized too so the TP mesh guard sees it.
+        fused_train=bool(getattr(args, "fused_train", 0))
+        or bool(getattr(args, "fused_train_store", 0)),
+        fused_train_store=bool(getattr(args, "fused_train_store", 0)),
         # compute dtype: explicit --dtype wins; otherwise the fused kernel
         # defaults to its designed bf16 input (the benchmarked TPU serving
         # config — BASELINE.md headline) and everything else stays fp32 for

@@ -41,7 +41,8 @@ def parse_and_load_from_model(parser: ArgumentParser):
                                       "forecast_order", "model_parallel",
                                       "pipeline_parallel", "pipeline_micro",
                                       "sequence_parallel",
-                                      "quant_int8", "fused_train", "dtype",
+                                      "quant_int8", "fused_train",
+                                      "fused_train_store", "dtype",
                                       "native_loader", "prefetch", "style_strength",
                                       "style_mix", "long_frames")]
     # ...and a flag the user EXPLICITLY passed must never be clobbered by
@@ -147,6 +148,14 @@ def add_model_options(parser):
                             "forwards (ops/fused_encoder_train.py; bf16 "
                             "matmul/fp32 accum, tanh-approx gelu). The default "
                             "XLA path stays the bit-reproducible baseline")
+    group.add_argument("--fused_train_store", default=0, type=int,
+                       help="with --fused_train 1: store attention probs "
+                            "(bf16) + qkv as backward residuals instead of "
+                            "recomputing them — measured 1.1-1.2x on the "
+                            "encoder layer pair at b128 for extra residual "
+                            "HBM (BASELINE.md training roofline); grads "
+                            "differ only by bf16 rounding of the stored "
+                            "probs")
 
 
 def add_data_options(parser):

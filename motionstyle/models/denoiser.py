@@ -87,6 +87,13 @@ class MDMConfig:
     # erf gelu); OFF by default so the bit-reproducible XLA path stays the
     # parity baseline. DP-only (no sequence-parallel kv gather, int8 n/a).
     fused_train: bool = False
+    # with fused_train: store per-head attention probs (bf16) + qkv as
+    # backward residuals instead of recomputing them — measured 1.13-1.2x
+    # on the layer pair at b128 (tools/train_profile.py, BASELINE.md
+    # "Training-step roofline") for ~(H*S^2+3*S*D)*2 B/clip/layer extra
+    # residual HBM; gradients differ from the recompute path only by the
+    # bf16 rounding of the stored probs
+    fused_train_store: bool = False
 
     @property
     def input_feats(self) -> int:
@@ -172,6 +179,7 @@ class MDM(nn.Module):
                 use_fused=((self.cfg.fused or self.cfg.quant_int8) and deterministic)
                 or (self.cfg.fused_train and not deterministic),
                 use_int8=self.cfg.quant_int8,
+                store_probs=self.cfg.fused_train_store,
             )[:, 1:]
         elif self.cfg.arch == "trans_dec":
             if self.cfg.emb_trans_dec:
@@ -252,6 +260,7 @@ class StyleDiffusion(nn.Module):
             use_fused=((self.cfg.fused or self.cfg.quant_int8) and deterministic)
                 or (self.cfg.fused_train and not deterministic),
             use_int8=self.cfg.quant_int8,
+            store_probs=self.cfg.fused_train_store,
         )[:, 1:]
         return self.mdm._tokens_to_frames(self.mdm.output_process(out)).astype(jnp.float32)
 

@@ -260,6 +260,237 @@ def _bwd_attn_kernel(num_heads, dropped, *refs):
 
 
 # ---------------------------------------------------------------------------
+# store-probs variant (opt-in, MDMConfig.fused_train_store): the forward
+# additionally writes the per-head attention probabilities (bf16) and the
+# qkv projection to HBM; the attention backward consumes them instead of
+# recomputing qkv + scores + softmax. Measured 1.13-1.2x on the layer pair
+# at b128 (tools/train_profile.py; BASELINE.md "Training-step roofline") at
+# the cost of ~(H*S^2 + 3*S*D)*2 bytes/clip/layer of extra residual HBM.
+# Numerics: the stored probs are bf16 (the same precision the forward's
+# prob@V matmul consumes), so softmax-VJP inputs round to bf16 where the
+# recompute path keeps fp32 — gradients differ at bf16 epsilon, inside the
+# training tolerance (tests/test_fused_train.py store-probs arms).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_store_kernel(num_heads, dropped, *refs):
+    if dropped:
+        (x_ref, kmask_ref, m0_ref, m1_ref, m2_ref, wqkv_ref, bqkv_ref,
+         wo_ref, bo_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         ln2s_ref, ln2b_ref, o_ref, a1_ref, attn_ref, p_ref, qkv_ref) = refs
+    else:
+        (x_ref, kmask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+         ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+         ln2s_ref, ln2b_ref, o_ref, a1_ref, attn_ref, p_ref, qkv_ref) = refs
+    x = x_ref[0]
+    qkv = _bf16_dot(x, wqkv_ref, bqkv_ref)
+    D = qkv.shape[1] // 3
+    dh = D // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    mask = kmask_ref[0]
+    cols = []
+    for h in range(num_heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, D + h * dh: D + (h + 1) * dh]
+        v = qkv[:, 2 * D + h * dh: 2 * D + (h + 1) * dh]
+        scores = jax.lax.dot_general(
+            (q * scale).astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + mask
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        p_ref[0, h] = p.astype(p_ref.dtype)
+        cols.append(jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(cols, axis=-1)  # bit-equal to _attention's
+    qkv_ref[0] = qkv.astype(qkv_ref.dtype)
+    proj = _bf16_dot(attn, wo_ref, bo_ref)
+    if dropped:
+        proj = proj * m0_ref[0].astype(jnp.float32)
+    a1 = x.astype(jnp.float32) + proj
+    h1 = _layernorm(a1, ln1s_ref, ln1b_ref)
+    g, _ = _gelu_tanh_fwd(_bf16_dot(h1, w1_ref, b1_ref))
+    if dropped:
+        g = g * m1_ref[0].astype(jnp.float32)
+    f = _bf16_dot(g, w2_ref, b2_ref)
+    if dropped:
+        f = f * m2_ref[0].astype(jnp.float32)
+    h2 = _layernorm(h1 + f, ln2s_ref, ln2b_ref)
+    o_ref[0] = h2.astype(o_ref.dtype)
+    a1_ref[0] = a1
+    attn_ref[0] = attn.astype(attn_ref.dtype)
+
+
+def _bwd_attn_stored_kernel(num_heads, dropped, *refs):
+    import jax.experimental.pallas as pl
+
+    if dropped:
+        (da1_ref, x_ref, attn_ref, p_ref, qkv_ref, m0_ref, wqkv_ref,
+         wo_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref) = refs
+    else:
+        (da1_ref, x_ref, attn_ref, p_ref, qkv_ref, wqkv_ref,
+         wo_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref) = refs
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[...] = jnp.zeros(dwqkv_ref.shape, dwqkv_ref.dtype)
+        dbqkv_ref[...] = jnp.zeros(dbqkv_ref.shape, dbqkv_ref.dtype)
+        dwo_ref[...] = jnp.zeros(dwo_ref.shape, dwo_ref.dtype)
+        dbo_ref[...] = jnp.zeros(dbo_ref.shape, dbo_ref.dtype)
+
+    da1 = da1_ref[0]
+    x = x_ref[0]
+    attn = attn_ref[0]
+    qkv = qkv_ref[0]
+    D = qkv.shape[1] // 3
+    dh = D // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    dproj = da1 * m0_ref[0].astype(jnp.float32) if dropped else da1
+    dwo_ref[...] += _dotT_ab(attn, dproj)
+    dbo_ref[...] += jnp.sum(dproj, axis=0, keepdims=True)
+    dattn = _dot_abT(dproj, wo_ref[...])
+    dq_cols, dk_cols, dv_cols = [], [], []
+    for h in range(num_heads):
+        q = qkv[:, h * dh:(h + 1) * dh]
+        k = qkv[:, D + h * dh: D + (h + 1) * dh]
+        v = qkv[:, 2 * D + h * dh: 2 * D + (h + 1) * dh]
+        p = p_ref[0, h].astype(jnp.float32)
+        da = dattn[:, h * dh:(h + 1) * dh]
+        dv_cols.append(_dotT_ab(p, da))
+        dp = _dot_abT(da, v)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_cols.append(jax.lax.dot_general(
+            ds.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale)
+        dk_cols.append(_dotT_ab(ds, q) * scale)
+    dqkv = jnp.concatenate(dq_cols + dk_cols + dv_cols, axis=-1)
+    dwqkv_ref[...] += _dotT_ab(x.astype(jnp.float32), dqkv)
+    dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dx_ref[0] = da1 + _dot_abT(dqkv, wqkv_ref[...])
+
+
+def _fwd_store_call(x_p, kmask, params, masks, num_heads, out_dtype):
+    """Run the store-probs forward; returns (out, a1, attn, probs, qkv)."""
+    from jax.experimental import pallas as pl
+
+    B, Sp, D = x_p.shape
+    (wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b) = \
+        _layer_arrays(params)
+    F = w1.shape[1]
+    H = num_heads
+    dropped = masks is not None
+    row = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
+    mat = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+    blk = lambda d: pl.BlockSpec((1, Sp, d), lambda i: (i, 0, 0))
+    in_specs = [blk(D), pl.BlockSpec((1, 1, Sp), lambda i: (i, 0, 0))]
+    operands = [x_p, kmask]
+    if dropped:
+        in_specs += [blk(D), blk(F), blk(D)]
+        operands += list(masks)
+    in_specs += [mat(D, 3 * D), row(3 * D), mat(D, D), row(D),
+                 row(D), row(D), mat(D, F), row(F), mat(F, D), row(D),
+                 row(D), row(D)]
+    operands += [wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b]
+    return pl.pallas_call(
+        functools.partial(_fwd_store_kernel, num_heads, dropped),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=(blk(D), blk(D), blk(D),
+                   pl.BlockSpec((1, H, Sp, Sp), lambda i: (i, 0, 0, 0)),
+                   blk(3 * D)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Sp, D), out_dtype),
+            jax.ShapeDtypeStruct((B, Sp, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Sp, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, H, Sp, Sp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, Sp, 3 * D), jnp.bfloat16),
+        ),
+        interpret=_interpret(),
+    )(*operands)
+
+
+def _bwd_attn_call_stored(da1, x_p, attn, probs, qkv, params, masks,
+                          num_heads):
+    from jax.experimental import pallas as pl
+
+    B, Sp, D = x_p.shape
+    (wqkv, bqkv, wo, *_rest) = _layer_arrays(params)
+    H = num_heads
+    dropped = masks is not None
+    row = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
+    mat = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+    blk = lambda d: pl.BlockSpec((1, Sp, d), lambda i: (i, 0, 0))
+    f32 = jnp.float32
+    in_specs = [blk(D), blk(D), blk(D),
+                pl.BlockSpec((1, H, Sp, Sp), lambda i: (i, 0, 0, 0)),
+                blk(3 * D)]
+    operands = [da1, x_p, attn, probs, qkv]
+    if dropped:
+        in_specs += [blk(D)]
+        operands += [masks[0]]
+    in_specs += [mat(D, 3 * D), mat(D, D)]
+    operands += [wqkv, wo]
+    return pl.pallas_call(
+        functools.partial(_bwd_attn_stored_kernel, num_heads, dropped),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=(blk(D), mat(D, 3 * D), row(3 * D), mat(D, D), row(D)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Sp, D), f32),
+            jax.ShapeDtypeStruct((D, 3 * D), f32),
+            jax.ShapeDtypeStruct((1, 3 * D), f32),
+            jax.ShapeDtypeStruct((D, D), f32),
+            jax.ShapeDtypeStruct((1, D), f32),
+        ),
+        interpret=_interpret(),
+    )(*operands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_layer_train_store(num_heads, out_dtype, x_p, kmask, params, masks):
+    out, _, _, _, _ = _fwd_store_call(x_p, kmask, params, masks, num_heads,
+                                      out_dtype)
+    return out
+
+
+def _fused_layer_train_store_fwd(num_heads, out_dtype, x_p, kmask, params,
+                                 masks):
+    out, a1, attn, probs, qkv = _fwd_store_call(x_p, kmask, params, masks,
+                                                num_heads, out_dtype)
+    return out, (x_p, kmask, params, masks, a1, attn, probs, qkv)
+
+
+def _fused_layer_train_store_bwd(num_heads, out_dtype, res, dh2):
+    x_p, kmask, params, masks, a1, attn, probs, qkv = res
+    da1, dw1, db1, dw2, db2, dls1, dlb1, dls2, dlb2 = _bwd_ffn_call(
+        dh2, a1, params, masks)
+    dx, dwqkv, dbqkv, dwo, dbo = _bwd_attn_call_stored(
+        da1, x_p, attn, probs, qkv, params, masks, num_heads)
+    dparams = {
+        "self_attn": {
+            "in_proj": {"kernel": dwqkv, "bias": dbqkv[0]},
+            "out_proj": {"kernel": dwo, "bias": dbo[0]},
+        },
+        "norm1": {"scale": dls1[0], "bias": dlb1[0]},
+        "linear1": {"kernel": dw1, "bias": db1[0]},
+        "linear2": {"kernel": dw2, "bias": db2[0]},
+        "norm2": {"scale": dls2[0], "bias": dlb2[0]},
+    }
+    dmasks = None if masks is None else tuple(jnp.zeros_like(m) for m in masks)
+    dparams = jax.tree_util.tree_map(
+        lambda g, p: g.astype(p.dtype), dparams, params)
+    return (dx.astype(x_p.dtype), jnp.zeros_like(kmask), dparams, dmasks)
+
+
+_fused_layer_train_store.defvjp(_fused_layer_train_store_fwd,
+                                _fused_layer_train_store_bwd)
+
+
+# ---------------------------------------------------------------------------
 # layer wrapper with custom VJP
 # ---------------------------------------------------------------------------
 
@@ -320,10 +551,12 @@ def _fwd_call(x_p, kmask, params, masks, num_heads, out_dtype):
     return out, a1, attn
 
 
-def _bwd_call(dh2, x_p, kmask, params, masks, a1, attn, num_heads):
+def _bwd_ffn_call(dh2, a1, params, masks):
+    """The FFN/LayerNorm backward half as one Pallas call; returns
+    (da1, dw1, db1, dw2, db2, dls1, dlb1, dls2, dlb2)."""
     from jax.experimental import pallas as pl
 
-    B, Sp, D = x_p.shape
+    B, Sp, D = a1.shape
     (wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b) = \
         _layer_arrays(params)
     F = w1.shape[1]
@@ -341,7 +574,7 @@ def _bwd_call(dh2, x_p, kmask, params, masks, a1, attn, num_heads):
     in_specs += [mat(D, F), row(F), mat(F, D), row(D),
                  row(D), row(D), row(D), row(D)]
     operands += [w1, b1, w2, b2, ln1s, ln1b, ln2s, ln2b]
-    da1, dw1, db1, dw2, db2, dls1, dlb1, dls2, dlb2 = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_ffn_kernel, dropped),
         grid=(B,),
         in_specs=in_specs,
@@ -357,6 +590,21 @@ def _bwd_call(dh2, x_p, kmask, params, masks, a1, attn, num_heads):
         interpret=_interpret(),
     )(*operands)
 
+
+def _bwd_attn_call(da1, x_p, kmask, attn, params, masks, num_heads):
+    """The attention backward half as one Pallas call; returns
+    (dx, dwqkv, dbqkv, dwo, dbo)."""
+    from jax.experimental import pallas as pl
+
+    B, Sp, D = x_p.shape
+    (wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b) = \
+        _layer_arrays(params)
+    dropped = masks is not None
+    row = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
+    mat = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
+    blk = lambda d: pl.BlockSpec((1, Sp, d), lambda i: (i, 0, 0))
+    f32 = jnp.float32
+
     in_specs = [blk(D), blk(D), blk(D)]
     operands = [da1, x_p, attn]
     if dropped:
@@ -365,7 +613,7 @@ def _bwd_call(dh2, x_p, kmask, params, masks, a1, attn, num_heads):
     in_specs += [pl.BlockSpec((1, 1, Sp), lambda i: (i, 0, 0)),
                  mat(D, 3 * D), row(3 * D), mat(D, D)]
     operands += [kmask, wqkv, bqkv, wo]
-    dx, dwqkv, dbqkv, dwo, dbo = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_attn_kernel, num_heads, dropped),
         grid=(B,),
         in_specs=in_specs,
@@ -379,6 +627,13 @@ def _bwd_call(dh2, x_p, kmask, params, masks, a1, attn, num_heads):
         ),
         interpret=_interpret(),
     )(*operands)
+
+
+def _bwd_call(dh2, x_p, kmask, params, masks, a1, attn, num_heads):
+    da1, dw1, db1, dw2, db2, dls1, dlb1, dls2, dlb2 = _bwd_ffn_call(
+        dh2, a1, params, masks)
+    dx, dwqkv, dbqkv, dwo, dbo = _bwd_attn_call(
+        da1, x_p, kmask, attn, params, masks, num_heads)
 
     dparams = {
         "self_attn": {
@@ -439,14 +694,17 @@ def fused_encoder_layer_train(
     num_heads: int,
     masks=None,
     key_padding_mask: Optional[jax.Array] = None,
+    store_probs: bool = False,
 ) -> jax.Array:
     """One differentiable fused encoder layer. x (B, S, D); masks = scaled
-    keep-masks from make_dropout_masks (None = deterministic)."""
+    keep-masks from make_dropout_masks (None = deterministic). store_probs
+    selects the recompute-free attention backward (probs + qkv written as
+    residuals — 1.13-1.2x at b128, BASELINE.md training roofline)."""
     B, S, D = x.shape
     Sp = _round_up(S, SEQ_ALIGN)
     xp, kmask, _ = _shared_layer_inputs(x, Sp, layer_params, key_padding_mask)
-    out = _fused_layer_train(num_heads, jnp.dtype(x.dtype), xp, kmask,
-                             layer_params, masks)
+    fn = _fused_layer_train_store if store_probs else _fused_layer_train
+    out = fn(num_heads, jnp.dtype(x.dtype), xp, kmask, layer_params, masks)
     return out[:, :S]
 
 
@@ -458,6 +716,7 @@ def fused_encoder_train(
     dropout: float = 0.0,
     rng: Optional[jax.Array] = None,
     key_padding_mask: Optional[jax.Array] = None,
+    store_probs: bool = False,
 ) -> jax.Array:
     """Differentiable fused encoder stack (training path). dropout > 0
     requires rng; each layer draws independent masks."""
@@ -471,5 +730,6 @@ def fused_encoder_train(
                                        (B, Sp, D), dropout, F)
         x = fused_encoder_layer_train(
             x, encoder_params[f"layers_{i}"], num_heads,
-            masks=masks, key_padding_mask=key_padding_mask)
+            masks=masks, key_padding_mask=key_padding_mask,
+            store_probs=store_probs)
     return x

@@ -90,6 +90,7 @@ def pipeline_encoder(
     n_micro: int,
     dropout: float = 0.1,
     dtype=None,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Run the encoder stack pipelined over the mesh's 'pipe' axis.
 
@@ -97,6 +98,20 @@ def pipeline_encoder(
     axis, replicated over 'pipe'. key_padding_mask: (B, S) bool (True=keep)
     or None. n_micro must divide the per-data-shard batch. Returns (B, S, D)
     equal to the sequential TransformerEncoder forward.
+
+    dropout_rng: when given (training path, cli/pretrain_prior.py
+    --pipeline_parallel), the layers run deterministic=False with per
+    (stage, layer, microbatch) dropout keys folded from it. The draws are
+    independent of (not bit-equal to) the sequential stack's flax-internal
+    key folds — statistically equivalent regularization, exactly like the
+    grad_accum microbatch split. With dropout_rng=None the forward is
+    deterministic and bit-matches the sequential stack.
+
+    Differentiation: the per-tick stage outputs are emitted as scan OUTPUTS
+    (ys), not carried state, so reverse-mode stores each activation once —
+    the backward replays the schedule in reverse (the ppermute transpose is
+    the reverse-direction ppermute), i.e. the classic GPipe fill/drain
+    backward, derived by autodiff instead of hand-scheduled.
     """
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_stages = axes["pipe"]
@@ -107,47 +122,58 @@ def pipeline_encoder(
     layer = TransformerEncoderLayer(d_model, nhead, dim_feedforward, dropout, dtype=dtype)
     if key_padding_mask is None:
         key_padding_mask = jnp.ones(x.shape[:2], dtype=bool)
+    train = dropout_rng is not None
+    if not train:
+        # a placeholder key so the shard_map signature is static
+        dropout_rng = jax.random.PRNGKey(0)
 
-    def body(sp, xs, mask):
+    def body(sp, xs, mask, rng):
         # per-device view: sp leaves (1, Lps, ...) -> (Lps, ...); xs/mask are
         # this data shard's batch, replicated across pipe.
         sp = jax.tree_util.tree_map(lambda a: a[0], sp)
         s = jax.lax.axis_index("pipe")
+        lps = jax.tree_util.tree_leaves(sp)[0].shape[0]
         Bm = xs.shape[0] // n_micro
         xs = xs.reshape((n_micro, Bm) + xs.shape[1:])
         mask = mask.reshape((n_micro, Bm) + mask.shape[1:])
 
-        def stage_apply(h, m):
-            def one_layer(h, lp):
-                return layer.apply({"params": lp}, h, key_padding_mask=m), None
+        def stage_apply(h, m, micro):
+            def one_layer(h, li_lp):
+                li, lp = li_lp
+                if train:
+                    key = jax.random.fold_in(
+                        jax.random.fold_in(rng, s * lps + li), micro)
+                    h = layer.apply({"params": lp}, h, key_padding_mask=m,
+                                    deterministic=False,
+                                    rngs={"dropout": key})
+                else:
+                    h = layer.apply({"params": lp}, h, key_padding_mask=m)
+                return h, None
 
-            h, _ = jax.lax.scan(one_layer, h, sp)
+            h, _ = jax.lax.scan(one_layer, h, (jnp.arange(lps), sp))
             return h
 
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
         state = jnp.zeros_like(xs[0])
         state_m = mask[0]
-        out = jnp.zeros_like(xs)
 
         def tick(carry, t):
-            state, state_m, out = carry
+            state, state_m = carry
             feed = jnp.minimum(t, n_micro - 1)
             inp = jnp.where(s == 0, xs[feed], state)
             m = jnp.where(s == 0, mask[feed], state_m)
-            y = stage_apply(inp, m)
+            y = stage_apply(inp, m, t - s)
             nxt = jax.lax.ppermute(y, "pipe", perm)
             nxt_m = jax.lax.ppermute(m, "pipe", perm)
-            # the last stage finishes microbatch t-(n_stages-1) at tick t
-            mi = jnp.maximum(t - (n_stages - 1), 0)
-            write = jnp.logical_and(s == n_stages - 1, t >= n_stages - 1)
-            out = out.at[mi].set(jnp.where(write, y, out[mi]))
-            return (nxt, nxt_m, out), None
+            return (nxt, nxt_m), y
 
-        (state, state_m, out), _ = jax.lax.scan(
-            tick, (state, state_m, out), jnp.arange(n_micro + n_stages - 1)
+        (state, state_m), ys = jax.lax.scan(
+            tick, (state, state_m), jnp.arange(n_micro + n_stages - 1)
         )
-        # results live on the last stage only; zero-mask + psum replicates
-        # them across 'pipe' (one ICI all-reduce on the output block)
+        # the last stage finishes microbatch i at tick i + n_stages - 1;
+        # results live on that stage only — zero-mask + psum replicates them
+        # across 'pipe' (one ICI all-reduce on the output block)
+        out = ys[n_stages - 1:]
         out = jax.lax.psum(jnp.where(s == n_stages - 1, out, 0.0), "pipe")
         return out.reshape((n_micro * Bm,) + out.shape[2:])
 
@@ -159,11 +185,12 @@ def pipeline_encoder(
             stage_param_specs(stacked_params),
             P(data_ax, *([None] * (x.ndim - 1))),
             P(data_ax, None),
+            P(),
         ),
         out_specs=P(data_ax, *([None] * (x.ndim - 1))),
         check_vma=False,
     )
-    return fn(stacked_params, x, key_padding_mask)
+    return fn(stacked_params, x, key_padding_mask, dropout_rng)
 
 
 def pipelined_style_model_fn_builder(model, mesh: Mesh, n_micro: int):

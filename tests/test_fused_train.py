@@ -199,6 +199,89 @@ class TestEncoderIntegration:
             assert rel < 3e-2, (jax.tree_util.keystr(k), rel)
 
 
+class TestStoreProbs:
+    """Opt-in recompute-free attention backward (MDMConfig.fused_train_store
+    / --fused_train_store): the forward stores per-head probs (bf16) + qkv;
+    the backward skips the qkv/scores/softmax recompute. Measured 1.1-1.2x
+    on the layer pair at b128 (tools/train_profile.py)."""
+
+    def test_store_fwd_bit_equals_plain_fwd(self, layer_setup):
+        """Storing residuals must not change the forward output at all —
+        rate 0 and with dropout masks."""
+        _, params, x, kpm = layer_setup
+        for masks in (None, make_dropout_masks(jax.random.PRNGKey(5),
+                                               (B, SP, D), 0.25, F)):
+            o_plain = fused_encoder_layer_train(x, params, H, masks=masks,
+                                                key_padding_mask=kpm)
+            o_store = fused_encoder_layer_train(x, params, H, masks=masks,
+                                                key_padding_mask=kpm,
+                                                store_probs=True)
+            np.testing.assert_array_equal(np.asarray(o_plain),
+                                          np.asarray(o_store))
+
+    def test_store_grads_match_recompute(self, layer_setup):
+        """Stored-probs gradients equal the recompute path's up to the bf16
+        rounding of the stored probabilities, every leaf, with dropout ON."""
+        _, params, x, kpm = layer_setup
+        masks = make_dropout_masks(jax.random.PRNGKey(9), (B, SP, D), 0.1, F)
+
+        def loss(store):
+            def f(p, xx):
+                out = fused_encoder_layer_train(xx, p, H, masks=masks,
+                                                key_padding_mask=kpm,
+                                                store_probs=store)
+                return jnp.sum(jnp.sin(out))
+
+            return jax.grad(f, argnums=(0, 1))(params, x)
+
+        g_r, g_s = loss(False), loss(True)
+        for (k, a), b in zip(jax.tree_util.tree_leaves_with_path(g_r[0]),
+                             jax.tree_util.tree_leaves(g_s[0])):
+            rel = float(jnp.max(jnp.abs(a - b))
+                        / (jnp.max(jnp.abs(a)) + 1e-8))
+            assert rel < 2e-2, (jax.tree_util.keystr(k), rel)
+        rel_x = float(jnp.max(jnp.abs(g_r[1] - g_s[1]))
+                      / (jnp.max(jnp.abs(g_r[1])) + 1e-8))
+        assert rel_x < 2e-2, rel_x
+
+    def test_trainer_runs_with_store(self, tmp_path):
+        from motionstyle.diffusion.schedule import make_schedule
+        from motionstyle.models.denoiser import MDMConfig, StyleDiffusion
+        from motionstyle.train.pretrain import PretrainConfig, PriorTrainer
+
+        cfg = MDMConfig(njoints=16, nfeats=1, latent_dim=32, ff_size=64,
+                        num_layers=2, clip_dim=32, fused_train=True,
+                        fused_train_store=True)
+        model = StyleDiffusion(cfg)
+        x = jnp.zeros((2, 16, 1, 8), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x,
+                            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 32)),
+                            method=StyleDiffusion.full_init)
+        sched = make_schedule("cosine", 50)
+        pcfg = PretrainConfig(save_dir=str(tmp_path), num_steps=20, lr=1e-3,
+                              log_interval=0, cond_mask_prob=0.1, seed=3)
+        trainer = PriorTrainer(pcfg, model, params, sched)
+        r = np.random.RandomState(0)
+        batch = {"x_start": r.randn(8, 16, 1, 8).astype(np.float32) * 0.5,
+                 "enc_text": r.randn(8, 32).astype(np.float32),
+                 "mask": np.ones((8, 1, 1, 8), np.float32)}
+        losses = [float(trainer.run_step(batch)) for _ in range(20)]
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+    def test_cli_store_implies_fused_train(self):
+        from motionstyle.cli.model_util import get_transfer_config
+        import argparse
+
+        args = argparse.Namespace(
+            dataset="stylexia_posrot", latent_dim=32, layers=1,
+            cond_mask_prob=0.1, arch="trans_enc", fused_train=0,
+            fused_train_store=1)
+        cfg = get_transfer_config(args)
+        assert cfg.fused_train and cfg.fused_train_store
+        assert args.fused_train == 1  # normalized for the TP mesh guard
+
+
 class TestTrainers:
     def _prior(self, fused_train, tmp_path):
         from motionstyle.diffusion.schedule import make_schedule
