@@ -63,6 +63,17 @@ def main(argv=None):
                              "(utils.fast_dropout_key)")
     parser.add_argument("--data_parallel", default=0, type=int)
     parser.add_argument("--model_parallel", default=1, type=int)
+    parser.add_argument("--pipeline_parallel", default=1, type=int,
+                        help="GPipe pipeline-parallel TRAINING: stage-stack "
+                             "the mdm encoder over a (data x pipe) mesh and "
+                             "stream microbatches through the stages inside "
+                             "the jitted step (parallel/pipeline.py); each "
+                             "stage holds L/K layers' weights + Adam "
+                             "moments. Mutually exclusive with "
+                             "--model_parallel/--fused_train")
+    parser.add_argument("--pipeline_micro", default=0, type=int,
+                        help="microbatches per pipeline (0 = auto: largest "
+                             "divisor of the per-data-shard batch <= 2K)")
     parser.add_argument("--fsdp", default=0, type=int,
                         help="1 = ZeRO/FSDP layout: shard params + Adam "
                              "moments over 'data' (needs --data_parallel 1; "
@@ -95,7 +106,8 @@ def main(argv=None):
 
     mesh = cli_training_mesh(bool(args.data_parallel), args.model_parallel,
                              args.batch_size, label="pretraining",
-                             fused_train=bool(getattr(args, "fused_train", 0)))
+                             fused_train=bool(getattr(args, "fused_train", 0)),
+                             pipeline_parallel=args.pipeline_parallel)
 
     cfg = PretrainConfig(save_dir=args.save_dir, lr=args.lr,
                          weight_decay=args.weight_decay,
@@ -107,7 +119,8 @@ def main(argv=None):
                                                   "rbg"),
                          lr_anneal_steps=args.lr_anneal_steps,
                          grad_accum=args.grad_accum,
-                         resume_checkpoint=args.resume_checkpoint)
+                         resume_checkpoint=args.resume_checkpoint,
+                         pipeline_micro=args.pipeline_micro)
     if args.fsdp and mesh is None:
         raise SystemExit("--fsdp needs a mesh: pass --data_parallel 1")
     trainer = PriorTrainer(cfg, bundle.model, bundle.params, sched_full,

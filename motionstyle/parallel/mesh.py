@@ -26,17 +26,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def cli_training_mesh(data_parallel: bool, model_parallel: int,
                       batch_size: int, label: str = "training",
-                      fused_train: bool = False):
-    """The (data x model) mesh policy shared by the training CLIs
-    (finetune/pretrain): the model axis must divide the device count; the
-    data axis takes the largest divisor the batch supports. Returns None
-    for the single-device case. One implementation so the two CLIs cannot
-    drift."""
+                      fused_train: bool = False,
+                      pipeline_parallel: int = 1):
+    """The (data x model) — or (data x pipe) — mesh policy shared by the
+    training CLIs (finetune/pretrain): the model/pipe axis must divide the
+    device count; the data axis takes the largest divisor the batch
+    supports. Returns None for the single-device case. One implementation
+    so the CLIs cannot drift."""
     import math
 
     import jax
 
     mp = max(1, model_parallel)
+    pp = max(1, pipeline_parallel)
+    if pp > 1:
+        if mp > 1:
+            raise SystemExit("--model_parallel and --pipeline_parallel are "
+                             "mutually exclusive mesh layouts; pass one")
+        if fused_train:
+            raise SystemExit(
+                "--fused_train is data-parallel only: the Pallas layer "
+                "kernels carry no 'pipe' collectives; drop one flag")
+        ndev = len(jax.devices())
+        if ndev % pp != 0:
+            raise ValueError(f"--pipeline_parallel {pp} does not divide the "
+                             f"visible device count {ndev}")
+        dp = math.gcd(ndev // pp, max(1, batch_size)) if data_parallel else 1
+        print(f"{label} pipelined over a ({dp} data x {pp} pipe) mesh")
+        return make_mesh(dp * pp, pipeline_parallel=pp)
     if not data_parallel and mp <= 1:
         return None
     if fused_train and mp > 1:

@@ -76,6 +76,11 @@ class PretrainConfig:
     # the sibling opt{step:09d}.pt (same tolerant-load semantics as the
     # finetune trainer / reference training_loop.py:126-141)
     resume_checkpoint: str = ""
+    # microbatches per pipeline when the mesh has a 'pipe' axis
+    # (--pipeline_parallel on the pretrain CLI); 0 = auto (the largest
+    # divisor of the per-data-shard batch <= 2 * n_stages — enough
+    # microbatches to bound the GPipe bubble at <= 1/3 of the schedule)
+    pipeline_micro: int = 0
 
 
 class PriorTrainer(PreemptionMixin):
@@ -90,6 +95,21 @@ class PriorTrainer(PreemptionMixin):
         self.sched = sched
         self.mesh = mesh
         self.fsdp = bool(fsdp and mesh is not None)
+        mesh_axes = dict(zip(mesh.axis_names, mesh.devices.shape)) \
+            if mesh is not None else {}
+        # pipeline-parallel training: the mdm encoder stack is stage-stacked
+        # over the mesh's 'pipe' axis and GPipe-scheduled inside the loss
+        # (parallel/pipeline.py); each stage device holds L/n_stages layers'
+        # weights + Adam moments — the memory axis TP does not scale.
+        # The reference has no distributed path at all (SURVEY.md §2).
+        self.pipe = int(mesh_axes.get("pipe", 1))
+        if self.pipe > 1 and self.fsdp:
+            raise ValueError("--fsdp composes with the (data x model) mesh, "
+                             "not with --pipeline_parallel; drop one flag")
+        if self.pipe > 1 and getattr(model.cfg, "fused_train", False):
+            raise ValueError("--fused_train is data-parallel only: the "
+                             "Pallas layer kernels carry no 'pipe' "
+                             "collectives; drop one flag")
         self.step = 0
         self.resume_step = 0
         self.rng = jax.random.PRNGKey(cfg.seed)
@@ -102,21 +122,49 @@ class PriorTrainer(PreemptionMixin):
 
         lr = (optax.linear_schedule(cfg.lr, 0.0, cfg.lr_anneal_steps)
               if cfg.lr_anneal_steps else cfg.lr)
+        # param_labels as a CALLABLE: the pipeline branch below restructures
+        # the param tree (stage-stacked encoder), so a pre-computed label
+        # pytree would go stale before tx.init sees the final structure
         self.tx = optax.multi_transform(
             {"trainable": optax.adamw(lr, weight_decay=cfg.weight_decay),
              "frozen": optax.set_to_zero()},
-            jax.tree_util.tree_map_with_path(label, self.params),
+            lambda params: jax.tree_util.tree_map_with_path(label, params),
         )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from motionstyle.parallel.mesh import shard_params
 
-            # fsdp=True: ZeRO-style sharding — params AND the Adam moments
-            # (zeros_like inherits the layout) live sharded over 'data';
-            # XLA derives the all-gather-at-use / reduce-scatter-of-grads
-            # schedule from the annotations (parallel/mesh.py::fsdp_spec)
-            self.params = shard_params(self.params, mesh, fsdp=self.fsdp)
+            if self.pipe > 1:
+                # stage-stack the encoder BEFORE placement so the stacked
+                # leaves (and the Adam moments derived from them) live
+                # sharded over 'pipe'; everything else replicates
+                from motionstyle.parallel.pipeline import (
+                    shard_stage_params, stack_stage_params)
+
+                L = self.model.cfg.num_layers
+                if L % self.pipe:
+                    raise ValueError(
+                        f"--pipeline_parallel {self.pipe} must divide the "
+                        f"{L}-layer encoder stack")
+                stacked = stack_stage_params(
+                    self.params["mdm"]["seqTransEncoder"], L, self.pipe)
+                rest = {k: v for k, v in self.params.items()}
+                rest["mdm"] = {k: v for k, v in self.params["mdm"].items()
+                               if k != "seqTransEncoder"}
+                rest = jax.tree_util.tree_map(
+                    lambda a: jax.device_put(
+                        jnp.asarray(a), NamedSharding(mesh, P())), rest)
+                rest["mdm"]["seqTransEncoder"] = shard_stage_params(
+                    stacked, mesh)
+                self.params = rest
+            else:
+                # fsdp=True: ZeRO-style sharding — params AND the Adam
+                # moments (zeros_like inherits the layout) live sharded over
+                # 'data'; XLA derives the all-gather-at-use /
+                # reduce-scatter-of-grads schedule from the annotations
+                # (parallel/mesh.py::fsdp_spec)
+                self.params = shard_params(self.params, mesh, fsdp=self.fsdp)
             self.opt_state = self.tx.init(self.params)
             self.opt_state = jax.tree_util.tree_map(
                 lambda a: a if getattr(a, "ndim", 1) > 0
@@ -149,12 +197,47 @@ class PriorTrainer(PreemptionMixin):
             full = {"x_t": x_t, "t": batch["t"], "enc": enc,
                     "mask": batch["mask"], "x_start": batch["x_start"]}
 
-            def micro_loss(p, mb, drop_key=rng_drop):
-                out = model.apply(
+            def pp_denoise_prior(p, mb, drop_key):
+                """Prior forward with the mdm encoder GPipe-scheduled over
+                the mesh's 'pipe' axis: the embed/output math stays in the
+                flax module (no duplicated parity code), only the stacked
+                L-layer stack runs through parallel/pipeline.py. Dropout
+                draws come from per-(stage, layer, micro) folds of drop_key
+                — independent of (statistically equivalent to) the
+                sequential stack's flax-internal folds."""
+                from motionstyle.parallel.pipeline import pipeline_encoder
+
+                mcfg = model.cfg
+                xseq = model.apply(
                     {"params": p}, mb["x_t"], mb["t"], mb["enc"],
                     deterministic=False, rngs={"dropout": drop_key},
-                    method=StyleDiffusion.denoise_prior,
-                )
+                    method=StyleDiffusion.embed_tokens)
+                per_shard = xseq.shape[0] // int(
+                    dict(zip(self.mesh.axis_names,
+                             self.mesh.devices.shape)).get("data", 1))
+                n_micro = cfg.pipeline_micro or max(
+                    d for d in range(1, per_shard + 1)
+                    if per_shard % d == 0 and d <= 2 * self.pipe)
+                dt = jnp.dtype(mcfg.dtype)
+                enc = pipeline_encoder(
+                    p["mdm"]["seqTransEncoder"], xseq.astype(dt), None,
+                    self.mesh, d_model=mcfg.latent_dim, nhead=mcfg.num_heads,
+                    dim_feedforward=mcfg.ff_size, n_micro=n_micro,
+                    dropout=mcfg.dropout, dtype=dt,
+                    dropout_rng=(jax.random.fold_in(drop_key, 0x9E59)
+                                 if mcfg.dropout > 0 else None))
+                return model.apply({"params": p}, enc.astype(xseq.dtype),
+                                   method=StyleDiffusion.output_head)
+
+            def micro_loss(p, mb, drop_key=rng_drop):
+                if self.pipe > 1:
+                    out = pp_denoise_prior(p, mb, drop_key)
+                else:
+                    out = model.apply(
+                        {"params": p}, mb["x_t"], mb["t"], mb["enc"],
+                        deterministic=False, rngs={"dropout": drop_key},
+                        method=StyleDiffusion.denoise_prior,
+                    )
                 # masked_l2 parity (gaussian_diffusion.py:223-248): per-entry
                 # SSE / per-sample unmasked-element count
                 mask = mb["mask"]
@@ -231,6 +314,22 @@ class PriorTrainer(PreemptionMixin):
     # long-run checkpointing: step-named prior + optimizer state, the
     # pretraining counterpart of the finetune trainer's save/resume
     # (reference semantics: training_loop.py:309-348 save, :110-141 resume)
+    def _host_params(self):
+        """Host copy of the params in the canonical layers_{i} layout
+        (unstacks the 'pipe' stage stack so checkpoints stay
+        layout-independent — a pipelined run resumes on a plain mesh and
+        vice versa)."""
+        host = jax.tree_util.tree_map(np.asarray, self.params)
+        if self.pipe > 1:
+            from motionstyle.parallel.pipeline import unstack_stage_params
+
+            host["mdm"] = dict(
+                host["mdm"],
+                seqTransEncoder=unstack_stage_params(
+                    host["mdm"]["seqTransEncoder"],
+                    self.model.cfg.num_layers))
+        return host
+
     def save_step(self):
         """Write mdm{step:09d}.pt + opt{step:09d}.pt so a preempted or
         killed pretraining run resumes exactly (PretrainConfig.
@@ -238,7 +337,7 @@ class PriorTrainer(PreemptionMixin):
         import torch
 
         os.makedirs(self.cfg.save_dir, exist_ok=True)
-        host = jax.tree_util.tree_map(np.asarray, self.params)
+        host = self._host_params()
         step = self.step + self.resume_step
         path = os.path.join(self.cfg.save_dir, f"mdm{step:09d}.pt")
         torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
@@ -328,7 +427,7 @@ class PriorTrainer(PreemptionMixin):
         os.makedirs(self.cfg.save_dir, exist_ok=True)
         as_torch = lambda sd: {k: torch.from_numpy(np.ascontiguousarray(v))
                                for k, v in sd.items()}
-        host = jax.tree_util.tree_map(np.asarray, self.params)
+        host = self._host_params()
         mdm_path = os.path.join(self.cfg.save_dir, "mdm.pt")
         torch.save(as_torch(export_mdm({"mdm": host["mdm"]},
                                        self.model.cfg.num_layers)), mdm_path)

@@ -242,6 +242,137 @@ class TestPretrainResume:
                                 "--resume_checkpoint", save_dir])
         assert os.path.exists(os.path.join(save_dir, "mdm.pt"))
         assert os.path.exists(os.path.join(save_dir, "model_pretrained.pt"))
+        # --pipeline_parallel resumes the SAME (layers_{i}-layout) checkpoint
+        # onto a (data x pipe) mesh and writes it back unstacked
+        pretrain_main(common[:4] + [
+            "--save_dir", str(tmp_path / "prior_pp"), "--batch_size", "2",
+            "--layers", "2", "--latent_dim", "32", "--diffusion_steps", "20",
+            "--log_interval", "10", "--seed", "7", "--num_steps", "2",
+            "--pipeline_parallel", "2", "--data_parallel", "1"])
+        assert os.path.exists(str(tmp_path / "prior_pp" / "mdm.pt"))
+
+
+class TestPipelinePretrain:
+    """--pipeline_parallel on the pretrain CLI: the mdm encoder stack is
+    stage-stacked over the mesh's 'pipe' axis and GPipe-scheduled inside the
+    jitted train step (parallel/pipeline.py) — forward, backward (autodiff
+    through the tick scan), AND the optimizer update on the 'pipe'-sharded
+    stage weights. The reference has no pipeline (or any distributed) path
+    (SURVEY.md §2)."""
+
+    def _trainer(self, tmp_path, name, mesh=None, dropout=0.0, accum=1,
+                 micro=0, layers=2):
+        from motionstyle.parallel.mesh import make_mesh  # noqa: F401
+
+        cfg = MDMConfig(njoints=16, nfeats=1, latent_dim=32, ff_size=64,
+                        num_layers=layers, clip_dim=32, dropout=dropout)
+        model = StyleDiffusion(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 16, 1, 8), jnp.float32),
+                            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 32)),
+                            method=StyleDiffusion.full_init)
+        pcfg = PretrainConfig(save_dir=str(tmp_path / name), num_steps=3,
+                              lr=1e-3, log_interval=0, seed=3,
+                              dropout_rng_impl="threefry", grad_accum=accum,
+                              pipeline_micro=micro)
+        sched = make_schedule("cosine", 50)
+        return cfg, PriorTrainer(pcfg, model, params, sched, mesh=mesh)
+
+    def _batch(self, cfg, B=8, seed=0):
+        r = np.random.RandomState(seed)
+        return {
+            "x_start": r.randn(B, cfg.njoints, 1, 8).astype(np.float32) * 0.5,
+            "enc_text": r.randn(B, 32).astype(np.float32),
+            "mask": np.ones((B, 1, 1, 8), np.float32),
+        }
+
+    def test_pp_step_matches_plain(self, tmp_path):
+        """(data x pipe) pipelined optimizer steps track the single-device
+        trainer's loss trajectory exactly at dropout 0 (same math, same
+        order — the pipeline only relabels placement)."""
+        from motionstyle.parallel.mesh import make_mesh
+
+        mesh = make_mesh(4, pipeline_parallel=2)  # data 2 x pipe 2
+        cfg, tr_pp = self._trainer(tmp_path, "pp", mesh=mesh, micro=2)
+        assert tr_pp.pipe == 2
+        _, tr_0 = self._trainer(tmp_path, "plain")
+        for i in range(3):
+            batch = self._batch(cfg, seed=i)
+            l_pp = float(tr_pp.run_step(dict(batch)))
+            l_0 = float(tr_0.run_step(dict(batch)))
+            assert np.isclose(l_pp, l_0, rtol=1e-4), (i, l_pp, l_0)
+
+    def test_pp_composes_with_grad_accum(self, tmp_path):
+        from motionstyle.parallel.mesh import make_mesh
+
+        mesh = make_mesh(4, pipeline_parallel=2)
+        cfg, tr_pp = self._trainer(tmp_path, "ppa", mesh=mesh, accum=2,
+                                   micro=1)
+        _, tr_0 = self._trainer(tmp_path, "plaina", accum=2)
+        for i in range(2):
+            batch = self._batch(cfg, seed=i)
+            l_pp = float(tr_pp.run_step(dict(batch)))
+            l_0 = float(tr_0.run_step(dict(batch)))
+            assert np.isclose(l_pp, l_0, rtol=1e-4), (i, l_pp, l_0)
+
+    def test_pp_dropout_trains(self, tmp_path):
+        """With the production dropout rate the pipelined trainer converges
+        (draws are per-(stage, layer, micro) folds — independent of the
+        sequential path's, statistically equivalent)."""
+        from motionstyle.parallel.mesh import make_mesh
+
+        mesh = make_mesh(2, pipeline_parallel=2)
+        cfg, tr = self._trainer(tmp_path, "ppd", mesh=mesh, dropout=0.1)
+        batch = self._batch(cfg, seed=0)
+        losses = [float(tr.run_step(dict(batch))) for _ in range(15)]
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+    def test_pp_checkpoint_is_layout_independent(self, tmp_path):
+        """save_step unstacks the stage stack: a pipelined run's checkpoint
+        resumes bit-equal on a plain single-device trainer."""
+        from motionstyle.parallel.mesh import make_mesh
+
+        mesh = make_mesh(2, pipeline_parallel=2)
+        cfg, tr = self._trainer(tmp_path, "ppc", mesh=mesh, micro=2)
+        tr.cfg.save_interval = 10 ** 9
+        tr.run_step(self._batch(cfg, seed=0))
+        tr.run_step(self._batch(cfg, seed=1))
+        path = tr.save_step()
+        pcfg2 = PretrainConfig(save_dir=str(tmp_path / "ppc2"), num_steps=1,
+                               lr=1e-3, log_interval=0, seed=3,
+                               dropout_rng_impl="threefry",
+                               resume_checkpoint=path)
+        sched = make_schedule("cosine", 50)
+        tr2 = PriorTrainer(pcfg2, tr.model, tr._host_params(), sched)
+        assert tr2.resume_step == 2
+        a = tr._host_params()["mdm"]
+        b = jax.tree_util.tree_map(np.asarray, tr2.params)["mdm"]
+        for (pth, x), y in zip(jax.tree_util.tree_leaves_with_path(a),
+                               jax.tree_util.tree_leaves(b)):
+            np.testing.assert_allclose(x, y, atol=1e-6,
+                                       err_msg=jax.tree_util.keystr(pth))
+
+    def test_pp_guards(self, tmp_path):
+        from motionstyle.parallel.mesh import make_mesh
+
+        mesh = make_mesh(2, pipeline_parallel=2)
+        cfg = MDMConfig(njoints=16, nfeats=1, latent_dim=32, ff_size=64,
+                        num_layers=2, clip_dim=32, fused_train=True)
+        model = StyleDiffusion(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 16, 1, 8), jnp.float32),
+                            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 32)),
+                            method=StyleDiffusion.full_init)
+        pcfg = PretrainConfig(save_dir=str(tmp_path / "g"), num_steps=1,
+                              log_interval=0)
+        with pytest.raises(ValueError, match="data-parallel only"):
+            PriorTrainer(pcfg, model, params, make_schedule("cosine", 50),
+                         mesh=mesh)
+        with pytest.raises(SystemExit, match="mutually exclusive"):
+            from motionstyle.parallel.mesh import cli_training_mesh
+
+            cli_training_mesh(True, 2, 8, pipeline_parallel=2)
 
 
 class TestGradAccumAndAnneal:
