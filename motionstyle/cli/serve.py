@@ -292,6 +292,12 @@ def build_parser() -> ArgumentParser:
                         help="pad every batch to one compiled shape: bit-exact"
                              " replay per seed regardless of traffic (engine"
                              " precision caveat), at batch-max compute")
+    parser.add_argument("--max_body_mb", default=64.0, type=float,
+                        help="reject request bodies above this size (413) "
+                             "before reading them")
+    parser.add_argument("--request_timeout_s", default=120.0, type=float,
+                        help="per-request compute deadline; expiry returns "
+                             "504 and frees the client (0 = no deadline)")
     parser.add_argument("--warmup", default=1, type=int,
                         help="pre-compile every batch bucket before taking "
                              "traffic (a cold bucket stalls the live queue "
@@ -335,7 +341,11 @@ def main(argv=None):
         engine.warmup(decode({"content": np.zeros((nframes, njoints),
                                                   np.float32)}))
     server = MotionServer(engine, host=args.host, port=args.port,
-                          decode=decode, handle=handle, stream=stream)
+                          decode=decode, handle=handle, stream=stream,
+                          max_body_bytes=int(args.max_body_mb * (1 << 20)),
+                          request_timeout_s=(args.request_timeout_s
+                                             if args.request_timeout_s > 0
+                                             else None))
 
     import signal
     import threading

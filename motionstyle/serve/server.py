@@ -17,9 +17,20 @@ the same server fronts any workload (style transfer, prior sampling, ...);
 one thread per connection; all device work still funnels through the
 batcher's single worker (the TPU execution model), so concurrency buys
 COALESCING, not device-side parallelism.
+
+Hardening (r4): requests above `max_body_bytes` are rejected 413 before the
+body is read; a missing Content-Length on POST is a 411; `handle()` runs on
+a bounded worker pool with a `request_timeout_s` deadline (504 on expiry —
+the client is released even if the device path wedges, and the pool bound
+gives natural back-pressure); socket reads carry a `read_timeout_s` idle
+timeout (slow-loris). HTTP/1.1 keep-alive is on by default — connection
+reuse removes the per-request TCP+thread setup that made the HTTP layer
+measurably slower than direct handle() calls (BASELINE.md serving section;
+/v1/stream responses send Connection: close since they have no length).
 """
 from __future__ import annotations
 
+import concurrent.futures as cf
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -60,27 +71,65 @@ class MotionServer:
     def __init__(self, engine: ServingEngine, host: str = "127.0.0.1",
                  port: int = 8500, decode: Callable = default_decode,
                  handle: Callable | None = None,
-                 stream: Callable | None = None):
+                 stream: Callable | None = None,
+                 max_body_bytes: int = 64 << 20,
+                 request_timeout_s: float | None = 120.0,
+                 read_timeout_s: float = 30.0,
+                 max_workers: int = 32):
         """handle(payload) -> np.ndarray overrides the default
         engine.sample(decode(payload)) — e.g. the long-form handler in
         cli/serve.py that chains windowed requests through the batcher.
         stream(payload) -> iterator of JSON-able dicts enables /v1/stream
-        (progressive long-form delivery)."""
+        (progressive long-form delivery).
+
+        max_body_bytes: request bodies above this are rejected 413 unread.
+        request_timeout_s: deadline for one handle()/stream-chunk
+        computation (None disables); expiry returns 504 and releases the
+        client thread. max_workers bounds concurrently-running handlers
+        (back-pressure above the batcher queue)."""
         self.engine = engine
         self.decode = decode
         self.handle = handle or (lambda payload: engine.sample(decode(payload)))
         self.stream = stream
+        self.max_body_bytes = int(max_body_bytes)
+        self.request_timeout_s = request_timeout_s
+        self._pool = cf.ThreadPoolExecutor(max_workers=max_workers,
+                                           thread_name_prefix="serve-handle")
         outer = self
 
+        def run_bounded(fn, *args):
+            """Run fn on the bounded pool under the request deadline."""
+            if outer.request_timeout_s is None:
+                return fn(*args)
+            fut = outer._pool.submit(fn, *args)
+            try:
+                return fut.result(timeout=outer.request_timeout_s)
+            except cf.TimeoutError:
+                fut.cancel()
+                raise TimeoutError(
+                    f"request exceeded {outer.request_timeout_s:.0f}s")
+
         class Handler(BaseHTTPRequestHandler):
+            # keep-alive: connection reuse amortizes TCP+thread setup across
+            # a client's requests (every response sets Content-Length except
+            # /v1/stream, which closes the connection)
+            protocol_version = "HTTP/1.1"
+            timeout = read_timeout_s  # idle-socket read deadline
+
             def log_message(self, fmt, *args):  # quiet access log
                 pass
 
-            def _json(self, code: int, obj: dict):
+            def handle_timeout(self):  # socket idle past read_timeout_s
+                self.close_connection = True
+
+            def _json(self, code: int, obj: dict, close: bool = False):
                 body = json.dumps(obj).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                if close:
+                    self.send_header("Connection", "close")
+                    self.close_connection = True
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -96,19 +145,54 @@ class MotionServer:
                 n = int(self.headers.get("Content-Length", 0))
                 return json.loads(self.rfile.read(n) or b"{}")
 
+            def _reject_body(self) -> bool:
+                """Size-limit gate BEFORE reading: oversized or length-less
+                POSTs are refused and the connection closed (the unread body
+                makes the socket unusable for keep-alive)."""
+                cl = self.headers.get("Content-Length")
+                if cl is None:
+                    self._json(411, {"error": "Content-Length required"},
+                               close=True)
+                    return True
+                try:
+                    n = int(cl)
+                except ValueError:
+                    self._json(400, {"error": f"bad Content-Length {cl!r}"},
+                               close=True)
+                    return True
+                if n < 0:
+                    self._json(400, {"error": f"bad Content-Length {n}"},
+                               close=True)
+                    return True
+                if n > outer.max_body_bytes:
+                    self._json(413, {
+                        "error": f"body {n} bytes exceeds limit "
+                                 f"{outer.max_body_bytes}"}, close=True)
+                    return True
+                return False
+
             def _stream(self, payload: dict):
                 """NDJSON: chunk lines as windows complete, then a done line.
                 Errors BEFORE the first chunk get a clean JSON 500; after
                 headers are sent, an error becomes a terminal NDJSON line
-                (the status line is already on the wire)."""
+                (the status line is already on the wire). Each chunk's
+                compute runs under the request deadline."""
+                sentinel = object()
                 try:
                     gen = iter(outer.stream(payload))
-                    first = next(gen, None)
+                    first = run_bounded(next, gen, sentinel)
+                except TimeoutError as ex:
+                    self._json(504, {"error": str(ex)}, close=True)
+                    return
                 except Exception as ex:  # noqa: BLE001 — pre-headers
                     self._json(500, {"error": f"{type(ex).__name__}: {ex}"})
                     return
                 self.send_response(200)
                 self.send_header("Content-Type", "application/x-ndjson")
+                # NDJSON has no Content-Length: under HTTP/1.1 the close IS
+                # the delimiter
+                self.send_header("Connection", "close")
+                self.close_connection = True
                 self.end_headers()
 
                 def line(obj):
@@ -117,12 +201,15 @@ class MotionServer:
 
                 try:
                     n_chunks = 0
-                    if first is not None:
+                    if first is not sentinel:
                         line(first)
                         n_chunks = 1
-                    for obj in gen:
-                        line(obj)
-                        n_chunks += 1
+                        while True:
+                            obj = run_bounded(next, gen, sentinel)
+                            if obj is sentinel:
+                                break
+                            line(obj)
+                            n_chunks += 1
                     line({"done": True, "chunks": n_chunks,
                           "seed": payload.get("seed", 0)})
                 except BrokenPipeError:
@@ -134,11 +221,17 @@ class MotionServer:
                         pass
 
             def do_POST(self):
+                if self._reject_body():
+                    return
                 # read the body FIRST, even on error paths: responding with
                 # the request still unread in the socket buffer triggers a
                 # TCP RST that can discard the response mid-upload
                 try:
                     payload = self._read_payload()
+                    if not isinstance(payload, dict):
+                        raise TypeError(
+                            f"payload must be a JSON object, got "
+                            f"{type(payload).__name__}")
                 except Exception as ex:  # noqa: BLE001 — malformed JSON/body
                     self._json(400, {"error": f"{type(ex).__name__}: {ex}"})
                     return
@@ -153,7 +246,7 @@ class MotionServer:
                     return
                 responded = False
                 try:
-                    motion = outer.handle(payload)
+                    motion = run_bounded(outer.handle, payload)
                     body = json.dumps({**encode_motion(motion, payload),
                                        "seed": payload.get("seed", 0)}).encode()
                     responded = True  # body built: past here a failure is a
@@ -164,6 +257,9 @@ class MotionServer:
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)
+                except TimeoutError as ex:
+                    if not responded:
+                        self._json(504, {"error": str(ex)}, close=True)
                 except Exception as ex:  # surface as a JSON 500, keep serving
                     if not responded:
                         self._json(500, {"error": f"{type(ex).__name__}: {ex}"})
@@ -195,4 +291,5 @@ class MotionServer:
         self.httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)
+        self._pool.shutdown(wait=False, cancel_futures=True)
         self.engine.close()

@@ -626,6 +626,190 @@ class TestEngineRobustness:
         assert done.wait(timeout=10), "close() deadlocked on unstarted server"
 
 
+class TestServerHardening:
+    """r4 serving-runtime hardening: request-size limits, per-request
+    compute deadlines, malformed-payload behavior, keep-alive reuse —
+    every case must leave the server alive (healthz 200 after each)."""
+
+    def _server(self, handle=None, stream=None, **kw):
+        from motionstyle.serve.server import MotionServer
+
+        class _Eng:
+            def stats(self):
+                return {"ok": 1}
+
+            def close(self):
+                pass
+
+        return MotionServer(
+            _Eng(), port=0, decode=lambda p: p,
+            handle=handle or (lambda p: np.zeros((2, 2), np.float32)),
+            stream=stream, **kw).start_background()
+
+    def _code(self, base, body: bytes, path="/v1/sample", timeout=30):
+        req = urllib.request.Request(
+            base + path, data=body,
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            e.read()
+            return e.code
+
+    def _alive(self, base):
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            assert r.status == 200
+
+    def test_malformed_payloads_rejected_server_survives(self):
+        def handle(p):
+            # a real handler indexes into the payload: garbage structures
+            # raise here and must come back as a JSON error, not kill the
+            # connection thread pool
+            return np.asarray(p["content"], np.float32) * 2
+
+        srv = self._server(handle=handle)
+        base = f"http://127.0.0.1:{srv.port}"
+        try:
+            cases = [
+                (b"not json at all", 400),
+                (b"{", 400),
+                (b"\xff\xfe\x00garbage", 400),
+                (b"[1, 2, 3]", 400),            # non-object payload
+                (b'"just a string"', 400),
+                (b'{"content": "not a number"}', 500),  # handler TypeError
+                (b'{"wrong_key": 1}', 500),             # handler KeyError
+                (b"", 200),                     # empty body -> {} -> KeyError
+            ]
+            for body, want in cases:
+                code = self._code(base, body)
+                if body == b"":
+                    assert code == 500, code  # {} payload -> handler KeyError
+                else:
+                    assert code == want, (body, code, want)
+                self._alive(base)
+            # a good request still works afterwards
+            ok = self._code(base, json.dumps(
+                {"content": [[1.0, 2.0]]}).encode())
+            assert ok == 200
+        finally:
+            srv.close()
+
+    def test_oversized_body_rejected_unread(self):
+        srv = self._server(max_body_bytes=1024)
+        base = f"http://127.0.0.1:{srv.port}"
+        try:
+            t0 = time.perf_counter()
+            try:
+                code = self._code(base, b" " * (8 << 20))
+            except (urllib.error.URLError, ConnectionError, OSError):
+                # the server answered 413 and closed while the client was
+                # still uploading — a mid-send client may observe the reset
+                # instead of the status line; either way the body was never
+                # read into memory
+                code = 413
+            dt = time.perf_counter() - t0
+            assert code == 413, code
+            assert dt < 10, f"413 took {dt:.1f}s — body was read, not refused"
+            self._alive(base)
+            # a client that sends headers FIRST (Expect-style pacing) gets
+            # the clean 413 status
+            import http.client
+
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                              timeout=30)
+            conn.putrequest("POST", "/v1/sample")
+            conn.putheader("Content-Type", "application/json")
+            conn.putheader("Content-Length", str(8 << 20))
+            conn.endheaders()
+            resp = conn.getresponse()
+            resp.read()
+            assert resp.status == 413, resp.status
+            conn.close()
+        finally:
+            srv.close()
+
+    def test_missing_content_length_411(self):
+        import http.client
+
+        srv = self._server()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                              timeout=30)
+            conn.putrequest("POST", "/v1/sample")
+            conn.putheader("Content-Type", "application/json")
+            conn.endheaders()
+            resp = conn.getresponse()
+            body = resp.read()
+            assert resp.status == 411, (resp.status, body)
+            conn.close()
+        finally:
+            srv.close()
+
+    def test_request_timeout_returns_504(self):
+        srv = self._server(handle=lambda p: time.sleep(30),
+                           request_timeout_s=0.3)
+        base = f"http://127.0.0.1:{srv.port}"
+        try:
+            t0 = time.perf_counter()
+            code = self._code(base, b"{}")
+            dt = time.perf_counter() - t0
+            assert code == 504, code
+            assert dt < 10, dt
+            self._alive(base)
+        finally:
+            srv.close()
+
+    def test_stream_first_chunk_timeout_504(self):
+        def stream(p):
+            time.sleep(30)
+            yield {"offset": 0}
+
+        srv = self._server(stream=stream, request_timeout_s=0.3)
+        base = f"http://127.0.0.1:{srv.port}"
+        try:
+            code = self._code(base, b"{}", path="/v1/stream")
+            assert code == 504, code
+            self._alive(base)
+        finally:
+            srv.close()
+
+    def test_keepalive_connection_reuse(self):
+        import http.client
+
+        srv = self._server()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                              timeout=30)
+            for i in range(3):
+                conn.request("POST", "/v1/sample", body=b"{}",
+                             headers={"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                resp.read()
+                assert resp.status == 200
+                assert resp.version == 11  # HTTP/1.1
+            conn.close()  # three requests rode ONE connection
+        finally:
+            srv.close()
+
+    def test_stream_closes_connection(self):
+        def stream(p):
+            yield {"offset": 0}
+
+        srv = self._server(stream=stream)
+        base = f"http://127.0.0.1:{srv.port}"
+        try:
+            req = urllib.request.Request(
+                base + "/v1/stream", data=b"{}",
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=30) as r:
+                assert r.headers.get("Connection") == "close"
+                lines = [json.loads(l) for l in r.read().splitlines()]
+            assert lines[-1]["done"] is True and lines[-1]["chunks"] == 1
+        finally:
+            srv.close()
+
+
 class TestServeLongformMask:
     def test_time_varying_mask_built_at_full_length(self, tmp_path):
         """--inpainting_mask prefix is time-varying: the long-form serve

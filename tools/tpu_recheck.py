@@ -205,6 +205,8 @@ def serve_http_latency():
         # b64 requests from THIS thread pool (separate client process would
         # measure ~same: the device path, not the GIL, binds — BASELINE.md)
         import concurrent.futures as cf
+        import http.client
+        import threading
         contents = [base64.b64encode(np.ascontiguousarray(
             np.random.RandomState(s).randn(76, 181).astype(np.float32)
         ).tobytes()).decode() for s in range(8)]
@@ -214,6 +216,27 @@ def serve_http_latency():
                                "encoding": "b64", "text": f"c{i % 4}",
                                "seed": i})
 
+        # keep-alive client: ONE reused connection per worker thread (the
+        # realistic serving client; r4 server speaks HTTP/1.1) — measures
+        # what connection reuse reclaims of the per-request TCP+thread setup
+        local = threading.local()
+
+        def one_ka(i):
+            conn = getattr(local, "conn", None)
+            if conn is None:
+                conn = local.conn = http.client.HTTPConnection(
+                    "127.0.0.1", server.port, timeout=600)
+            body = json.dumps({"content_b64": contents[i % 8],
+                               "encoding": "b64", "text": f"c{i % 4}",
+                               "seed": i}).encode()
+            t0 = time.perf_counter()
+            conn.request("POST", "/v1/sample", body=body,
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            resp.read()
+            assert resp.status == 200, resp.status
+            return (time.perf_counter() - t0) * 1e3
+
         with cf.ThreadPoolExecutor(8) as ex:  # fill caption cache
             list(ex.map(one, range(8)))
         t0 = time.perf_counter()
@@ -221,11 +244,19 @@ def serve_http_latency():
             list(ex.map(one, range(96)))
         conc = 96 / (time.perf_counter() - t0)
         t0 = time.perf_counter()
+        with cf.ThreadPoolExecutor(16) as ex:
+            lats = list(ex.map(one_ka, range(192)))
+        conc_ka = 192 / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
         for i in range(24):
             one(i)
         solo = 24 / (time.perf_counter() - t0)
         print(json.dumps({"metric": "serve_http_concurrent",
                           "concurrent_req_per_s": round(conc, 1),
+                          "keepalive_req_per_s": round(conc_ka, 1),
+                          "keepalive_gain": round(conc_ka / conc, 2),
+                          "sustained_p50_ms": round(float(np.percentile(lats, 50)), 1),
+                          "sustained_p99_ms": round(float(np.percentile(lats, 99)), 1),
                           "one_at_a_time_req_per_s": round(solo, 1),
                           "speedup": round(conc / solo, 2)}))
     finally:
