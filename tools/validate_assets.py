@@ -1,0 +1,203 @@
+"""Real-asset validation: run every asset-gated parity tier on demand.
+
+The framework ships with seeded fallbacks for every external model asset
+(CLAUDE.md "Environment gotchas") so each pipeline runs without downloads;
+when the REAL assets are dropped in, this tool runs the corresponding
+parity/validation tiers in one command and prints a report — turning the
+test suite's latent `skipif` tiers into an executable checklist (VERDICT r3
+item 7).
+
+Assets and where to get them (paths may also come from the env vars):
+
+  CLIP BPE merges     --clip_bpe  / CLIP_BPE_PATH
+      bpe_simple_vocab_16e6.txt.gz from the openai/CLIP repo
+  CLIP ViT-B/32 ckpt  --clip_ckpt / CLIP_CKPT_PATH
+      the torchscript archive clip.load('ViT-B/32') downloads
+      (reference loads it at mdm_forstyledataset.py:276)
+  SMPL neutral model  --smpl_dir  / SMPL_DATA_PATH
+      SMPL_NEUTRAL.pkl (+ optional J_regressor_extra.npy) from smpl-x.is.tue.mpg.de
+      (reference model/smpl.py:64-96)
+  GMM pose prior      --gmm_dir   / GMM_MODEL_DIR
+      gmm_08.pkl from the SMPLify release
+      (reference visualize/joints2smpl/src/prior.py)
+  GloVe vectors       --glove_dir (cli/eval_metrics.py --glove_dir)
+      our_vab_{data.npy,words.pkl,idx.pkl} from the text-to-motion release
+      (reference data_loaders/humanml/utils/word_vectorizer.py:46)
+
+Run:  PYTHONPATH=. python tools/validate_assets.py [--clip_ckpt ...] ...
+Exit code 0 = every PRESENT asset validated; missing assets are reported
+as SKIP (they are optional by design). The CLIP tiers delegate to the
+pinned pytest tests (tests/test_clip_parity.py::TestRealAssets) so the
+tool and the suite can never drift.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPORT = []
+
+
+def record(asset: str, status: str, detail: str):
+    REPORT.append((asset, status, detail))
+    print(f"[{status:>4}] {asset}: {detail}", flush=True)
+
+
+def _pytest(env: dict, *selectors: str) -> tuple:
+    """Run the given pytest selectors with env overlaid; (ok, summary)."""
+    cmd = [sys.executable, "-m", "pytest", "-q", *selectors]
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         env={**os.environ, **env},
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    tail = (out.stdout.strip().splitlines() or ["no output"])[-1]
+    return out.returncode == 0, tail
+
+
+def validate_clip(bpe: str, ckpt: str):
+    if not (bpe and os.path.exists(bpe)):
+        record("clip-bpe", "SKIP", "no BPE merges file (CLIP_BPE_PATH)")
+    else:
+        ok, tail = _pytest(
+            {"CLIP_BPE_PATH": bpe},
+            "tests/test_clip_parity.py::TestRealAssets::test_tokenizer_id_parity")
+        # the id-parity tier needs the openai clip package; fall back to a
+        # self-contained check that the real merges actually load + tokenize
+        if not ok and "skipped" in tail:
+            from motionstyle.models import clip_text
+
+            os.environ["CLIP_BPE_PATH"] = bpe
+            toks = clip_text.tokenize(["a person is walking angrily"])
+            ok = toks.shape == (1, 77) and toks[0, 0] == 49406 \
+                and 49407 in toks[0]
+            tail = (f"merges loaded, SOT/EOT ids correct, {int((toks[0] != 0).sum())} "
+                    f"tokens (install `clip` for id-level parity)")
+        record("clip-bpe", "OK" if ok else "FAIL", tail)
+    if not (ckpt and os.path.exists(ckpt)):
+        record("clip-ckpt", "SKIP", "no pretrained checkpoint (CLIP_CKPT_PATH)")
+    else:
+        env = {"CLIP_CKPT_PATH": ckpt}
+        if bpe and os.path.exists(bpe):
+            env["CLIP_BPE_PATH"] = bpe
+        ok, tail = _pytest(
+            env, "tests/test_clip_parity.py::TestRealAssets::test_real_clip_embedding_cosine")
+        record("clip-ckpt", "OK" if ok else "FAIL",
+               f"cosine>=0.999 vs torch semantics — {tail}")
+
+
+def validate_smpl(smpl_dir: str):
+    pkl = os.path.join(smpl_dir or "", "SMPL_NEUTRAL.pkl")
+    if not (smpl_dir and os.path.exists(pkl)):
+        record("smpl", "SKIP", "no SMPL_NEUTRAL.pkl (SMPL_DATA_PATH)")
+        return
+    import jax.numpy as jnp
+
+    from motionstyle.models import smpl as msmpl
+
+    try:
+        model = msmpl.load_smpl_model(pkl, os.path.join(
+            smpl_dir, "J_regressor_extra.npy"))
+        checks = {
+            "6890 vertices": model.v_template.shape[0] == 6890,
+            "24 joints": model.j_regressor.shape[0] == 24,
+            "lbs weights rows sum to 1": bool(np.allclose(
+                model.lbs_weights.sum(-1), 1.0, atol=1e-4)),
+        }
+        eye = jnp.tile(jnp.eye(3), (1, 24, 1, 1))
+        verts, joints = msmpl.lbs(model, jnp.zeros((1, 10)), eye)
+        rest = np.asarray(model.j_regressor @ model.v_template)
+        checks["rest-pose FK reproduces the regressed template joints"] = \
+            bool(np.allclose(np.asarray(joints)[0, :24], rest, atol=1e-4))
+        checks["finite vertices"] = bool(np.isfinite(np.asarray(verts)).all())
+        bad = [k for k, v in checks.items() if not v]
+        record("smpl", "OK" if not bad else "FAIL",
+               "; ".join(checks) if not bad else f"failed: {bad}")
+    except Exception as ex:  # noqa: BLE001
+        record("smpl", "FAIL", f"{type(ex).__name__}: {ex}")
+
+
+def validate_gmm(gmm_dir: str):
+    if not (gmm_dir and os.path.exists(os.path.join(gmm_dir, "gmm_08.pkl"))):
+        record("gmm-prior", "SKIP", "no gmm_08.pkl (GMM_MODEL_DIR)")
+        return
+    import jax.numpy as jnp
+
+    from motionstyle.post.smplify import MaxMixturePrior
+
+    try:
+        prior = MaxMixturePrior.load(gmm_dir)
+        mean_pose = jnp.asarray(np.asarray(prior.means)[:1, :])  # a mode
+        rand_pose = jnp.asarray(
+            np.random.RandomState(0).randn(1, mean_pose.shape[1]) * 2.0,
+            jnp.float32)
+        nll_mean = float(prior(mean_pose)[0])
+        nll_rand = float(prior(rand_pose)[0])
+        ok = np.isfinite([nll_mean, nll_rand]).all() and nll_mean < nll_rand
+        record("gmm-prior", "OK" if ok else "FAIL",
+               f"{prior.means.shape[0]} components; NLL(mode)={nll_mean:.1f} "
+               f"< NLL(random)={nll_rand:.1f}")
+    except Exception as ex:  # noqa: BLE001
+        record("gmm-prior", "FAIL", f"{type(ex).__name__}: {ex}")
+
+
+def validate_glove(glove_dir: str):
+    if not (glove_dir and os.path.exists(os.path.join(glove_dir,
+                                                      "our_vab_data.npy"))):
+        record("glove", "SKIP", "no our_vab_* files (--glove_dir)")
+        return
+    from motionstyle.eval.evaluators import WordVectorizer
+
+    try:
+        wv = WordVectorizer(glove_dir)
+        assert wv.word2vec is not None, "fell back to hash embeddings"
+        cos = lambda a, b: float(np.dot(a, b)
+                                 / (np.linalg.norm(a) * np.linalg.norm(b)))
+        vecs = {w: wv[f"{w}/VERB"][0][:wv.dim_word]
+                for w in ("walk", "run", "left")}
+        related = cos(vecs["walk"], vecs["run"])
+        unrelated = cos(vecs["walk"], vecs["left"])
+        ok = related > unrelated
+        record("glove", "OK" if ok else "FAIL",
+               f"{len(wv.word2vec)} words; cos(walk,run)={related:.2f} > "
+               f"cos(walk,left)={unrelated:.2f}")
+    except Exception as ex:  # noqa: BLE001
+        record("glove", "FAIL", f"{type(ex).__name__}: {ex}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clip_bpe", default=os.environ.get("CLIP_BPE_PATH", ""))
+    ap.add_argument("--clip_ckpt", default=os.environ.get("CLIP_CKPT_PATH", ""))
+    ap.add_argument("--smpl_dir", default=os.environ.get("SMPL_DATA_PATH", ""))
+    ap.add_argument("--gmm_dir", default=os.environ.get("GMM_MODEL_DIR", ""))
+    ap.add_argument("--glove_dir", default="")
+    args = ap.parse_args(argv)
+
+    validate_clip(args.clip_bpe, args.clip_ckpt)
+    validate_smpl(args.smpl_dir)
+    validate_gmm(args.gmm_dir)
+    validate_glove(args.glove_dir)
+
+    print("\n| asset | status | detail |")
+    print("|---|---|---|")
+    for asset, status, detail in REPORT:
+        print(f"| {asset} | {status} | {detail} |")
+    failed = [a for a, s, _ in REPORT if s == "FAIL"]
+    if failed:
+        print(f"\nFAILED: {failed}", file=sys.stderr)
+        return 1
+    n_ok = sum(1 for _, s, _ in REPORT if s == "OK")
+    print(f"\n{n_ok} asset(s) validated, "
+          f"{sum(1 for _, s, _ in REPORT if s == 'SKIP')} absent (fallbacks "
+          f"stay active for those)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
