@@ -12,10 +12,13 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # `python tools/tpu_recheck.py` puts tools/ first on sys.path; bench.py
 # lives at the repo root
@@ -47,15 +50,33 @@ def finetune_step():
     vp = bench.bench_finetune_steps(steps=8, parallel=True)
     print(json.dumps({"metric": "finetune_steps_per_sec_parallel", "value": round(vp, 3),
                       "speedup": round(vp / v, 2)}))
-    r = bench.bench_pretrain(batch=64, steps=20)
-    print(json.dumps({"metric": "prior_pretrain_humanml_b64", **r}))
-    r = bench.bench_pretrain(batch=128, steps=12, fused_train=True)
-    print(json.dumps({"metric": "prior_pretrain_humanml_b128_fused", **r}))
-    # grad_accum overhead at fixed effective batch (the r3 microbatching
-    # knob — train/pretrain.py PretrainConfig.grad_accum)
-    for accum in (2, 4):
-        r = bench.bench_pretrain(batch=128, steps=12, grad_accum=accum)
-        print(json.dumps({"metric": f"prior_pretrain_b128_accum{accum}", **r}))
+    # Every bench_pretrain row runs in its OWN subprocess: back-to-back
+    # trainer constructions in one process measure up to 1.85x slower
+    # (donated-buffer HBM fragmentation; BASELINE.md r4 caveat)
+    for metric, kw in [
+        ("prior_pretrain_humanml_b64", dict(batch=64, steps=20)),
+        ("prior_pretrain_humanml_b128_fused",
+         dict(batch=128, steps=12, fused_train=True)),
+        ("prior_pretrain_b128_fused_store",
+         dict(batch=128, steps=12, fused_train=True, fused_train_store=True)),
+        # grad_accum overhead at fixed effective batch (the r3 microbatching
+        # knob — train/pretrain.py PretrainConfig.grad_accum)
+        ("prior_pretrain_b128_accum2", dict(batch=128, steps=12, grad_accum=2)),
+        ("prior_pretrain_b128_accum4", dict(batch=128, steps=12, grad_accum=4)),
+    ]:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import sys, json; sys.path.insert(0, %r); import bench; "
+             "bench.enable_compile_cache(); "
+             "print('ROW ' + json.dumps(bench.bench_pretrain(**%r)))"
+             % (_REPO, kw)],
+            capture_output=True, text=True, timeout=900)
+        rows = [l for l in out.stdout.splitlines() if l.startswith("ROW ")]
+        if rows:
+            print(json.dumps({"metric": metric, **json.loads(rows[-1][4:])}))
+        else:
+            tail = (out.stderr.strip().splitlines() or ["no output"])[-1]
+            print(json.dumps({"metric": metric, "error": tail[:300]}))
 
 
 def opt_in_modes():
