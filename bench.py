@@ -361,7 +361,7 @@ def denoiser_forward_gflops(C_feats: int, n_tokens: int, d: int = LATENT,
 
 def bench_pretrain(batch: int = 64, steps: int = 30, dtype: str = "bfloat16",
                    fused_train: bool = False, fused_train_store: bool = False,
-                   grad_accum: int = 1) -> dict:
+                   fused_train_prng: bool = False, grad_accum: int = 1) -> dict:
     """Prior-pretraining throughput: the full-size text-conditioned MDM
     prior (d=512/8L) trained with the standard denoising objective
     (train/pretrain.py — the large-batch production TRAINING path, vs the
@@ -385,8 +385,10 @@ def bench_pretrain(batch: int = 64, steps: int = 30, dtype: str = "bfloat16",
 
     Ch, Th = 263, 196
     cfg_m = MDMConfig(njoints=Ch, nfeats=1, dtype=dtype,
-                      fused_train=fused_train or fused_train_store,
-                      fused_train_store=fused_train_store)
+                      fused_train=(fused_train or fused_train_store
+                                   or fused_train_prng),
+                      fused_train_store=fused_train_store,
+                      fused_train_prng=fused_train_prng)
     model = StyleDiffusion(cfg_m)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((batch, Ch, 1, Th)),
                         jnp.zeros((batch,), jnp.int32), jnp.zeros((batch, 512)),
@@ -434,6 +436,8 @@ def bench_pretrain(batch: int = 64, steps: int = 30, dtype: str = "bfloat16",
         out["fused_train"] = True
     if fused_train_store:
         out["fused_train_store"] = True
+    if fused_train_prng:
+        out["fused_train_prng"] = True
     if grad_accum > 1:
         out["grad_accum"] = grad_accum
     return out

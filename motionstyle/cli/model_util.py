@@ -49,7 +49,9 @@ def get_transfer_config(args) -> MDMConfig:
         raise NotImplementedError(
             f"StyleDiffusion implements arch='trans_enc' only (got {arch!r}); "
             "build MDM directly for trans_dec/gru experiments")
-    if getattr(args, "fused_train_store", 0) and hasattr(args, "fused_train"):
+    if (getattr(args, "fused_train_store", 0)
+            or getattr(args, "fused_train_prng", 0)) \
+            and hasattr(args, "fused_train"):
         args.fused_train = 1  # normalize for the TP mesh guard downstream
     return MDMConfig(
         njoints=njoints,
@@ -73,8 +75,10 @@ def get_transfer_config(args) -> MDMConfig:
         # the store flag alone can never silently train the XLA path; the
         # args object is normalized too so the TP mesh guard sees it.
         fused_train=bool(getattr(args, "fused_train", 0))
-        or bool(getattr(args, "fused_train_store", 0)),
+        or bool(getattr(args, "fused_train_store", 0))
+        or bool(getattr(args, "fused_train_prng", 0)),
         fused_train_store=bool(getattr(args, "fused_train_store", 0)),
+        fused_train_prng=bool(getattr(args, "fused_train_prng", 0)),
         # compute dtype: explicit --dtype wins; otherwise the fused kernel
         # defaults to its designed bf16 input (the benchmarked TPU serving
         # config — BASELINE.md headline) and everything else stays fp32 for

@@ -42,7 +42,8 @@ def parse_and_load_from_model(parser: ArgumentParser):
                                       "pipeline_parallel", "pipeline_micro",
                                       "sequence_parallel",
                                       "quant_int8", "fused_train",
-                                      "fused_train_store", "dtype",
+                                      "fused_train_store", "fused_train_prng",
+                                      "dtype",
                                       "native_loader", "prefetch", "style_strength",
                                       "style_mix", "long_frames")]
     # ...and a flag the user EXPLICITLY passed must never be clobbered by
@@ -148,6 +149,11 @@ def add_model_options(parser):
                             "forwards (ops/fused_encoder_train.py; bf16 "
                             "matmul/fp32 accum, tanh-approx gelu). The default "
                             "XLA path stays the bit-reproducible baseline")
+    group.add_argument("--fused_train_prng", default=0, type=int,
+                       help="with --fused_train 1: generate dropout masks "
+                            "in-kernel from hardware-PRNG seeds (TPU only; "
+                            "CPU falls back to mask arrays) — removes the "
+                            "mask arrays' generation + HBM traffic")
     group.add_argument("--fused_train_store", default=0, type=int,
                        help="with --fused_train 1: store attention probs "
                             "(bf16) + qkv as backward residuals instead of "

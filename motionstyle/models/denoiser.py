@@ -94,6 +94,12 @@ class MDMConfig:
     # residual HBM; gradients differ from the recompute path only by the
     # bf16 rounding of the stored probs
     fused_train_store: bool = False
+    # with fused_train: generate dropout masks IN-KERNEL from per-(clip,
+    # layer) hardware-PRNG seeds (TPU only; CPU falls back to mask arrays)
+    # — removes the external masks' generation + HBM traffic (BASELINE.md
+    # training roofline); draws differ from the mask-array path's
+    # (statistically equivalent regularization)
+    fused_train_prng: bool = False
 
     @property
     def input_feats(self) -> int:
@@ -180,6 +186,7 @@ class MDM(nn.Module):
                 or (self.cfg.fused_train and not deterministic),
                 use_int8=self.cfg.quant_int8,
                 store_probs=self.cfg.fused_train_store,
+                in_kernel_prng=self.cfg.fused_train_prng,
             )[:, 1:]
         elif self.cfg.arch == "trans_dec":
             if self.cfg.emb_trans_dec:
@@ -261,6 +268,7 @@ class StyleDiffusion(nn.Module):
                 or (self.cfg.fused_train and not deterministic),
             use_int8=self.cfg.quant_int8,
             store_probs=self.cfg.fused_train_store,
+            in_kernel_prng=self.cfg.fused_train_prng,
         )[:, 1:]
         return self.mdm._tokens_to_frames(self.mdm.output_process(out)).astype(jnp.float32)
 

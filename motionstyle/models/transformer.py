@@ -201,7 +201,8 @@ class TransformerEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, key_padding_mask: Optional[jax.Array] = None,
                  deterministic: bool = True, use_fused: bool = False,
-                 use_int8: bool = False, store_probs: bool = False) -> jax.Array:
+                 use_int8: bool = False, store_probs: bool = False,
+                 in_kernel_prng: bool = False) -> jax.Array:
         # parameters must be materialized by the layer modules during init;
         # the fused Pallas path reads them back out of this module's scope.
         if use_fused and deterministic and not self.is_initializing() \
@@ -224,6 +225,7 @@ class TransformerEncoder(nn.Module):
             return fused_encoder_train(
                 x, params, self.num_layers, self.nhead, self.dropout, rng,
                 key_padding_mask, store_probs=store_probs,
+                in_kernel_prng=in_kernel_prng,
             ).astype(x.dtype)
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(

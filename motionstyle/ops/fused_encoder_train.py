@@ -42,6 +42,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from motionstyle.ops.fused_encoder import (
     SEQ_ALIGN,
@@ -102,32 +103,72 @@ def _ln_bwd(dh, xhat, rstd, scale_row):
 
 
 # ---------------------------------------------------------------------------
+# dropout application: three interchangeable site implementations
+#   mode None     — deterministic (no refs)
+#   mode "masks"  — external bf16 {0, 1/keep} mask refs (make_dropout_masks;
+#                   CPU-interpret friendly, bit-identical fwd/bwd by
+#                   construction)
+#   mode "prng"   — TPU-only in-kernel hardware PRNG: per-clip seed mixed
+#                   with the site id regenerates the identical mask in the
+#                   forward and both backward kernels with ZERO mask HBM
+#                   traffic (the external masks measured 0.26 ms/layer of
+#                   the b128 forward — BASELINE.md training roofline)
+# ---------------------------------------------------------------------------
+
+def _drop_site(mode, rate, dref, site, x):
+    """dref: (m0,m1,m2) mask refs for "masks", per-clip int32 seed scalar
+    for "prng". Sites: 0 = post-attn-projection, 1 = post-gelu,
+    2 = post-linear2 (models/transformer.py:72-81)."""
+    if mode is None:
+        return x
+    if mode == "masks":
+        return x * dref[site][0].astype(jnp.float32)
+    from jax.experimental.pallas import tpu as pltpu
+
+    keep = 1.0 - rate
+    pltpu.prng_seed(dref, site)
+    bits = pltpu.prng_random_bits(x.shape).astype(jnp.uint32)
+    thresh = np.uint32(int(keep * 4294967296.0) & 0xFFFFFFFF)
+    return jnp.where(bits < thresh, x * (1.0 / keep), 0.0)
+
+
+def _unpack_drop(mode, refs, n_masks_slice):
+    """Split `refs` into (drop_refs, rest) per mode. n_masks_slice = the
+    mask refs this kernel consumes (fwd: m0,m1,m2; bwd_ffn: m1,m2;
+    bwd_attn: m0)."""
+    if mode is None:
+        return None, refs
+    if mode == "masks":
+        return tuple(refs[:n_masks_slice]), refs[n_masks_slice:]
+    import jax.experimental.pallas as pl
+
+    # "prng": one SMEM ref holding the (B,) per-clip seeds
+    return refs[0][pl.program_id(0)], refs[1:]
+
+
+# ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(num_heads, dropped, *refs):
-    if dropped:
-        (x_ref, kmask_ref, m0_ref, m1_ref, m2_ref, wqkv_ref, bqkv_ref,
-         wo_ref, bo_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         ln2s_ref, ln2b_ref, o_ref, a1_ref, attn_ref) = refs
-    else:
-        (x_ref, kmask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-         ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         ln2s_ref, ln2b_ref, o_ref, a1_ref, attn_ref) = refs
+def _fwd_kernel(num_heads, mode, rate, *refs):
+    x_ref, kmask_ref = refs[:2]
+    dref, rest = _unpack_drop(mode, refs[2:], 3)
+    if mode == "masks":
+        dref = {0: dref[0], 1: dref[1], 2: dref[2]}
+    (wqkv_ref, bqkv_ref, wo_ref, bo_ref, ln1s_ref, ln1b_ref,
+     w1_ref, b1_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref,
+     o_ref, a1_ref, attn_ref) = rest
     x = x_ref[0]  # (S, D) bf16
     qkv = _bf16_dot(x, wqkv_ref, bqkv_ref)
     attn = _attention(qkv, kmask_ref[0], num_heads)  # (S, D) fp32
     proj = _bf16_dot(attn, wo_ref, bo_ref)
-    if dropped:
-        proj = proj * m0_ref[0].astype(jnp.float32)
+    proj = _drop_site(mode, rate, dref, 0, proj)
     a1 = x.astype(jnp.float32) + proj
     h1 = _layernorm(a1, ln1s_ref, ln1b_ref)
     g, _ = _gelu_tanh_fwd(_bf16_dot(h1, w1_ref, b1_ref))
-    if dropped:
-        g = g * m1_ref[0].astype(jnp.float32)
+    g = _drop_site(mode, rate, dref, 1, g)
     f = _bf16_dot(g, w2_ref, b2_ref)
-    if dropped:
-        f = f * m2_ref[0].astype(jnp.float32)
+    f = _drop_site(mode, rate, dref, 2, f)
     h2 = _layernorm(h1 + f, ln2s_ref, ln2b_ref)
     o_ref[0] = h2.astype(o_ref.dtype)
     a1_ref[0] = a1
@@ -138,19 +179,17 @@ def _fwd_kernel(num_heads, dropped, *refs):
 # backward, FFN + LayerNorm half
 # ---------------------------------------------------------------------------
 
-def _bwd_ffn_kernel(dropped, *refs):
+def _bwd_ffn_kernel(mode, rate, *refs):
     import jax.experimental.pallas as pl
 
-    if dropped:
-        (dh2_ref, a1_ref, m1_ref, m2_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
-         da1_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-         dls1_ref, dlb1_ref, dls2_ref, dlb2_ref) = refs
-    else:
-        (dh2_ref, a1_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
-         da1_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-         dls1_ref, dlb1_ref, dls2_ref, dlb2_ref) = refs
+    dh2_ref, a1_ref = refs[:2]
+    dref, rest = _unpack_drop(mode, refs[2:], 2)
+    if mode == "masks":
+        dref = {1: dref[0], 2: dref[1]}
+    (w1_ref, b1_ref, w2_ref, b2_ref,
+     ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+     da1_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+     dls1_ref, dlb1_ref, dls2_ref, dlb2_ref) = rest
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -169,22 +208,23 @@ def _bwd_ffn_kernel(dropped, *refs):
     h1 = xhat1 * ln1s_ref[0] + ln1b_ref[0]
     u = _bf16_dot(h1, w1_ref, b1_ref)
     g, t = _gelu_tanh_fwd(u)
-    gd = g * m1_ref[0].astype(jnp.float32) if dropped else g
+    gd = _drop_site(mode, rate, dref, 1, g)
     f = _bf16_dot(gd, w2_ref, b2_ref)
-    fd = f * m2_ref[0].astype(jnp.float32) if dropped else f
+    fd = _drop_site(mode, rate, dref, 2, f)
     a2 = h1 + fd
     xhat2, rstd2 = _ln_stats(a2)
 
-    # ---- backward
+    # ---- backward (dropout sites re-derive the identical masks: external
+    # refs in "masks" mode, a re-seed of (clip_seed, site) in "prng" mode)
     dh2 = dh2_ref[0].astype(jnp.float32)
     da2, dls2, dlb2 = _ln_bwd(dh2, xhat2, rstd2, ln2s_ref[0])
     dls2_ref[...] += dls2
     dlb2_ref[...] += dlb2
-    df = da2 * m2_ref[0].astype(jnp.float32) if dropped else da2
+    df = _drop_site(mode, rate, dref, 2, da2)
     dw2_ref[...] += _dotT_ab(gd, df)
     db2_ref[...] += jnp.sum(df, axis=0, keepdims=True)
     dgd = _dot_abT(df, w2_ref[...])
-    dg = dgd * m1_ref[0].astype(jnp.float32) if dropped else dgd
+    dg = _drop_site(mode, rate, dref, 1, dgd)
     du = dg * _gelu_tanh_grad(u, t)
     dw1_ref[...] += _dotT_ab(h1, du)
     db1_ref[...] += jnp.sum(du, axis=0, keepdims=True)
@@ -199,15 +239,15 @@ def _bwd_ffn_kernel(dropped, *refs):
 # backward, attention half
 # ---------------------------------------------------------------------------
 
-def _bwd_attn_kernel(num_heads, dropped, *refs):
+def _bwd_attn_kernel(num_heads, mode, rate, *refs):
     import jax.experimental.pallas as pl
 
-    if dropped:
-        (da1_ref, x_ref, attn_ref, m0_ref, kmask_ref, wqkv_ref, bqkv_ref,
-         wo_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref) = refs
-    else:
-        (da1_ref, x_ref, attn_ref, kmask_ref, wqkv_ref, bqkv_ref,
-         wo_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref) = refs
+    da1_ref, x_ref, attn_ref = refs[:3]
+    dref, rest = _unpack_drop(mode, refs[3:], 1)
+    if mode == "masks":
+        dref = {0: dref[0]}
+    (kmask_ref, wqkv_ref, bqkv_ref,
+     wo_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref) = rest
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -219,7 +259,7 @@ def _bwd_attn_kernel(num_heads, dropped, *refs):
     da1 = da1_ref[0]  # (S, D) fp32
     x = x_ref[0]      # (S, D) bf16
     attn = attn_ref[0]
-    dproj = da1 * m0_ref[0].astype(jnp.float32) if dropped else da1
+    dproj = _drop_site(mode, rate, dref, 0, da1)
     dwo_ref[...] += _dotT_ab(attn, dproj)
     dbo_ref[...] += jnp.sum(dproj, axis=0, keepdims=True)
     dattn = _dot_abT(dproj, wo_ref[...])
@@ -273,15 +313,14 @@ def _bwd_attn_kernel(num_heads, dropped, *refs):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_store_kernel(num_heads, dropped, *refs):
-    if dropped:
-        (x_ref, kmask_ref, m0_ref, m1_ref, m2_ref, wqkv_ref, bqkv_ref,
-         wo_ref, bo_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         ln2s_ref, ln2b_ref, o_ref, a1_ref, attn_ref, p_ref, qkv_ref) = refs
-    else:
-        (x_ref, kmask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-         ln1s_ref, ln1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-         ln2s_ref, ln2b_ref, o_ref, a1_ref, attn_ref, p_ref, qkv_ref) = refs
+def _fwd_store_kernel(num_heads, mode, rate, *refs):
+    x_ref, kmask_ref = refs[:2]
+    dref, rest = _unpack_drop(mode, refs[2:], 3)
+    if mode == "masks":
+        dref = {0: dref[0], 1: dref[1], 2: dref[2]}
+    (wqkv_ref, bqkv_ref, wo_ref, bo_ref, ln1s_ref, ln1b_ref,
+     w1_ref, b1_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref,
+     o_ref, a1_ref, attn_ref, p_ref, qkv_ref) = rest
     x = x_ref[0]
     qkv = _bf16_dot(x, wqkv_ref, bqkv_ref)
     D = qkv.shape[1] // 3
@@ -308,31 +347,27 @@ def _fwd_store_kernel(num_heads, dropped, *refs):
     attn = jnp.concatenate(cols, axis=-1)  # bit-equal to _attention's
     qkv_ref[0] = qkv.astype(qkv_ref.dtype)
     proj = _bf16_dot(attn, wo_ref, bo_ref)
-    if dropped:
-        proj = proj * m0_ref[0].astype(jnp.float32)
+    proj = _drop_site(mode, rate, dref, 0, proj)
     a1 = x.astype(jnp.float32) + proj
     h1 = _layernorm(a1, ln1s_ref, ln1b_ref)
     g, _ = _gelu_tanh_fwd(_bf16_dot(h1, w1_ref, b1_ref))
-    if dropped:
-        g = g * m1_ref[0].astype(jnp.float32)
+    g = _drop_site(mode, rate, dref, 1, g)
     f = _bf16_dot(g, w2_ref, b2_ref)
-    if dropped:
-        f = f * m2_ref[0].astype(jnp.float32)
+    f = _drop_site(mode, rate, dref, 2, f)
     h2 = _layernorm(h1 + f, ln2s_ref, ln2b_ref)
     o_ref[0] = h2.astype(o_ref.dtype)
     a1_ref[0] = a1
     attn_ref[0] = attn.astype(attn_ref.dtype)
 
 
-def _bwd_attn_stored_kernel(num_heads, dropped, *refs):
+def _bwd_attn_stored_kernel(num_heads, mode, rate, *refs):
     import jax.experimental.pallas as pl
 
-    if dropped:
-        (da1_ref, x_ref, attn_ref, p_ref, qkv_ref, m0_ref, wqkv_ref,
-         wo_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref) = refs
-    else:
-        (da1_ref, x_ref, attn_ref, p_ref, qkv_ref, wqkv_ref,
-         wo_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref) = refs
+    da1_ref, x_ref, attn_ref, p_ref, qkv_ref = refs[:5]
+    dref, rest = _unpack_drop(mode, refs[5:], 1)
+    if mode == "masks":
+        dref = {0: dref[0]}
+    (wqkv_ref, wo_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref) = rest
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -348,7 +383,7 @@ def _bwd_attn_stored_kernel(num_heads, dropped, *refs):
     D = qkv.shape[1] // 3
     dh = D // num_heads
     scale = 1.0 / (dh ** 0.5)
-    dproj = da1 * m0_ref[0].astype(jnp.float32) if dropped else da1
+    dproj = _drop_site(mode, rate, dref, 0, da1)
     dwo_ref[...] += _dotT_ab(attn, dproj)
     dbo_ref[...] += jnp.sum(dproj, axis=0, keepdims=True)
     dattn = _dot_abT(dproj, wo_ref[...])
@@ -373,7 +408,8 @@ def _bwd_attn_stored_kernel(num_heads, dropped, *refs):
     dx_ref[0] = da1 + _dot_abT(dqkv, wqkv_ref[...])
 
 
-def _fwd_store_call(x_p, kmask, params, masks, num_heads, out_dtype):
+def _fwd_store_call(x_p, kmask, params, masks, num_heads, out_dtype,
+                    seeds=None, rate=0.0):
     """Run the store-probs forward; returns (out, a1, attn, probs, qkv)."""
     from jax.experimental import pallas as pl
 
@@ -382,21 +418,25 @@ def _fwd_store_call(x_p, kmask, params, masks, num_heads, out_dtype):
         _layer_arrays(params)
     F = w1.shape[1]
     H = num_heads
-    dropped = masks is not None
+    mode = ("prng" if seeds is not None
+            else "masks" if masks is not None else None)
     row = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
     mat = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
     blk = lambda d: pl.BlockSpec((1, Sp, d), lambda i: (i, 0, 0))
     in_specs = [blk(D), pl.BlockSpec((1, 1, Sp), lambda i: (i, 0, 0))]
     operands = [x_p, kmask]
-    if dropped:
+    if mode == "masks":
         in_specs += [blk(D), blk(F), blk(D)]
         operands += list(masks)
+    elif mode == "prng":
+        in_specs += [_smem_spec()]
+        operands += [seeds]
     in_specs += [mat(D, 3 * D), row(3 * D), mat(D, D), row(D),
                  row(D), row(D), mat(D, F), row(F), mat(F, D), row(D),
                  row(D), row(D)]
     operands += [wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b]
     return pl.pallas_call(
-        functools.partial(_fwd_store_kernel, num_heads, dropped),
+        functools.partial(_fwd_store_kernel, num_heads, mode, rate),
         grid=(B,),
         in_specs=in_specs,
         out_specs=(blk(D), blk(D), blk(D),
@@ -414,13 +454,14 @@ def _fwd_store_call(x_p, kmask, params, masks, num_heads, out_dtype):
 
 
 def _bwd_attn_call_stored(da1, x_p, attn, probs, qkv, params, masks,
-                          num_heads):
+                          num_heads, seeds=None, rate=0.0):
     from jax.experimental import pallas as pl
 
     B, Sp, D = x_p.shape
     (wqkv, bqkv, wo, *_rest) = _layer_arrays(params)
     H = num_heads
-    dropped = masks is not None
+    mode = ("prng" if seeds is not None
+            else "masks" if masks is not None else None)
     row = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
     mat = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
     blk = lambda d: pl.BlockSpec((1, Sp, d), lambda i: (i, 0, 0))
@@ -429,13 +470,16 @@ def _bwd_attn_call_stored(da1, x_p, attn, probs, qkv, params, masks,
                 pl.BlockSpec((1, H, Sp, Sp), lambda i: (i, 0, 0, 0)),
                 blk(3 * D)]
     operands = [da1, x_p, attn, probs, qkv]
-    if dropped:
+    if mode == "masks":
         in_specs += [blk(D)]
         operands += [masks[0]]
+    elif mode == "prng":
+        in_specs += [_smem_spec()]
+        operands += [seeds]
     in_specs += [mat(D, 3 * D), mat(D, D)]
     operands += [wqkv, wo]
     return pl.pallas_call(
-        functools.partial(_bwd_attn_stored_kernel, num_heads, dropped),
+        functools.partial(_bwd_attn_stored_kernel, num_heads, mode, rate),
         grid=(B,),
         in_specs=in_specs,
         out_specs=(blk(D), mat(D, 3 * D), row(3 * D), mat(D, D), row(D)),
@@ -450,26 +494,29 @@ def _bwd_attn_call_stored(da1, x_p, attn, probs, qkv, params, masks,
     )(*operands)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused_layer_train_store(num_heads, out_dtype, x_p, kmask, params, masks):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_layer_train_store(num_heads, out_dtype, rate, x_p, kmask, params,
+                             masks, seeds):
     out, _, _, _, _ = _fwd_store_call(x_p, kmask, params, masks, num_heads,
-                                      out_dtype)
+                                      out_dtype, seeds=seeds, rate=rate)
     return out
 
 
-def _fused_layer_train_store_fwd(num_heads, out_dtype, x_p, kmask, params,
-                                 masks):
-    out, a1, attn, probs, qkv = _fwd_store_call(x_p, kmask, params, masks,
-                                                num_heads, out_dtype)
-    return out, (x_p, kmask, params, masks, a1, attn, probs, qkv)
+def _fused_layer_train_store_fwd(num_heads, out_dtype, rate, x_p, kmask,
+                                 params, masks, seeds):
+    out, a1, attn, probs, qkv = _fwd_store_call(
+        x_p, kmask, params, masks, num_heads, out_dtype,
+        seeds=seeds, rate=rate)
+    return out, (x_p, kmask, params, masks, seeds, a1, attn, probs, qkv)
 
 
-def _fused_layer_train_store_bwd(num_heads, out_dtype, res, dh2):
-    x_p, kmask, params, masks, a1, attn, probs, qkv = res
+def _fused_layer_train_store_bwd(num_heads, out_dtype, rate, res, dh2):
+    x_p, kmask, params, masks, seeds, a1, attn, probs, qkv = res
     da1, dw1, db1, dw2, db2, dls1, dlb1, dls2, dlb2 = _bwd_ffn_call(
-        dh2, a1, params, masks)
+        dh2, a1, params, masks, seeds=seeds, rate=rate)
     dx, dwqkv, dbqkv, dwo, dbo = _bwd_attn_call_stored(
-        da1, x_p, attn, probs, qkv, params, masks, num_heads)
+        da1, x_p, attn, probs, qkv, params, masks, num_heads,
+        seeds=seeds, rate=rate)
     dparams = {
         "self_attn": {
             "in_proj": {"kernel": dwqkv, "bias": dbqkv[0]},
@@ -483,7 +530,8 @@ def _fused_layer_train_store_bwd(num_heads, out_dtype, res, dh2):
     dmasks = None if masks is None else tuple(jnp.zeros_like(m) for m in masks)
     dparams = jax.tree_util.tree_map(
         lambda g, p: g.astype(p.dtype), dparams, params)
-    return (dx.astype(x_p.dtype), jnp.zeros_like(kmask), dparams, dmasks)
+    return (dx.astype(x_p.dtype), jnp.zeros_like(kmask), dparams, dmasks,
+            _dseeds(seeds))
 
 
 _fused_layer_train_store.defvjp(_fused_layer_train_store_fwd,
@@ -515,7 +563,17 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _fwd_call(x_p, kmask, params, masks, num_heads, out_dtype):
+def _smem_spec():
+    """Full-array SMEM spec for the (B,) per-clip PRNG seed vector (the
+    kernels index it by program_id)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _fwd_call(x_p, kmask, params, masks, num_heads, out_dtype,
+              seeds=None, rate=0.0):
     """Run the fused training forward; returns (out, a1, attn)."""
     from jax.experimental import pallas as pl
 
@@ -523,21 +581,25 @@ def _fwd_call(x_p, kmask, params, masks, num_heads, out_dtype):
     (wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b) = \
         _layer_arrays(params)
     F = w1.shape[1]
-    dropped = masks is not None
+    mode = ("prng" if seeds is not None
+            else "masks" if masks is not None else None)
     row = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
     mat = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
     blk = lambda d: pl.BlockSpec((1, Sp, d), lambda i: (i, 0, 0))
     in_specs = [blk(D), pl.BlockSpec((1, 1, Sp), lambda i: (i, 0, 0))]
     operands = [x_p, kmask]
-    if dropped:
+    if mode == "masks":
         in_specs += [blk(D), blk(F), blk(D)]
         operands += list(masks)
+    elif mode == "prng":
+        in_specs += [_smem_spec()]
+        operands += [seeds]
     in_specs += [mat(D, 3 * D), row(3 * D), mat(D, D), row(D),
                  row(D), row(D), mat(D, F), row(F), mat(F, D), row(D),
                  row(D), row(D)]
     operands += [wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b]
     out, a1, attn = pl.pallas_call(
-        functools.partial(_fwd_kernel, num_heads, dropped),
+        functools.partial(_fwd_kernel, num_heads, mode, rate),
         grid=(B,),
         in_specs=in_specs,
         out_specs=(blk(D), blk(D), blk(D)),
@@ -551,7 +613,7 @@ def _fwd_call(x_p, kmask, params, masks, num_heads, out_dtype):
     return out, a1, attn
 
 
-def _bwd_ffn_call(dh2, a1, params, masks):
+def _bwd_ffn_call(dh2, a1, params, masks, seeds=None, rate=0.0):
     """The FFN/LayerNorm backward half as one Pallas call; returns
     (da1, dw1, db1, dw2, db2, dls1, dlb1, dls2, dlb2)."""
     from jax.experimental import pallas as pl
@@ -560,7 +622,8 @@ def _bwd_ffn_call(dh2, a1, params, masks):
     (wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b) = \
         _layer_arrays(params)
     F = w1.shape[1]
-    dropped = masks is not None
+    mode = ("prng" if seeds is not None
+            else "masks" if masks is not None else None)
     row = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
     mat = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
     blk = lambda d: pl.BlockSpec((1, Sp, d), lambda i: (i, 0, 0))
@@ -568,14 +631,17 @@ def _bwd_ffn_call(dh2, a1, params, masks):
 
     in_specs = [blk(D), blk(D)]
     operands = [dh2, a1]
-    if dropped:
+    if mode == "masks":
         in_specs += [blk(F), blk(D)]
         operands += [masks[1], masks[2]]
+    elif mode == "prng":
+        in_specs += [_smem_spec()]
+        operands += [seeds]
     in_specs += [mat(D, F), row(F), mat(F, D), row(D),
                  row(D), row(D), row(D), row(D)]
     operands += [w1, b1, w2, b2, ln1s, ln1b, ln2s, ln2b]
     return pl.pallas_call(
-        functools.partial(_bwd_ffn_kernel, dropped),
+        functools.partial(_bwd_ffn_kernel, mode, rate),
         grid=(B,),
         in_specs=in_specs,
         out_specs=(blk(D), mat(D, F), row(F), mat(F, D), row(D),
@@ -591,7 +657,8 @@ def _bwd_ffn_call(dh2, a1, params, masks):
     )(*operands)
 
 
-def _bwd_attn_call(da1, x_p, kmask, attn, params, masks, num_heads):
+def _bwd_attn_call(da1, x_p, kmask, attn, params, masks, num_heads,
+                   seeds=None, rate=0.0):
     """The attention backward half as one Pallas call; returns
     (dx, dwqkv, dbqkv, dwo, dbo)."""
     from jax.experimental import pallas as pl
@@ -599,7 +666,8 @@ def _bwd_attn_call(da1, x_p, kmask, attn, params, masks, num_heads):
     B, Sp, D = x_p.shape
     (wqkv, bqkv, wo, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b) = \
         _layer_arrays(params)
-    dropped = masks is not None
+    mode = ("prng" if seeds is not None
+            else "masks" if masks is not None else None)
     row = lambda d: pl.BlockSpec((1, d), lambda i: (0, 0))
     mat = lambda a, b: pl.BlockSpec((a, b), lambda i: (0, 0))
     blk = lambda d: pl.BlockSpec((1, Sp, d), lambda i: (i, 0, 0))
@@ -607,14 +675,17 @@ def _bwd_attn_call(da1, x_p, kmask, attn, params, masks, num_heads):
 
     in_specs = [blk(D), blk(D), blk(D)]
     operands = [da1, x_p, attn]
-    if dropped:
+    if mode == "masks":
         in_specs += [blk(D)]
         operands += [masks[0]]
+    elif mode == "prng":
+        in_specs += [_smem_spec()]
+        operands += [seeds]
     in_specs += [pl.BlockSpec((1, 1, Sp), lambda i: (i, 0, 0)),
                  mat(D, 3 * D), row(3 * D), mat(D, D)]
     operands += [kmask, wqkv, bqkv, wo]
     return pl.pallas_call(
-        functools.partial(_bwd_attn_kernel, num_heads, dropped),
+        functools.partial(_bwd_attn_kernel, num_heads, mode, rate),
         grid=(B,),
         in_specs=in_specs,
         out_specs=(blk(D), mat(D, 3 * D), row(3 * D), mat(D, D), row(D)),
@@ -629,11 +700,13 @@ def _bwd_attn_call(da1, x_p, kmask, attn, params, masks, num_heads):
     )(*operands)
 
 
-def _bwd_call(dh2, x_p, kmask, params, masks, a1, attn, num_heads):
+def _bwd_call(dh2, x_p, kmask, params, masks, a1, attn, num_heads,
+              seeds=None, rate=0.0):
     da1, dw1, db1, dw2, db2, dls1, dlb1, dls2, dlb2 = _bwd_ffn_call(
-        dh2, a1, params, masks)
+        dh2, a1, params, masks, seeds=seeds, rate=rate)
     dx, dwqkv, dbqkv, dwo, dbo = _bwd_attn_call(
-        da1, x_p, kmask, attn, params, masks, num_heads)
+        da1, x_p, kmask, attn, params, masks, num_heads,
+        seeds=seeds, rate=rate)
 
     dparams = {
         "self_attn": {
@@ -648,25 +721,38 @@ def _bwd_call(dh2, x_p, kmask, params, masks, a1, attn, num_heads):
     return dx, dparams
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused_layer_train(num_heads, out_dtype, x_p, kmask, params, masks):
-    out, _, _ = _fwd_call(x_p, kmask, params, masks, num_heads, out_dtype)
+def _dseeds(seeds):
+    """Cotangent for the integer seed vector (symbolic zero)."""
+    if seeds is None:
+        return None
+    return np.zeros(seeds.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_layer_train(num_heads, out_dtype, rate, x_p, kmask, params,
+                       masks, seeds):
+    out, _, _ = _fwd_call(x_p, kmask, params, masks, num_heads, out_dtype,
+                          seeds=seeds, rate=rate)
     return out
 
 
-def _fused_layer_train_fwd(num_heads, out_dtype, x_p, kmask, params, masks):
-    out, a1, attn = _fwd_call(x_p, kmask, params, masks, num_heads, out_dtype)
-    return out, (x_p, kmask, params, masks, a1, attn)
+def _fused_layer_train_fwd(num_heads, out_dtype, rate, x_p, kmask, params,
+                           masks, seeds):
+    out, a1, attn = _fwd_call(x_p, kmask, params, masks, num_heads,
+                              out_dtype, seeds=seeds, rate=rate)
+    return out, (x_p, kmask, params, masks, seeds, a1, attn)
 
 
-def _fused_layer_train_bwd(num_heads, out_dtype, res, dh2):
-    x_p, kmask, params, masks, a1, attn = res
-    dx, dparams = _bwd_call(dh2, x_p, kmask, params, masks, a1, attn, num_heads)
+def _fused_layer_train_bwd(num_heads, out_dtype, rate, res, dh2):
+    x_p, kmask, params, masks, seeds, a1, attn = res
+    dx, dparams = _bwd_call(dh2, x_p, kmask, params, masks, a1, attn,
+                            num_heads, seeds=seeds, rate=rate)
     dmasks = None if masks is None else tuple(jnp.zeros_like(m) for m in masks)
     # cast param grads onto the param dtypes (params are stored fp32)
     dparams = jax.tree_util.tree_map(
         lambda g, p: g.astype(p.dtype), dparams, params)
-    return (dx.astype(x_p.dtype), jnp.zeros_like(kmask), dparams, dmasks)
+    return (dx.astype(x_p.dtype), jnp.zeros_like(kmask), dparams, dmasks,
+            _dseeds(seeds))
 
 
 _fused_layer_train.defvjp(_fused_layer_train_fwd, _fused_layer_train_bwd)
@@ -695,16 +781,26 @@ def fused_encoder_layer_train(
     masks=None,
     key_padding_mask: Optional[jax.Array] = None,
     store_probs: bool = False,
+    seeds: Optional[jax.Array] = None,
+    rate: float = 0.0,
 ) -> jax.Array:
-    """One differentiable fused encoder layer. x (B, S, D); masks = scaled
-    keep-masks from make_dropout_masks (None = deterministic). store_probs
-    selects the recompute-free attention backward (probs + qkv written as
-    residuals — 1.13-1.2x at b128, BASELINE.md training roofline)."""
+    """One differentiable fused encoder layer. x (B, S, D).
+
+    Dropout: pass EITHER masks (scaled keep-masks from make_dropout_masks;
+    None = deterministic) OR seeds — a (B,) int32 per-clip seed vector for
+    the TPU-only in-kernel hardware-PRNG dropout at the static `rate`
+    (zero mask HBM traffic; the backward regenerates identical masks by
+    re-seeding (seed, site)). store_probs selects the recompute-free
+    attention backward (probs + qkv written as residuals — BASELINE.md
+    training roofline)."""
+    assert masks is None or seeds is None, \
+        "pass external masks OR in-kernel prng seeds, not both"
     B, S, D = x.shape
     Sp = _round_up(S, SEQ_ALIGN)
     xp, kmask, _ = _shared_layer_inputs(x, Sp, layer_params, key_padding_mask)
     fn = _fused_layer_train_store if store_probs else _fused_layer_train
-    out = fn(num_heads, jnp.dtype(x.dtype), xp, kmask, layer_params, masks)
+    out = fn(num_heads, jnp.dtype(x.dtype), float(rate), xp, kmask,
+             layer_params, masks, seeds)
     return out[:, :S]
 
 
@@ -717,19 +813,36 @@ def fused_encoder_train(
     rng: Optional[jax.Array] = None,
     key_padding_mask: Optional[jax.Array] = None,
     store_probs: bool = False,
+    in_kernel_prng: bool = False,
 ) -> jax.Array:
     """Differentiable fused encoder stack (training path). dropout > 0
-    requires rng; each layer draws independent masks."""
+    requires rng; each layer draws independent masks.
+
+    in_kernel_prng (MDMConfig.fused_train_prng / --fused_train_prng):
+    generate the dropout masks INSIDE the kernels from per-(clip, layer)
+    hardware-PRNG seeds instead of materializing bf16 mask arrays — the
+    external masks measured 0.26 ms/layer of forward HBM traffic plus
+    their generation cost at b128 (BASELINE.md training roofline). TPU
+    only (pltpu.prng_* has no CPU interpret lowering); other backends
+    fall back to the mask-array path, so CPU-mesh tests exercise the same
+    call sites with equivalent (not bit-identical) dropout statistics."""
     B, S, D = x.shape
     Sp = _round_up(S, SEQ_ALIGN)
     F = encoder_params["layers_0"]["linear1"]["kernel"].shape[1]
+    use_prng = (in_kernel_prng and dropout > 0.0
+                and jax.default_backend() == "tpu")
     for i in range(num_layers):
         masks = None
-        if dropout > 0.0:
+        seeds = None
+        if dropout > 0.0 and use_prng:
+            seeds = jax.random.bits(
+                jax.random.fold_in(rng, i), (B,), "uint32").astype(jnp.int32)
+        elif dropout > 0.0:
             masks = make_dropout_masks(jax.random.fold_in(rng, i),
                                        (B, Sp, D), dropout, F)
         x = fused_encoder_layer_train(
             x, encoder_params[f"layers_{i}"], num_heads,
             masks=masks, key_padding_mask=key_padding_mask,
-            store_probs=store_probs)
+            store_probs=store_probs, seeds=seeds,
+            rate=dropout if seeds is not None else 0.0)
     return x

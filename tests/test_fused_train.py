@@ -282,6 +282,89 @@ class TestStoreProbs:
         assert args.fused_train == 1  # normalized for the TP mesh guard
 
 
+class TestInKernelPrng:
+    """TPU-only in-kernel hardware-PRNG dropout (MDMConfig.fused_train_prng
+    / --fused_train_prng): masks are generated inside the kernels from
+    per-(clip, layer) seeds — zero mask HBM traffic. On-chip validation
+    (determinism per seed, unbiasedness at rate 0.5, finite-difference
+    gradient check through the custom VJP — which would fail if the
+    backward regenerated different masks than the forward, store x prng
+    composition) runs in the TPU tier below; the CPU mesh exercises the
+    documented fallback."""
+
+    def test_cpu_falls_back_to_mask_arrays_bitwise(self):
+        """On non-TPU backends in_kernel_prng=True must take the EXACT
+        mask-array path (same rng folds), bit for bit."""
+        if jax.default_backend() == "tpu":
+            pytest.skip("fallback path is for non-TPU backends")
+        r = np.random.RandomState(0)
+        x = jnp.asarray(r.randn(2, S, D), jnp.float32)
+        enc = TransformerEncoder(2, D, H, F, dropout=0.2)
+        params = enc.init(jax.random.PRNGKey(0), x)["params"]["layers_0"]
+        eparams = {"layers_0": params, "layers_1": params}
+        rng = jax.random.PRNGKey(5)
+        a = fused_encoder_train(x, eparams, 2, H, 0.2, rng)
+        b = fused_encoder_train(x, eparams, 2, H, 0.2, rng,
+                                in_kernel_prng=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.skipif(jax.default_backend() != "tpu",
+                        reason="pltpu.prng_* has no CPU lowering")
+    def test_prng_dropout_on_chip(self):
+        """Determinism per seed, seed sensitivity, rate->0 limit, and the
+        FD gradient check through the prng path (fwd/bwd mask identity)."""
+        r = np.random.RandomState(1)
+        x = jnp.asarray(r.randn(B, S, D), jnp.float32)
+        layer = TransformerEncoderLayer(D, H, F, dropout=0.1)
+        params = layer.init(jax.random.PRNGKey(0), x)["params"]
+        seeds = jnp.asarray([11, 22, 33], jnp.int32)
+        det = fused_encoder_layer_train(x, params, H)
+        p0 = fused_encoder_layer_train(x, params, H, seeds=seeds, rate=1e-9)
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(det), atol=1e-5)
+        o1 = np.asarray(fused_encoder_layer_train(x, params, H, seeds=seeds,
+                                                  rate=0.3))
+        o2 = np.asarray(fused_encoder_layer_train(x, params, H, seeds=seeds,
+                                                  rate=0.3))
+        o3 = np.asarray(fused_encoder_layer_train(x, params, H,
+                                                  seeds=seeds + 1, rate=0.3))
+        assert np.array_equal(o1, o2) and not np.array_equal(o1, o3)
+
+        for store in (False, True):
+            def loss(p, xx):
+                out = fused_encoder_layer_train(xx, p, H, seeds=seeds,
+                                                rate=0.1, store_probs=store)
+                return jnp.sum(jnp.sin(out))
+
+            g_p, g_x = jax.grad(loss, argnums=(0, 1))(params, x)
+            rv = np.random.RandomState(2)
+            vp = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(rv.randn(*a.shape), a.dtype), params)
+            vx = jnp.asarray(rv.randn(*x.shape), jnp.float32)
+            eps = 1e-2
+            pp = jax.tree_util.tree_map(lambda a, v: a + eps * v, params, vp)
+            pm = jax.tree_util.tree_map(lambda a, v: a - eps * v, params, vp)
+            fd = float((loss(pp, x + eps * vx) - loss(pm, x - eps * vx))
+                       / (2 * eps))
+            an = sum(float(jnp.vdot(a, b)) for a, b in
+                     zip(jax.tree_util.tree_leaves(g_p),
+                         jax.tree_util.tree_leaves(vp)))
+            an += float(jnp.vdot(g_x, vx))
+            assert abs(fd - an) / abs(an) < 5e-2, (store, fd, an)
+
+    def test_cli_prng_implies_fused_train(self):
+        import argparse
+
+        from motionstyle.cli.model_util import get_transfer_config
+
+        args = argparse.Namespace(
+            dataset="stylexia_posrot", latent_dim=32, layers=1,
+            cond_mask_prob=0.1, arch="trans_enc", fused_train=0,
+            fused_train_prng=1)
+        cfg = get_transfer_config(args)
+        assert cfg.fused_train and cfg.fused_train_prng
+        assert args.fused_train == 1
+
+
 class TestTrainers:
     def _prior(self, fused_train, tmp_path):
         from motionstyle.diffusion.schedule import make_schedule

@@ -59,6 +59,9 @@ def finetune_step():
          dict(batch=128, steps=12, fused_train=True)),
         ("prior_pretrain_b128_fused_store",
          dict(batch=128, steps=12, fused_train=True, fused_train_store=True)),
+        ("prior_pretrain_b128_fused_store_prng",
+         dict(batch=128, steps=12, fused_train=True, fused_train_store=True,
+              fused_train_prng=True)),
         # grad_accum overhead at fixed effective batch (the r3 microbatching
         # knob — train/pretrain.py PretrainConfig.grad_accum)
         ("prior_pretrain_b128_accum2", dict(batch=128, steps=12, grad_accum=2)),

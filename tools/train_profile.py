@@ -380,8 +380,8 @@ def main(argv=None):
     def vjp_store_step(car):
         out, f_vjp = jax.vjp(
             lambda xx: ft._fused_layer_train_store(
-                H, jnp.dtype(jnp.bfloat16), xx, car["k"], params,
-                tuple(car["m"])), car["c"])
+                H, jnp.dtype(jnp.bfloat16), 0.0, xx, car["k"], params,
+                tuple(car["m"]), None), car["c"])
         (dx,) = f_vjp(jnp.ones_like(out))
         return dx
 
