@@ -112,3 +112,30 @@ class TestExporters:
         obj.save_npy(str(tmp_path / "out.npy"))
         d = np.load(str(tmp_path / "out.npy"), allow_pickle=True).item()
         assert d["vertices"].shape[-1] == 4
+
+
+class TestFitSeqCLI:
+    def test_fit_directory_with_chunked_warm_start(self, tmp_path):
+        """cli/fit_seq.py: the reference's standalone sequence-fitting
+        driver (visualize/joints2smpl/fit_seq.py) as a batched jitted fit —
+        whole npy directory in, per-file smpl_params npy (+ optional OBJ
+        meshes) out; chunks warm-start from the previous chunk's last
+        frame like the reference's per-frame pkl chain."""
+        from motionstyle.cli.fit_seq import main as fit_main
+
+        data = tmp_path / "data"
+        data.mkdir()
+        r = np.random.RandomState(0)
+        np.save(data / "a.npy", (r.randn(5, 22, 3) * 0.3).astype(np.float32))
+        np.save(data / "b.npy", (r.randn(4, 22, 3) * 0.3).astype(np.float32))
+        outs = fit_main(["--data_folder", str(data), "--all",
+                         "--save_folder", str(tmp_path / "out"),
+                         "--num_smplify_iters", "2", "--chunk", "3",
+                         "--save_obj", "1"])
+        assert len(outs) == 2
+        d = np.load(outs[0], allow_pickle=True).item()
+        assert d["pose"].shape == (5, 72) and d["betas"].shape == (5, 10)
+        assert d["motion"].shape == (1, 25, 6, 5)
+        assert np.isfinite(d["pose"]).all()
+        objs = os.listdir(tmp_path / "out" / "a_obj")
+        assert len(objs) == 5
