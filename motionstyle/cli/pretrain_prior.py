@@ -57,6 +57,12 @@ def main(argv=None):
                              "scan), one optimizer update per batch: N-fold "
                              "smaller activation footprint for the same "
                              "effective batch. Must divide --batch_size")
+    parser.add_argument("--schedule_sampler", default="uniform",
+                        choices=["uniform", "loss_second_moment"],
+                        help="timestep sampler; loss_second_moment = "
+                             "importance-sample t by sqrt(E[loss^2]) "
+                             "(diffusion/resample.py — the reference "
+                             "implements but never exposes it)")
     parser.add_argument("--dropout_rng_impl", default="rbg",
                         choices=["rbg", "threefry"],
                         help="dropout bit generator; rbg = hardware RNG "
@@ -120,7 +126,8 @@ def main(argv=None):
                          lr_anneal_steps=args.lr_anneal_steps,
                          grad_accum=args.grad_accum,
                          resume_checkpoint=args.resume_checkpoint,
-                         pipeline_micro=args.pipeline_micro)
+                         pipeline_micro=args.pipeline_micro,
+                         schedule_sampler=args.schedule_sampler)
     if args.fsdp and mesh is None:
         raise SystemExit("--fsdp needs a mesh: pass --data_parallel 1")
     trainer = PriorTrainer(cfg, bundle.model, bundle.params, sched_full,

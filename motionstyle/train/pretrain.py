@@ -76,6 +76,14 @@ class PretrainConfig:
     # the sibling opt{step:09d}.pt (same tolerant-load semantics as the
     # finetune trainer / reference training_loop.py:126-141)
     resume_checkpoint: str = ""
+    # timestep sampler: "uniform" (reference default — the only one its
+    # training loop ever instantiates, training_loop.py:94-95) or
+    # "loss_second_moment" (importance-sample t by sqrt(E[loss^2]),
+    # resample.py:129-159; the reference implements but never exposes it).
+    # Loss-aware sampling needs per-sample losses on the host every step;
+    # the update is applied one step LATE so the async dispatch pipeline
+    # never blocks on an in-flight device buffer.
+    schedule_sampler: str = "uniform"
     # microbatches per pipeline when the mesh has a 'pipe' axis
     # (--pipeline_parallel on the pretrain CLI); 0 = auto (the largest
     # divisor of the per-data-shard batch <= 2 * n_stages — enough
@@ -113,7 +121,17 @@ class PriorTrainer(PreemptionMixin):
         self.step = 0
         self.resume_step = 0
         self.rng = jax.random.PRNGKey(cfg.seed)
-        self.sampler = UniformSampler(sched.num_timesteps)
+        if cfg.schedule_sampler == "loss_second_moment":
+            from motionstyle.diffusion.resample import LossSecondMomentResampler
+
+            self.sampler = LossSecondMomentResampler(sched.num_timesteps)
+        elif cfg.schedule_sampler == "uniform":
+            self.sampler = UniformSampler(sched.num_timesteps)
+        else:
+            raise ValueError(
+                f"unknown schedule_sampler {cfg.schedule_sampler!r} "
+                "(uniform | loss_second_moment)")
+        self._pending_update = None  # (t, per-sample losses) one step late
         if cfg.resume_checkpoint:
             self._load_checkpoint(cfg.resume_checkpoint)
 
@@ -195,7 +213,8 @@ class PriorTrainer(PreemptionMixin):
             x_t = ddpm.q_sample(sched, batch["x_start"], batch["t"], noise)
             enc = mask_cond(rng_cond, batch["enc_text"], cfg.cond_mask_prob)
             full = {"x_t": x_t, "t": batch["t"], "enc": enc,
-                    "mask": batch["mask"], "x_start": batch["x_start"]}
+                    "mask": batch["mask"], "x_start": batch["x_start"],
+                    "t_weights": batch["t_weights"]}
 
             def pp_denoise_prior(p, mb, drop_key):
                 """Prior forward with the mdm encoder GPipe-scheduled over
@@ -245,11 +264,15 @@ class PriorTrainer(PreemptionMixin):
                               axis=(1, 2, 3))
                 n = jnp.maximum(jnp.sum(mask, axis=(1, 2, 3)), 1.0) * (
                     mb["x_start"].shape[1] * mb["x_start"].shape[2])
-                return jnp.mean(sse / n)
+                per_sample = sse / n
+                # importance weights from the timestep sampler (uniform ->
+                # all ones; reference training_loop.py:255 semantics)
+                return jnp.mean(per_sample * mb["t_weights"]), per_sample
 
             accum = max(1, cfg.grad_accum)
             if accum == 1:
-                loss, grads = jax.value_and_grad(micro_loss)(params, full)
+                (loss, per_sample), grads = jax.value_and_grad(
+                    micro_loss, has_aux=True)(params, full)
             else:
                 B = x_t.shape[0]
                 if B % accum:
@@ -271,19 +294,22 @@ class PriorTrainer(PreemptionMixin):
                 def acc(carry, sc):
                     mb, dk = sc
                     c_loss, c_grads = carry
-                    l, g = jax.value_and_grad(micro_loss)(params, mb, dk)
+                    (l, ps), g = jax.value_and_grad(
+                        micro_loss, has_aux=True)(params, mb, dk)
                     return (c_loss + l,
-                            jax.tree_util.tree_map(jnp.add, c_grads, g)), None
+                            jax.tree_util.tree_map(jnp.add, c_grads, g)), ps
 
                 zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-                (loss, grads), _ = jax.lax.scan(
+                (loss, grads), per_micro = jax.lax.scan(
                     acc, (jnp.zeros((), jnp.float32), zeros),
                     (micros, drop_keys))
+                per_sample = per_micro.reshape(-1)
                 inv = 1.0 / accum
                 loss = loss * inv
                 grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
             updates, new_opt_state = self.tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), new_opt_state, loss
+            return (optax.apply_updates(params, updates), new_opt_state,
+                    loss, per_sample)
 
         return jax.jit(train_step, donate_argnums=(0, 1))
 
@@ -294,14 +320,24 @@ class PriorTrainer(PreemptionMixin):
         cap throughput at the dispatch latency, not the MXU — callers that
         want a number apply float() and pay the sync only when they look."""
         self.rng, sub, tsub = jax.random.split(self.rng, 3)
-        t, _ = self.sampler.sample(tsub, batch["x_start"].shape[0])
-        batch = dict(batch, t=t)
+        if self._pending_update is not None:
+            # one step late: the buffers have materialized by now, so the
+            # host read does not stall the dispatch pipeline
+            pt, pl = self._pending_update
+            self.sampler.update_with_local_losses(np.asarray(pt),
+                                                  np.asarray(pl))
+            self._pending_update = None
+        t, t_weights = self.sampler.sample(tsub, batch["x_start"].shape[0])
+        batch = dict(batch, t=t,
+                     t_weights=jnp.asarray(t_weights, jnp.float32))
         if self.mesh is not None:
             from motionstyle.parallel.mesh import shard_batch
 
             batch = shard_batch(batch, self.mesh, replicate_indivisible=True)
-        self.params, self.opt_state, loss = self._train_step(
+        self.params, self.opt_state, loss, per_sample = self._train_step(
             self.params, self.opt_state, sub, batch)
+        if hasattr(self.sampler, "update_with_local_losses"):
+            self._pending_update = (t, per_sample)
         self.step += 1
         if self.cfg.log_interval and self.step % self.cfg.log_interval == 0:
             logger.logkv("prior_step", self.step + self.resume_step)

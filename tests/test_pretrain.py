@@ -559,3 +559,54 @@ class TestGradAccumAndAnneal:
             l0 = float(tr0.run_step(dict(batch)))
             lm = float(trm.run_step(dict(batch)))
             assert np.isclose(l0, lm, rtol=1e-4), (i, l0, lm)
+
+
+class TestLossAwareSampler:
+    """--schedule_sampler loss_second_moment on the pretrain CLI: the
+    importance-weighted timestep sampler the reference implements but never
+    exposes (resample.py:129-159; training_loop.py:94-95 hard-codes
+    uniform). Sampler-history updates are applied one step late so the
+    async dispatch pipeline never blocks."""
+
+    def test_loss_aware_pretrain_runs_and_updates_history(self, tmp_path):
+        from motionstyle.diffusion.resample import LossSecondMomentResampler
+
+        cfg = MDMConfig(njoints=16, nfeats=1, latent_dim=32, ff_size=64,
+                        num_layers=1, clip_dim=32)
+        model = StyleDiffusion(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 16, 1, 8), jnp.float32),
+                            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 32)),
+                            method=StyleDiffusion.full_init)
+        pcfg = PretrainConfig(save_dir=str(tmp_path), num_steps=12, lr=1e-3,
+                              log_interval=0, seed=3, grad_accum=2,
+                              schedule_sampler="loss_second_moment")
+        tr = PriorTrainer(pcfg, model, params, make_schedule("cosine", 10))
+        assert isinstance(tr.sampler, LossSecondMomentResampler)
+        r = np.random.RandomState(0)
+        batch = {"x_start": r.randn(8, 16, 1, 8).astype(np.float32) * 0.5,
+                 "enc_text": r.randn(8, 32).astype(np.float32),
+                 "mask": np.ones((8, 1, 1, 8), np.float32)}
+        losses = [float(tr.run_step(dict(batch))) for _ in range(12)]
+        assert np.isfinite(losses).all()
+        # updates land one step late: after 12 steps, 11 batches of 8
+        # (t, loss) pairs entered the history (per-t counts cap at
+        # history_per_term=10, so the sum is <= 88 but well past warmup)
+        total = tr.sampler._loss_counts.sum()
+        assert 0 < total <= 11 * 8, total
+        assert (tr.sampler._loss_counts > 0).sum() >= 5  # spread over t
+        # weighted sampling still produces a converging trajectory
+        assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
+
+    def test_unknown_sampler_rejected(self, tmp_path):
+        cfg = MDMConfig(njoints=16, nfeats=1, latent_dim=32, ff_size=64,
+                        num_layers=1, clip_dim=32)
+        model = StyleDiffusion(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 16, 1, 8), jnp.float32),
+                            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 32)),
+                            method=StyleDiffusion.full_init)
+        with pytest.raises(ValueError, match="schedule_sampler"):
+            PriorTrainer(PretrainConfig(save_dir=str(tmp_path),
+                                        schedule_sampler="bogus"),
+                         model, params, make_schedule("cosine", 10))
