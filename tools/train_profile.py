@@ -330,8 +330,9 @@ def main(argv=None):
     def vjp_step(car):
         out, f_vjp = jax.vjp(
             lambda xx: ft._fused_layer_train(H, jnp.dtype(jnp.bfloat16),
-                                             xx, car["k"], params,
-                                             tuple(car["m"])), car["c"])
+                                             0.0, xx, car["k"], params,
+                                             tuple(car["m"]), None),
+            car["c"])
         (dx,) = f_vjp(jnp.ones_like(out))
         return dx
 
