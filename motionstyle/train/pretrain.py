@@ -212,9 +212,13 @@ class PriorTrainer(PreemptionMixin):
                                       dtype=jnp.float32)
             x_t = ddpm.q_sample(sched, batch["x_start"], batch["t"], noise)
             enc = mask_cond(rng_cond, batch["enc_text"], cfg.cond_mask_prob)
+            # direct callers (HLO probes, dryrun) may omit t_weights;
+            # uniform sampling is the all-ones default
             full = {"x_t": x_t, "t": batch["t"], "enc": enc,
                     "mask": batch["mask"], "x_start": batch["x_start"],
-                    "t_weights": batch["t_weights"]}
+                    "t_weights": batch.get(
+                        "t_weights",
+                        jnp.ones((x_t.shape[0],), jnp.float32))}
 
             def pp_denoise_prior(p, mb, drop_key):
                 """Prior forward with the mdm encoder GPipe-scheduled over
