@@ -187,3 +187,28 @@ def log_loss_dict(num_timesteps, ts, losses):
         for sub_t, sub_loss in zip(ts.reshape(-1), values.reshape(-1)):
             quartile = int(4 * sub_t / num_timesteps)
             logkv_mean(f"{key}_q{quartile}", float(sub_loss))
+
+
+def print_current_loss(start_time, niter_state, losses, epoch=None,
+                       sub_epoch=None, inner_iter=None, tf_ratio=None,
+                       sl_steps=None):
+    """Console progress line for the vendored eval trainers; parity:
+    data_loaders/humanml/utils/utils.py:36-62 (elapsed minutes + one
+    '%s: %.4f' pair per loss term, optional epoch/teacher-forcing tail)."""
+    import time as _time
+
+    def as_minutes(s):
+        m = int(s // 60)
+        return "%dm %ds" % (m, int(s - m * 60))
+
+    if epoch is not None:
+        print("epoch: %3d niter: %6d sub_epoch: %2d inner_iter: %4d"
+              % (epoch, niter_state, sub_epoch or 0, inner_iter or 0),
+              end=" ")
+    message = as_minutes(_time.time() - start_time)
+    for k, v in losses.items():
+        message += " %s: %.4f " % (k, float(v))
+    if sl_steps is not None or tf_ratio is not None:
+        message += " sl_length:%2d tf_ratio:%.2f" % (sl_steps or 0,
+                                                     tf_ratio or 0.0)
+    print(message)

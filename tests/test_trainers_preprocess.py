@@ -97,3 +97,21 @@ class TestBVHResample:
         np.testing.assert_allclose(d, 1.0, atol=1e-4)
         np.testing.assert_allclose(out.pos[0], pos[0], atol=1e-5)
         np.testing.assert_allclose(out.pos[-1], pos[8], atol=1e-5)  # src = 4 * 2.0
+
+
+def test_print_current_loss_parity_format(capsys):
+    """train/logging.print_current_loss: the vendored eval trainers' console
+    helper (reference humanml/utils/utils.py:36-62)."""
+    import time
+
+    from motionstyle.train.logging import print_current_loss
+
+    print_current_loss(time.time() - 65, 120, {"loss": 1.23456, "kl": 0.5},
+                       epoch=2, sub_epoch=1, inner_iter=7, tf_ratio=0.4,
+                       sl_steps=10)
+    out = capsys.readouterr().out
+    assert "epoch:   2" in out and "loss: 1.2346" in out
+    assert "1m 5s" in out and "tf_ratio:0.40" in out
+    print_current_loss(time.time(), 5, {"loss": 2.0})
+    out2 = capsys.readouterr().out
+    assert "loss: 2.0000" in out2 and "epoch" not in out2
