@@ -61,8 +61,12 @@ def fit_file(path: str, save_dir: str, j2s, smpl, chunk: int = 0,
         os.makedirs(obj_dir, exist_ok=True)
         pose_aa = np.concatenate(poses, 0).reshape(T, 24, 3)
         pose_mats = rot.axis_angle_to_matrix(jnp.asarray(pose_aa))  # (T,24,3,3)
-        verts, _ = lbs(smpl.model, jnp.zeros((T, 10)), pose_mats)
-        verts = np.asarray(verts)
+        # meshes must correspond to the fitted (pose, betas, cam) written to
+        # <name>_smpl_params.npy: use the fitted betas and apply the fitted
+        # camera translation (smplify losses place verts at model + cam_t)
+        fit_betas = jnp.asarray(np.concatenate(betas, 0))
+        verts, _ = lbs(smpl.model, fit_betas, pose_mats)
+        verts = np.asarray(verts) + np.concatenate(cams, 0)[:, None, :]
         faces = getattr(smpl, "faces", None)
         for t in range(T):
             with open(os.path.join(obj_dir, f"{t:04d}.obj"), "w") as f:

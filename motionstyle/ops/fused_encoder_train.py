@@ -128,7 +128,8 @@ def _drop_site(mode, rate, dref, site, x):
     keep = 1.0 - rate
     pltpu.prng_seed(dref, site)
     bits = pltpu.prng_random_bits(x.shape).astype(jnp.uint32)
-    thresh = np.uint32(int(keep * 4294967296.0) & 0xFFFFFFFF)
+    # clamp: keep==1.0 would wrap int(keep*2**32) to 0 and zero everything
+    thresh = np.uint32(min(int(keep * 4294967296.0), 4294967295))
     return jnp.where(bits < thresh, x * (1.0 / keep), 0.0)
 
 
@@ -795,6 +796,8 @@ def fused_encoder_layer_train(
     training roofline)."""
     assert masks is None or seeds is None, \
         "pass external masks OR in-kernel prng seeds, not both"
+    assert seeds is None or rate > 0.0, \
+        "seeds given with rate<=0: prng dropout needs the static rate"
     B, S, D = x.shape
     Sp = _round_up(S, SEQ_ALIGN)
     xp, kmask, _ = _shared_layer_inputs(x, Sp, layer_params, key_padding_mask)

@@ -370,6 +370,40 @@ class PriorTrainer(PreemptionMixin):
                     self.model.cfg.num_layers))
         return host
 
+    @staticmethod
+    def _map_opt_encoder(tree, fn):
+        """Apply fn to every ``mdm/seqTransEncoder`` subtree inside an
+        opt-state pytree (the Adam mu/nu trees mirror the param structure,
+        so the pipeline stage stack appears once per moment tree)."""
+        def rec(node):
+            if isinstance(node, dict):
+                if ("mdm" in node and isinstance(node["mdm"], dict)
+                        and "seqTransEncoder" in node["mdm"]):
+                    mdm = dict(node["mdm"],
+                               seqTransEncoder=fn(node["mdm"]["seqTransEncoder"]))
+                    return {**node, "mdm": mdm}
+                return {k: rec(v) for k, v in node.items()}
+            if isinstance(node, tuple) and hasattr(node, "_fields"):
+                return type(node)(*(rec(v) for v in node))
+            if isinstance(node, (tuple, list)):
+                return type(node)(rec(v) for v in node)
+            return node
+
+        return rec(tree)
+
+    def _canon_opt_state(self):
+        """Opt state with the encoder moments in the canonical layers_{i}
+        layout (unstacks the 'pipe' stage stack, mirroring _host_params) so
+        opt{step}.pt checkpoints are layout-independent: a pipelined run
+        resumes its Adam moments on a plain mesh and vice versa."""
+        if self.pipe <= 1:
+            return self.opt_state
+        from motionstyle.parallel.pipeline import unstack_stage_params
+
+        L = self.model.cfg.num_layers
+        return self._map_opt_encoder(
+            self.opt_state, lambda t: unstack_stage_params(t, L))
+
     def save_step(self):
         """Write mdm{step:09d}.pt + opt{step:09d}.pt so a preempted or
         killed pretraining run resumes exactly (PretrainConfig.
@@ -385,7 +419,7 @@ class PriorTrainer(PreemptionMixin):
                                            self.model.cfg.num_layers).items()},
                    path)
         opt_path = os.path.join(self.cfg.save_dir, f"opt{step:09d}.pt")
-        flat, _ = jax.tree_util.tree_flatten(self.opt_state)
+        flat, _ = jax.tree_util.tree_flatten(self._canon_opt_state())
         torch.save([np.asarray(x) for x in flat], opt_path)
         logger.log(f"saved prior step checkpoint {path}")
         return path
@@ -412,26 +446,32 @@ class PriorTrainer(PreemptionMixin):
 
     def _seed_opt_counts(self):
         """Fallback path (missing/corrupt opt*.pt): fresh moments would also
-        reset every optax `count` leaf to 0, which with lr_anneal_steps set
+        reset the schedule `count` to 0, which with lr_anneal_steps set
         re-runs the whole anneal from full LR at a late global step. The
         reference is immune (its _anneal_lr derives LR from step+resume_step,
-        training_loop.py:297-303) — match it by seeding all scalar integer
-        count leaves (Adam bias-correction + schedule counts) from
-        resume_step."""
+        training_loop.py:297-303) — match it by seeding ONLY the
+        ScaleByScheduleState count that drives the LR anneal. Adam's own
+        bias-correction count stays 0: with fresh zero moments, a nonzero
+        count makes mu_hat~=mu and the first ~1/(1-beta1) steps take ~10x
+        smaller updates than the reference's fresh-Adam-at-resume
+        semantics."""
         step = self.resume_step
 
-        def seed(leaf):
-            if (getattr(leaf, "ndim", None) == 0
-                    and jnp.issubdtype(leaf.dtype, jnp.integer)):
-                out = jnp.asarray(step, dtype=leaf.dtype)
-                sh = getattr(leaf, "sharding", None)
-                return jax.device_put(out, sh) if sh is not None else out
-            return leaf
+        def seed(node):
+            if isinstance(node, optax.ScaleByScheduleState):
+                out = jnp.asarray(step, dtype=node.count.dtype)
+                sh = getattr(node.count, "sharding", None)
+                if sh is not None:
+                    out = jax.device_put(out, sh)
+                return optax.ScaleByScheduleState(count=out)
+            return node
 
-        self.opt_state = jax.tree_util.tree_map(seed, self.opt_state)
-        logger.log(f"optimizer state unavailable: fresh moments, count leaves "
-                   f"seeded to resume_step={step} (LR anneal continues from "
-                   f"the global step, not from 0)")
+        self.opt_state = jax.tree_util.tree_map(
+            seed, self.opt_state,
+            is_leaf=lambda n: isinstance(n, optax.ScaleByScheduleState))
+        logger.log(f"optimizer state unavailable: fresh moments, LR-schedule "
+                   f"count seeded to resume_step={step} (anneal continues "
+                   f"from the global step; Adam bias correction restarts)")
 
     def _load_optimizer_state(self):
         """Tolerant opt-state load (reference training_loop.py:138-141):
@@ -447,12 +487,25 @@ class PriorTrainer(PreemptionMixin):
             return
         try:
             flat = torch.load(opt_path, map_location="cpu", weights_only=False)
-            _, treedef = jax.tree_util.tree_flatten(self.opt_state)
+            # opt*.pt holds the CANONICAL (layers_{i}) layout — unflatten
+            # against the canonical treedef, then restack for a 'pipe' mesh
+            # so cross-layout resumes keep their Adam moments
+            _, treedef = jax.tree_util.tree_flatten(self._canon_opt_state())
+            canon = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(x) for x in flat])
+            if self.pipe > 1:
+                from motionstyle.parallel.pipeline import stack_stage_params
+
+                L = self.model.cfg.num_layers
+                canon = self._map_opt_encoder(
+                    canon, lambda t: stack_stage_params(t, L, self.pipe))
             shardings = [getattr(a, "sharding", None)
                          for a in jax.tree_util.tree_leaves(self.opt_state)]
-            leaves = [jax.device_put(jnp.asarray(x), s) if s is not None
-                      else jnp.asarray(x) for x, s in zip(flat, shardings)]
-            self.opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+            leaves = [jax.device_put(a, s) if s is not None else a
+                      for a, s in zip(jax.tree_util.tree_leaves(canon),
+                                      shardings)]
+            self.opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.opt_state), leaves)
             logger.log(f"loaded optimizer state from {opt_path}")
         except Exception as e:
             logger.log(f"could not load optimizer state ({e})")

@@ -308,6 +308,16 @@ class TestInKernelPrng:
                                 in_kernel_prng=True)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_seeds_with_zero_rate_rejected(self, layer_setup):
+        """seeds without a positive static rate would wrap the keep
+        threshold (int(1.0 * 2**32) & 0xFFFFFFFF == 0) and silently zero
+        the whole layer output — now an explicit error, and the threshold
+        itself is clamped to 2**32-1 (r4 advisor finding)."""
+        _, params, x, _ = layer_setup
+        with pytest.raises(AssertionError, match="rate"):
+            fused_encoder_layer_train(x, params, H,
+                                      seeds=jnp.zeros((B,), jnp.int32))
+
     @pytest.mark.skipif(jax.default_backend() != "tpu",
                         reason="pltpu.prng_* has no CPU lowering")
     def test_prng_dropout_on_chip(self):

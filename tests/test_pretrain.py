@@ -353,6 +353,75 @@ class TestPipelinePretrain:
             np.testing.assert_allclose(x, y, atol=1e-6,
                                        err_msg=jax.tree_util.keystr(pth))
 
+    def test_pp_opt_state_resumes_cross_layout(self, tmp_path):
+        """opt{step}.pt is written in the CANONICAL (layers_{i}) layout: a
+        pipelined run's Adam moments survive resuming on a plain mesh, and
+        a plain run's moments restack onto a 'pipe' mesh — no silent
+        fresh-moment fallback (r4 advisor finding)."""
+        from motionstyle.parallel.mesh import make_mesh
+
+        mesh = make_mesh(2, pipeline_parallel=2)
+        cfg, tr = self._trainer(tmp_path, "ppo", mesh=mesh, micro=2)
+        tr.cfg.save_interval = 10 ** 9
+        tr.run_step(self._batch(cfg, seed=0))
+        tr.run_step(self._batch(cfg, seed=1))
+        path = tr.save_step()
+
+        def resume(name, mesh=None):
+            pcfg = PretrainConfig(save_dir=str(tmp_path / name), num_steps=1,
+                                  lr=1e-3, log_interval=0, seed=3,
+                                  dropout_rng_impl="threefry",
+                                  resume_checkpoint=path)
+            return PriorTrainer(pcfg, tr.model, tr._host_params(),
+                                make_schedule("cosine", 50), mesh=mesh)
+
+        src = [np.asarray(x) for x in
+               jax.tree_util.tree_leaves(tr._canon_opt_state())]
+        # the moments must be non-trivial, else this only compares zeros
+        assert any(a.size > 1 and np.any(a != 0) for a in src)
+        for name, m in (("ppo_plain", None),
+                        ("ppo_pipe", make_mesh(2, pipeline_parallel=2))):
+            tr2 = resume(name, mesh=m)
+            got = [np.asarray(x) for x in
+                   jax.tree_util.tree_leaves(tr2._canon_opt_state())]
+            assert len(src) == len(got), name
+            for a, b in zip(src, got):
+                np.testing.assert_allclose(a, b, atol=1e-6, err_msg=name)
+
+    def test_seed_opt_counts_schedule_only(self, tmp_path):
+        """The missing-opt-file fallback seeds ONLY the LR-schedule count;
+        Adam's bias-correction count stays 0 so the first steps after a
+        fresh-moment fallback keep reference-sized updates (r4 advisor
+        finding: seeding Adam's count with zero moments makes the first
+        ~1/(1-beta1) steps ~10x too small)."""
+        import optax
+
+        cfg = MDMConfig(njoints=16, nfeats=1, latent_dim=32, ff_size=64,
+                        num_layers=1, clip_dim=32)
+        model = StyleDiffusion(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 16, 1, 8), jnp.float32),
+                            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 32)),
+                            method=StyleDiffusion.full_init)
+        pcfg = PretrainConfig(save_dir=str(tmp_path / "sc"), num_steps=1,
+                              log_interval=0, lr_anneal_steps=100)
+        tr = PriorTrainer(pcfg, model, params, make_schedule("cosine", 50))
+        tr.resume_step = 37
+        tr._seed_opt_counts()
+
+        def states(kind):
+            out = []
+            jax.tree_util.tree_map(
+                lambda n: out.append(n) if isinstance(n, kind) else n,
+                tr.opt_state, is_leaf=lambda n: isinstance(n, kind))
+            return out
+
+        sched_states = states(optax.ScaleByScheduleState)
+        adam_states = states(optax.ScaleByAdamState)
+        assert sched_states and adam_states
+        assert all(int(s.count) == 37 for s in sched_states)
+        assert all(int(s.count) == 0 for s in adam_states)
+
     def test_pp_guards(self, tmp_path):
         from motionstyle.parallel.mesh import make_mesh
 
