@@ -96,6 +96,100 @@ def edit_caption_with_style(caption: str, style_label: str, dataset: str, tokens
     return " ".join(words)
 
 
+class AutoStopEvaluator:
+    """Automatic operating-point selection for the few-shot finetune
+    (--auto_stop).
+
+    The style/content trade-off's knee is seed/numerics-dependent (QUALITY.md
+    seed table: content 0.28-0.73 at a fixed budget), so a hand-picked
+    --num_steps — the reference's practice (parser_util.py:165 num_steps=24,
+    README.md:62 demo ckpt at ~32 steps) — lands on an arbitrary point of the
+    curve. Instead: every `interval` steps, sample a transfer onto the
+    generated neutral content with the LIVE weights and pinned eval noise
+    (the demo's exact DDIM/skip/dump[-5] path), score it with
+    eval/style_metrics.transfer_report, and stop at the FIRST point that is
+    both styled (style_dist_ratio < ratio_gate) and content-preserving
+    (content_similarity > content_gate). Once styling begins (ratio < 0.98)
+    without the gate met, evals densify to `fine` steps so the knee cannot
+    fall between two coarse rungs.
+
+    The sampler is jitted ONCE with the params as a traced argument —
+    repeated evals pay zero recompiles.
+    """
+
+    NEAR_KNEE_RATIO = 0.98
+
+    def __init__(self, args, bundle, sched_ddim, ds, neutral, input_motions,
+                 inp_mask, enc_neutral, m_length):
+        self.ratio_gate = float(args.auto_stop_ratio)
+        self.content_gate = float(args.auto_stop_content)
+        self.coarse = int(args.auto_stop_interval or args.save_interval)
+        self.fine = max(1, int(args.auto_stop_fine))
+        self.interval = self.coarse
+        self.trace = {}
+        self.selected = None
+        self.m_length = int(m_length)
+        # pinned noise: the gate metric varies only with the weights
+        self.rng = jax.random.PRNGKey(args.seed + 0xA57)
+        skip = int(args.skip_steps / args.diffusion_steps
+                   * sched_ddim.num_timesteps)
+        n_live = sched_ddim.num_timesteps - skip
+        pick = -5 if n_live >= 5 else -1  # the demo's early-stop dump pick
+        model = bundle.model
+
+        def sample_fn(params, rng):
+            def fn(x, t_orig, cond):
+                return model.apply({"params": params}, x, t_orig,
+                                   cond.get("enc_text"))
+
+            xs = sampling.sample_loop(
+                sched_ddim, fn, {"enc_text": enc_neutral}, rng,
+                shape=tuple(neutral.shape), init_image=neutral, method="ddim",
+                skip_timesteps=skip, inpainting=Inpainting(inp_mask, neutral),
+                dump_all_xstart=True)
+            return xs[pick]
+
+        self._sample = jax.jit(sample_fn)
+        self._ds = ds
+        self.content_hml = ds.inv_transform(
+            np.asarray(neutral)[0, :, 0, :].T)[: self.m_length]
+        self.style_hml = ds.inv_transform(
+            np.asarray(input_motions)[0, :, 0, :].T)[: self.m_length]
+
+    def due(self, step: int) -> bool:
+        return step % self.interval == 0
+
+    def evaluate(self, params, step: int):
+        """Score the live weights; returns (gate_met, report)."""
+        from motionstyle.eval.style_metrics import transfer_report
+
+        out = self._sample(params, self.rng)
+        hml = self._ds.inv_transform(
+            np.asarray(out)[0, :, 0, :].T)[: self.m_length]
+        rep = transfer_report(hml, self.content_hml, self.style_hml)
+        self.trace[step] = {k: float(v) for k, v in rep.items()}
+        ok = (rep["style_dist_ratio"] < self.ratio_gate
+              and rep["content_similarity"] > self.content_gate)
+        if ok:
+            self.selected = step
+        elif rep["style_dist_ratio"] < self.NEAR_KNEE_RATIO:
+            self.interval = self.fine  # near the knee: densify
+        print(f"[auto_stop] step {step}: ratio "
+              f"{rep['style_dist_ratio']:.3f} content "
+              f"{rep['content_similarity']:.3f}"
+              + (" -> STOP (gate met)" if ok else ""))
+        return ok, rep
+
+    def dump(self, save_dir: str):
+        with open(pjoin(save_dir, "auto_stop.json"), "w") as fw:
+            json.dump({
+                "selected_step": self.selected,
+                "ratio_gate": self.ratio_gate,
+                "content_gate": self.content_gate,
+                "trace": self.trace,
+            }, fw, indent=2, sort_keys=True)
+
+
 def main(argv=None):
     args = finetune_inpainting_style_args(argv)
     defaults = DATASET_DEFAULTS[args.dataset]
@@ -219,11 +313,19 @@ def main(argv=None):
         sum(np.size(x) for x in jax.tree_util.tree_leaves(trainer.params[trainable_key])) / 1e6))
     trainer.install_preemption_handler()
 
+    auto = None
+    if getattr(args, "auto_stop", 0):
+        auto = AutoStopEvaluator(args, bundle, sched_ddim, ds, neutral,
+                                 input_motions, inp_mask, enc_neutral,
+                                 m_length)
+
     step = 0
     caption_enc = model_util.CaptionEncoder(bundle, args.dataset)
-    while step < args.num_steps and not trainer.preempted:
+    while step < args.num_steps and not trainer.preempted \
+            and (auto is None or auto.selected is None):
         for motion, cond in data:
-            if step >= args.num_steps or trainer.preempted:
+            if step >= args.num_steps or trainer.preempted \
+                    or (auto is not None and auto.selected is not None):
                 break
             # style word spliced into the dataset captions ONLY under
             # semantic guidance (f_s_d.py:268-285 gates both families);
@@ -253,7 +355,16 @@ def main(argv=None):
             print(f"step[{step}]: loss[{terms['loss']:0.5f}]")
             logger.dumpkvs()
             step += 1
+            if auto is not None and auto.due(step) and step < args.num_steps \
+                    and not trainer.preempted:
+                auto.evaluate(trainer.effective_params(), step)
     trainer.finish()
+    if auto is not None:
+        if auto.selected is None and not trainer.preempted:
+            # budget exhausted without the gate: score the final weights so
+            # the trace records where the run ended
+            auto.evaluate(trainer.effective_params(), step)
+        auto.dump(args.save_dir)
     trainer.restore_signal_handlers()  # later signals kill normally again
     bundle = bundle._replace(params={"params": trainer.effective_params()})
     platform.close()

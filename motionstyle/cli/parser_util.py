@@ -238,6 +238,30 @@ def add_finetune_options(parser):
                             "across XLA versions/backends")
     group.add_argument("--skip_render", action="store_true",
                        help="skip the BVH/mp4 visualization outputs")
+    group.add_argument("--auto_stop", default=0, type=int,
+                       help="1 = automatic operating-point selection: every "
+                            "--auto_stop_interval steps, sample a transfer "
+                            "onto the generated neutral content with the "
+                            "live weights (pinned eval noise) and score it "
+                            "(eval/style_metrics.transfer_report); stop at "
+                            "the FIRST styled-and-content-preserving point "
+                            "(ratio < --auto_stop_ratio AND content > "
+                            "--auto_stop_content). Replaces the reference's "
+                            "practice of hand-picking num_steps "
+                            "(parser_util.py:165 num_steps=24; the paper "
+                            "hand-stops after tens of steps). Writes the "
+                            "eval trace + selected step to auto_stop.json")
+    group.add_argument("--auto_stop_ratio", default=0.95, type=float,
+                       help="style_dist_ratio gate (< means styled)")
+    group.add_argument("--auto_stop_content", default=0.6, type=float,
+                       help="content_similarity gate (> means preserved)")
+    group.add_argument("--auto_stop_interval", default=0, type=int,
+                       help="coarse eval cadence in steps (0 = save_interval)")
+    group.add_argument("--auto_stop_fine", default=5, type=int,
+                       help="once styling begins (ratio < 0.98) but the gate "
+                            "is not yet met, densify evals to this cadence "
+                            "so the style/content knee cannot fall between "
+                            "two coarse rungs")
 
 
 def add_style_inpainting_options(parser):

@@ -30,6 +30,29 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running end-to-end test (CLI chains, protocols)")
+    config.addinivalue_line(
+        "markers", "quick: the ~5-min pre-commit gate "
+                   "(python -m pytest tests/ -m quick): goldens, diffusion "
+                   "math, masks, parser, codec, serve fuzz. The full suite "
+                   "stays the merge gate")
+
+
+# the quick gate's module set: correctness-critical, fast, wide coverage.
+# Everything else (CLI chains, trainers, protocols) stays full-suite-only.
+QUICK_MODULES = {
+    "test_rotations", "test_rotations_property", "test_schedule_property",
+    "test_diffusion", "test_plms_vlb", "test_resample", "test_models",
+    "test_skeleton_features", "test_bvh_property", "test_dtype",
+    "test_packaging", "test_serve", "test_forecast_sampling",
+    "test_sampler_update",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in QUICK_MODULES and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
 
 
 @pytest.fixture(scope="session")

@@ -257,7 +257,10 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
                       ls_weight: float = 10.0,
                       save_interval: int = 100,
                       ladder: bool = False,
-                      strengths: tuple = ()) -> dict:
+                      strengths: tuple = (),
+                      auto_stop: bool = False,
+                      auto_stop_ratio: float = 0.95,
+                      auto_stop_content: float = 0.6) -> dict:
     """Stage 3-5: finetune via the CLI, demo pre+post, score.
 
     semantic_guidance requires assets prepared with semantic_steps > 0 and
@@ -365,6 +368,43 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
             out = demo(pjoin(ft_dir, name), f"demo_{tag}_s{step}")
             ladder_reports[step] = transfer_report(load_hml(out), content, style_ex)
         ladder_reports[int(os.path.basename(final_ckpt)[5:14])] = rep_post
+    auto_report = {}
+    if auto_stop:
+        # a SEPARATE finetune with --auto_stop 1 off the same warm start:
+        # the run stops itself at the first styled-and-content-preserving
+        # point (coarse cadence = save_interval, densified near the knee),
+        # so the selected operating point is chosen BY the metric instead of
+        # by a hand-picked budget (VERDICT r4 item 1)
+        ft_auto = ft_main([
+            "--dataset", dataset, "--data_dir", data_root,
+            "--save_dir", pjoin(work, f"ftauto_{tag}"),
+            "--style_example", style_example,
+            "--mdm_path", assets["mdm_path"],
+            "--resume_checkpoint", assets["warm_path"],
+            "--num_steps", str(finetune_steps), "--lr", str(lr),
+            "--batch_size", str(assets["batch_size"]),
+            "--save_interval", str(save_interval),
+            "--overwrite", "--train_platform_type", "NoPlatform",
+            "--skip_render", "--layers", str(assets["layers"]),
+            "--latent_dim", str(assets["latent_dim"]),
+            "--diffusion_steps", str(diffusion_steps),
+            "--skip_steps", str(skip), "--semantic_guidance", "0",
+            "--fused_train", "1" if assets.get("fused_train") else "0",
+            "--seed", str(seed), "--auto_stop", "1",
+            "--auto_stop_ratio", str(auto_stop_ratio),
+            "--auto_stop_content", str(auto_stop_content),
+        ] + sem_args)
+        with open(pjoin(ft_auto, "auto_stop.json")) as fr:
+            auto_report = json.load(fr)
+        if auto_report.get("selected_step") is not None:
+            # independent check of the selected checkpoint through the REAL
+            # demo path (auto_stop's in-train eval transfers onto the
+            # neutral content; the demo transfers onto the held-out clip)
+            names = sorted(f for f in os.listdir(ft_auto)
+                           if f.startswith("model") and f[5:14].isdigit())
+            out_auto = demo(pjoin(ft_auto, names[-1]), f"demo_auto_{tag}")
+            auto_report["demo_report"] = transfer_report(
+                load_hml(out_auto), content, style_ex)
     strength_reports = {}
     for a in strengths:
         if a == 1.0:
@@ -375,6 +415,7 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
         strength_reports[a] = transfer_report(load_hml(out), content, style_ex)
     return {
         "pre": rep_pre, "post": rep_post, "ladder": ladder_reports,
+        "auto": auto_report,
         "strength_sweep": strength_reports,
         "config": dict(prior_steps=assets["prior_steps"],
                        finetune_steps=finetune_steps, lr=lr,
@@ -531,7 +572,8 @@ def run_protocol(work: str, *, prior_steps: int = 1500, finetune_steps: int = 20
                  content_clip: str = "600neutral_walking.npy",
                  strengths: tuple = (),
                  dataset: str = "stylexia_posrot",
-                 fused_train: bool = False) -> dict:
+                 fused_train: bool = False,
+                 auto_stop: bool = False) -> dict:
     if dataset != "stylexia_posrot" and style_example == "624angry_jumping.npy":
         fname = PROFILES[dataset]["fname"]
         style_example = fname(624, "angry", "jumping")
@@ -544,7 +586,8 @@ def run_protocol(work: str, *, prior_steps: int = 1500, finetune_steps: int = 20
     return evaluate_transfer(assets, finetune_steps=finetune_steps, lr=lr,
                              save_interval=save_interval, ladder=ladder,
                              style_example=style_example,
-                             content_clip=content_clip, strengths=strengths)
+                             content_clip=content_clip, strengths=strengths,
+                             auto_stop=auto_stop)
 
 
 def format_markdown(result: dict) -> str:
@@ -584,6 +627,10 @@ def main(argv=None):
     p.add_argument("--strengths", default="", type=str,
                    help="comma-separated style_strength values to sweep on "
                         "the final checkpoint (e.g. '0,0.25,0.5,1,1.5')")
+    p.add_argument("--auto_stop", action="store_true",
+                   help="also run the --auto_stop finetune arm (automatic "
+                        "operating-point selection) and report the selected "
+                        "step's metrics (QUALITY.md seed table)")
     p.add_argument("--mixing", action="store_true",
                    help="style-mixing evaluation: two finetunes off one "
                         "warm start, blended at several --style_mix weights")
@@ -621,8 +668,23 @@ def main(argv=None):
                                    strengths=strengths)
     else:
         result = run_protocol(args.work, seed=args.seed, strengths=strengths,
-                              dataset=args.dataset, **kw)
+                              dataset=args.dataset, auto_stop=args.auto_stop,
+                              **kw)
     print(format_markdown(result))
+    if result.get("auto"):
+        a = result["auto"]
+        sel = a.get("selected_step")
+        print(f"\nauto_stop: selected step {sel} "
+              f"(gates ratio<{a['ratio_gate']} content>{a['content_gate']})")
+        for s in sorted(a["trace"], key=int):
+            r = a["trace"][s]
+            print(f"  step {s}: ratio {r['style_dist_ratio']:.3f} "
+                  f"content {r['content_similarity']:.3f}")
+        if a.get("demo_report"):
+            r = a["demo_report"]
+            print(f"  demo check @selected: ratio {r['style_dist_ratio']:.3f} "
+                  f"content {r['content_similarity']:.3f} "
+                  f"root_err {r['root_horizontal_max_abs_err']:.2e}")
     if result.get("strength_sweep"):
         print("\nstrength sweep (style_strength -> style_dist / content_sim / root_err):")
         for a in sorted(result["strength_sweep"]):

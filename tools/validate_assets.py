@@ -170,6 +170,39 @@ def validate_glove(glove_dir: str):
         record("glove", "FAIL", f"{type(ex).__name__}: {ex}")
 
 
+def validate_raw_bvh(bvh_dir: str, dataset: str):
+    """Raw-dataset ingestion tier: when a directory of raw Xia/Bandai BVH
+    downloads is present, run cli/prepare_dataset on a sample and check the
+    output layout + decode plausibility (the golden parity itself is pinned
+    by tests/test_prepare_dataset.py on a committed fixture)."""
+    if not (bvh_dir and os.path.isdir(bvh_dir)):
+        record("raw-bvh", "SKIP", "no raw BVH dir (--bvh_dir); "
+               "tests/test_prepare_dataset.py pins the pipeline on the "
+               "committed fixture")
+        return
+    import tempfile
+
+    from motionstyle.cli.prepare_dataset import prepare
+
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            written = prepare(bvh_dir, tmp, dataset)
+            import jax.numpy as jnp
+
+            from motionstyle.core import features as F
+            from motionstyle.cli.prepare_dataset import PROFILES
+
+            arr = np.load(written[0])
+            rec = np.asarray(F.recover_from_ric(
+                jnp.asarray(arr, jnp.float32), PROFILES[dataset]["joints"]))
+            ok = bool(np.isfinite(arr).all() and np.isfinite(rec).all())
+            record("raw-bvh", "OK" if ok else "FAIL",
+                   f"{len(written)} clip(s) processed to "
+                   f"{arr.shape[1]}-dim features; decode finite={ok}")
+    except Exception as ex:  # noqa: BLE001
+        record("raw-bvh", "FAIL", f"{type(ex).__name__}: {ex}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--clip_bpe", default=os.environ.get("CLIP_BPE_PATH", ""))
@@ -177,12 +210,17 @@ def main(argv=None):
     ap.add_argument("--smpl_dir", default=os.environ.get("SMPL_DATA_PATH", ""))
     ap.add_argument("--gmm_dir", default=os.environ.get("GMM_MODEL_DIR", ""))
     ap.add_argument("--glove_dir", default="")
+    ap.add_argument("--bvh_dir", default="",
+                    help="directory of raw BVH downloads to ingest-validate "
+                         "through cli/prepare_dataset")
+    ap.add_argument("--bvh_dataset", default="stylexia_posrot")
     args = ap.parse_args(argv)
 
     validate_clip(args.clip_bpe, args.clip_ckpt)
     validate_smpl(args.smpl_dir)
     validate_gmm(args.gmm_dir)
     validate_glove(args.glove_dir)
+    validate_raw_bvh(args.bvh_dir, args.bvh_dataset)
 
     print("\n| asset | status | detail |")
     print("|---|---|---|")
