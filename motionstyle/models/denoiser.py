@@ -349,9 +349,23 @@ class DiffuseTransfer(nn.Module):
         )
 
     def __call__(self, x, timesteps, enc_text, style_code, content_code,
-                 deterministic=True):
+                 deterministic=True, uncond=False, dropout_rng=None):
+        """Denoise x_t conditioned on text + the style-content residual.
+
+        Parity with DiffuseTrasnfer.forward (:733-760): input_mu =
+        enc_text + (style_code - content_code), then mask_cond — uncond=True
+        zeroes the WHOLE conditioned embedding (force_mask, :727-733); in
+        training (deterministic=False, cond_mask_prob > 0) per-sample
+        Bernoulli dropout with dropout_rng.
+        """
         emb = self.mdm.embed_timestep(timesteps)
         input_mu = enc_text + (style_code - content_code)
+        if uncond:
+            input_mu = jnp.zeros_like(input_mu)
+        elif not deterministic and self.cfg.cond_mask_prob > 0.0:
+            assert dropout_rng is not None, "cond dropout needs dropout_rng"
+            input_mu = mask_cond(dropout_rng, input_mu,
+                                 self.cfg.cond_mask_prob)
         emb = emb + self.mdm.embed_text(input_mu)
         h = self.mdm.input_process(self.mdm._frames_to_tokens(x))
         xseq = jnp.concatenate([emb[:, None, :], h], axis=1)
@@ -364,6 +378,14 @@ class DiffuseTransfer(nn.Module):
                                  self.motion_enc_encoder,
                                  self.cfg.latent_dim, x, frame_mask,
                                  deterministic)
+
+    def full_init(self, x, timesteps, enc_text):
+        """Touch every submodule so model.init builds the complete tree
+        (mirrors StyleDiffusion.full_init)."""
+        zeros = jnp.zeros_like(enc_text)
+        out = self(x, timesteps, enc_text, zeros, zeros)
+        mu = self.encode_motion(x)
+        return out, mu
 
 def _encode_motion_mu(mdm, mu_query, sigma_query, motion_encoder, latent_dim,
                       x, frame_mask, deterministic):

@@ -149,6 +149,52 @@ def assemble_style_diffusion_params(
     return {"params": params}
 
 
+def assemble_diffuse_transfer_params(
+    cfg: MDMConfig, sd: Dict[str, np.ndarray], rng=None,
+) -> dict:
+    """Reference DiffuseTrasnfer (sic, :628-760) state dict -> params for
+    motionstyle DiffuseTransfer.
+
+    Reference layout: `seqTransEncoder.*` is the trainable transfer encoder;
+    `motion_enc.*` holds the frozen MotionEncoder (muQuery/sigmaQuery, its
+    own seqTransEncoder, and the inner mdm_model whose embed/input/output
+    modules the transfer forward borrows, :733-760). Missing subtrees fall
+    back to fresh init (the reference loads motion_enc from
+    kargs['motion_enc_path'] at construction, :704-711).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from motionstyle.models.denoiser import DiffuseTransfer
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    model = DiffuseTransfer(cfg)
+    dummy_x = jnp.zeros((1, cfg.njoints, cfg.nfeats, 8), dtype=jnp.float32)
+    params = model.init(rng, dummy_x, jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1, cfg.clip_dim), jnp.float32),
+                        method=DiffuseTransfer.full_init)["params"]
+
+    mdm_sd = {k[len("motion_enc.mdm_model."):]: v for k, v in sd.items()
+              if k.startswith("motion_enc.mdm_model.")}
+    if mdm_sd:
+        mdm_tree = convert_mdm(mdm_sd, cfg)
+        # the transfer forward never runs the prior's own encoder stack
+        # (:733-760 uses the module's trainable seqTransEncoder); drop it so
+        # the tree matches full_init's structure exactly
+        mdm_tree.pop("seqTransEncoder", None)
+        params["mdm"] = mdm_tree
+    if "motion_enc.muQuery" in sd:
+        params["mu_query"] = sd["motion_enc.muQuery"].astype(np.float32)
+        params["sigma_query"] = sd["motion_enc.sigmaQuery"].astype(np.float32)
+    if "motion_enc.seqTransEncoder.layers.0.norm1.weight" in sd:
+        params["motion_enc_encoder"] = convert_encoder(
+            sd, "motion_enc.seqTransEncoder", cfg.num_layers)
+    if "seqTransEncoder.layers.0.norm1.weight" in sd:
+        params["transfer_encoder"] = convert_encoder(
+            sd, "seqTransEncoder", cfg.num_layers)
+    return {"params": params}
+
+
 def _export_dense(sd: Dict[str, np.ndarray], key: str, tree: dict):
     sd[f"{key}.weight"] = np.asarray(tree["kernel"]).T
     sd[f"{key}.bias"] = np.asarray(tree["bias"])
