@@ -107,6 +107,18 @@ def main(argv=None):
     print(f'caption: "{texts[0]}"')
     enc_text = bundle.encode_text(texts, args.dataset)
 
+    long_ctx = None
+    lf = getattr(args, "long_frames", 0)
+    if lf > 0:
+        for bad in ("parallel_window", "forecast_stride", "model_parallel",
+                    "pipeline_parallel", "sequence_parallel"):
+            if getattr(args, bad, 1 if "parallel" in bad else 0) not in (0, 1):
+                raise SystemExit(f"--long_frames is incompatible with --{bad}")
+        if lf <= max_frames:
+            print(f"NOTE: --long_frames {lf} <= the model "
+                  f"window {max_frames}; running the plain path")
+            lf = 0
+
     if args.dataset == "humanml":
         # reference :144-176 — the humanml content motion is GENERATED from
         # the frozen prior (full 1000-step DDPM, guidance 2.5) at max_frames
@@ -117,7 +129,34 @@ def main(argv=None):
                                 jnp.full((args.num_samples,), 2.5))
         rng_prior = jax.random.fold_in(jax.random.PRNGKey(args.seed), 1)
         prior_shape = (args.num_samples, njoints, nfeats, max_frames)
-        if getattr(args, "parallel_window", 0) > 0:
+        if lf > 0:
+            # long-form humanml: the content itself is prior-GENERATED past
+            # the training horizon by free window continuation (each window
+            # continues the last exactly via overlap inpainting,
+            # diffusion/longform.py), then restyled through the same
+            # windowed transfer the posrot datasets use
+            from motionstyle.diffusion.longform import longform_sample
+
+            print(f"long-form humanml: generating {lf}-frame content from "
+                  f"the prior in windows of {max_frames}")
+
+            def run_prior_window(init, inp, wrng):
+                return sampling.sample_loop(
+                    sched_full, prior_fn, {"enc_text": enc_text}, wrng,
+                    shape=prior_shape,
+                    init_image=None if init is None else jnp.asarray(init),
+                    method="ddpm", inpainting=inp)
+
+            long_content = np.asarray(longform_sample(
+                run_prior_window, lf, max_frames, overlap=10,
+                rng=rng_prior), np.float32)
+            sample_t2m = jnp.asarray(long_content[..., :max_frames])
+            long_mask = np.asarray(get_inpainting_mask(
+                args.inpainting_mask, long_content.shape,
+                dataset=args.dataset), np.float32)
+            m_length = lf
+            long_ctx = (long_content, long_mask)
+        elif getattr(args, "parallel_window", 0) > 0:
             from motionstyle.diffusion.parallel_sampling import parallel_sample_loop
 
             sample_t2m, sweeps = parallel_sample_loop(
@@ -139,50 +178,39 @@ def main(argv=None):
                 sched_full, prior_fn, {"enc_text": enc_text}, rng_prior,
                 shape=prior_shape, method="ddpm",
             )
-        m_length = style_m_length
+        if long_ctx is None:
+            m_length = style_m_length
     else:
         sample_t2m, m_length = load_clip(args.input_content)
         if args.num_samples > 1:
             # batch the content clip (the reference crashes for num_samples > 1)
             sample_t2m = jnp.tile(sample_t2m, (args.num_samples, 1, 1, 1))
 
-    long_ctx = None
-    if getattr(args, "long_frames", 0) > 0:
+    if lf > 0 and long_ctx is None:
         # long-form transfer (diffusion/longform.py): restyle the FULL
         # content clip by chained windows instead of trimming it to
         # max_frames; frames past the content's end are generated freely
         # (each window continues the last exactly via overlap inpainting)
-        if args.dataset == "humanml":
-            raise SystemExit("--long_frames supports the posrot content-clip "
-                             "path (humanml generates content from the prior)")
-        for bad in ("parallel_window", "forecast_stride", "model_parallel",
-                    "pipeline_parallel", "sequence_parallel"):
-            if getattr(args, bad, 1 if "parallel" in bad else 0) not in (0, 1):
-                raise SystemExit(f"--long_frames is incompatible with --{bad}")
-        if args.long_frames <= max_frames:
-            print(f"NOTE: --long_frames {args.long_frames} <= the model "
-                  f"window {max_frames}; running the plain path")
-        else:
-            cpath = (args.input_content if os.path.isfile(args.input_content)
-                     else pjoin(ds.opt.motion_dir, args.input_content))
-            raw = np.load(cpath)  # (L, D) unnormalized, NOT trimmed
-            if raw.shape[0] < args.long_frames:
-                # the CLI keeps the foot-contact reference aligned with the
-                # output; free continuation past the content is the library
-                # path (diffusion/longform.py with a shorter content)
-                raise SystemExit(
-                    f"--long_frames {args.long_frames} exceeds the content "
-                    f"clip's {raw.shape[0]} frames")
-            norm = ((raw - ds.mean) / ds.std).astype(np.float32)
-            long_content = np.tile(norm.T[None, :, None, :],
-                                   (args.num_samples, 1, 1, 1))
-            long_mask = np.asarray(get_inpainting_mask(
-                args.inpainting_mask, long_content.shape,
-                dataset=args.dataset), np.float32)
-            m_length = args.long_frames
-            long_ctx = (long_content, long_mask)
-            print(f"long-form transfer: {raw.shape[0]}-frame content -> "
-                  f"{m_length} frames in windows of {max_frames}")
+        cpath = (args.input_content if os.path.isfile(args.input_content)
+                 else pjoin(ds.opt.motion_dir, args.input_content))
+        raw = np.load(cpath)  # (L, D) unnormalized, NOT trimmed
+        if raw.shape[0] < lf:
+            # the CLI keeps the foot-contact reference aligned with the
+            # output; free continuation past the content is the library
+            # path (diffusion/longform.py with a shorter content)
+            raise SystemExit(
+                f"--long_frames {lf} exceeds the content "
+                f"clip's {raw.shape[0]} frames")
+        norm = ((raw - ds.mean) / ds.std).astype(np.float32)
+        long_content = np.tile(norm.T[None, :, None, :],
+                               (args.num_samples, 1, 1, 1))
+        long_mask = np.asarray(get_inpainting_mask(
+            args.inpainting_mask, long_content.shape,
+            dataset=args.dataset), np.float32)
+        m_length = lf
+        long_ctx = (long_content, long_mask)
+        print(f"long-form transfer: {raw.shape[0]}-frame content -> "
+              f"{m_length} frames in windows of {max_frames}")
 
     inp_mask = jnp.asarray(
         get_inpainting_mask(args.inpainting_mask, sample_t2m.shape, dataset=args.dataset),

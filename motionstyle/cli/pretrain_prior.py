@@ -84,6 +84,13 @@ def main(argv=None):
                         help="1 = ZeRO/FSDP layout: shard params + Adam "
                              "moments over 'data' (needs --data_parallel 1; "
                              "parallel/mesh.py::fsdp_spec)")
+    parser.add_argument("--ema_rate", default=0.0, type=float,
+                        help="exponential-moving-average rate for the prior "
+                             "weights (e.g. 0.9999; reference "
+                             "diffusion/nn.py:56 update_ema semantics — "
+                             "imported by the reference, never called). "
+                             "Writes mdm_ema.pt / ema{step:09d}.pt beside "
+                             "the raw checkpoints; 0 = off")
     parser.add_argument("--resume_checkpoint", default="", type=str,
                         help="resume a preempted/killed run: a "
                              "mdm{step:09d}.pt written by --save_interval "
@@ -127,7 +134,8 @@ def main(argv=None):
                          grad_accum=args.grad_accum,
                          resume_checkpoint=args.resume_checkpoint,
                          pipeline_micro=args.pipeline_micro,
-                         schedule_sampler=args.schedule_sampler)
+                         schedule_sampler=args.schedule_sampler,
+                         ema_rate=args.ema_rate)
     if args.fsdp and mesh is None:
         raise SystemExit("--fsdp needs a mesh: pass --data_parallel 1")
     trainer = PriorTrainer(cfg, bundle.model, bundle.params, sched_full,

@@ -89,6 +89,14 @@ class PretrainConfig:
     # divisor of the per-data-shard batch <= 2 * n_stages — enough
     # microbatches to bound the GPipe bubble at <= 1/3 of the schedule)
     pipeline_micro: int = 0
+    # exponential moving average of the prior weights (reference
+    # diffusion/nn.py:56 update_ema semantics: ema = rate*ema +
+    # (1-rate)*param — the guided-diffusion practice the upstream MDM prior
+    # was trained with, which the reference imports but never calls).
+    # 0 = off. The EMA update is folded into the one jitted train step;
+    # checkpoints gain mdm_ema.pt / ema{step:09d}.pt in the torch layout
+    # (loadable anywhere an --mdm_path goes).
+    ema_rate: float = 0.0
 
 
 class PriorTrainer(PreemptionMixin):
@@ -193,12 +201,21 @@ class PriorTrainer(PreemptionMixin):
             self.opt_state = self.tx.init(self.params)
         if self.resume_step:
             self._load_optimizer_state()
+        # EMA rides the params' placement; a REAL device copy (.copy()
+        # keeps shardings) — jnp.asarray would alias the param buffers and
+        # break the train step's donation. {} when disabled so the step
+        # signature is static
+        self.ema = (jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a).copy(), self.params["mdm"])
+            if cfg.ema_rate > 0 else {})
+        if cfg.ema_rate > 0 and self.resume_step:
+            self._load_ema_state()
         self._train_step = self._build_train_step()
 
     def _build_train_step(self):
         cfg, model, sched = self.cfg, self.model, self.sched
 
-        def train_step(params, opt_state, rng, batch):
+        def train_step(params, opt_state, ema, rng, batch):
             """batch: x_start (B,C,F,T), t (B,), enc_text (B,clip), mask
             (B,1,1,T)."""
             rng_noise, rng_drop, rng_cond = jax.random.split(rng, 3)
@@ -312,10 +329,15 @@ class PriorTrainer(PreemptionMixin):
                 loss = loss * inv
                 grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
             updates, new_opt_state = self.tx.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), new_opt_state,
-                    loss, per_sample)
+            new_params = optax.apply_updates(params, updates)
+            if cfg.ema_rate > 0:  # static: fused into the same executable
+                r = cfg.ema_rate
+                ema = jax.tree_util.tree_map(
+                    lambda e, q: r * e + (1.0 - r) * q,
+                    ema, new_params["mdm"])
+            return new_params, new_opt_state, ema, loss, per_sample
 
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        return jax.jit(train_step, donate_argnums=(0, 1, 2))
 
     def run_step(self, batch: dict):
         """One training step. Returns the loss as a 0-d device array (floats
@@ -338,8 +360,9 @@ class PriorTrainer(PreemptionMixin):
             from motionstyle.parallel.mesh import shard_batch
 
             batch = shard_batch(batch, self.mesh, replicate_indivisible=True)
-        self.params, self.opt_state, loss, per_sample = self._train_step(
-            self.params, self.opt_state, sub, batch)
+        self.params, self.opt_state, self.ema, loss, per_sample = \
+            self._train_step(self.params, self.opt_state, self.ema, sub,
+                             batch)
         if hasattr(self.sampler, "update_with_local_losses"):
             self._pending_update = (t, per_sample)
         self.step += 1
@@ -404,23 +427,42 @@ class PriorTrainer(PreemptionMixin):
         return self._map_opt_encoder(
             self.opt_state, lambda t: unstack_stage_params(t, L))
 
+    def _host_ema(self):
+        """Host copy of the EMA tree in the canonical layout (unstacks the
+        'pipe' stage stack, mirroring _host_params)."""
+        host = jax.tree_util.tree_map(np.asarray, self.ema)
+        if self.pipe > 1:
+            from motionstyle.parallel.pipeline import unstack_stage_params
+
+            host = dict(host, seqTransEncoder=unstack_stage_params(
+                host["seqTransEncoder"], self.model.cfg.num_layers))
+        return host
+
+    def _save_mdm_sd(self, tree: dict, path: str):
+        import torch
+
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in export_mdm(
+                        {"mdm": tree}, self.model.cfg.num_layers).items()},
+                   path)
+
     def save_step(self):
-        """Write mdm{step:09d}.pt + opt{step:09d}.pt so a preempted or
-        killed pretraining run resumes exactly (PretrainConfig.
-        resume_checkpoint)."""
+        """Write mdm{step:09d}.pt + opt{step:09d}.pt (+ ema{step:09d}.pt
+        with ema_rate) so a preempted or killed pretraining run resumes
+        exactly (PretrainConfig.resume_checkpoint)."""
         import torch
 
         os.makedirs(self.cfg.save_dir, exist_ok=True)
         host = self._host_params()
         step = self.step + self.resume_step
         path = os.path.join(self.cfg.save_dir, f"mdm{step:09d}.pt")
-        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
-                    for k, v in export_mdm({"mdm": host["mdm"]},
-                                           self.model.cfg.num_layers).items()},
-                   path)
+        self._save_mdm_sd(host["mdm"], path)
         opt_path = os.path.join(self.cfg.save_dir, f"opt{step:09d}.pt")
         flat, _ = jax.tree_util.tree_flatten(self._canon_opt_state())
         torch.save([np.asarray(x) for x in flat], opt_path)
+        if self.cfg.ema_rate > 0:
+            self._save_mdm_sd(self._host_ema(), os.path.join(
+                self.cfg.save_dir, f"ema{step:09d}.pt"))
         logger.log(f"saved prior step checkpoint {path}")
         return path
 
@@ -511,10 +553,43 @@ class PriorTrainer(PreemptionMixin):
             logger.log(f"could not load optimizer state ({e})")
             self._seed_opt_counts()
 
+    def _load_ema_state(self):
+        """Restore the EMA tree from ema{step:09d}.pt; a missing file
+        re-seeds it from the loaded params (the reference's update_ema
+        starts targets at the source values)."""
+        import torch
+
+        ema_path = os.path.join(
+            os.path.dirname(getattr(self, "_resolved_checkpoint",
+                                    self.cfg.resume_checkpoint)),
+            f"ema{self.resume_step:09d}.pt")
+        if not os.path.exists(ema_path):
+            logger.log("no EMA checkpoint; re-seeding EMA from params")
+            return
+        sd = {k: v.numpy() for k, v in
+              torch.load(ema_path, map_location="cpu",
+                         weights_only=False).items()}
+        tree = convert_mdm(sd, self.model.cfg)
+        if self.pipe > 1:
+            from motionstyle.parallel.pipeline import (
+                shard_stage_params, stack_stage_params)
+
+            tree = dict(tree, seqTransEncoder=shard_stage_params(
+                stack_stage_params(tree["seqTransEncoder"],
+                                   self.model.cfg.num_layers, self.pipe),
+                self.mesh))
+        placed = jax.tree_util.tree_map(
+            lambda a, ref: jax.device_put(
+                jnp.asarray(a), getattr(ref, "sharding", None)),
+            tree, self.ema)
+        self.ema = placed
+        logger.log(f"loaded EMA state from {ema_path}")
+
     def save(self):
         """Write mdm.pt (--mdm_path) + model_pretrained.pt
         (--resume_checkpoint warm start = the prior's encoder), both in the
-        reference torch layout."""
+        reference torch layout; with ema_rate also mdm_ema.pt (the
+        smoothed prior — load it anywhere an --mdm_path goes)."""
         import torch
 
         os.makedirs(self.cfg.save_dir, exist_ok=True)
@@ -528,5 +603,8 @@ class PriorTrainer(PreemptionMixin):
         torch.save(as_torch(export_style_encoder(
             {"style_encoder": host["mdm"]["seqTransEncoder"]},
             self.model.cfg.num_layers)), warm_path)
+        if self.cfg.ema_rate > 0:
+            self._save_mdm_sd(self._host_ema(),
+                              os.path.join(self.cfg.save_dir, "mdm_ema.pt"))
         logger.log(f"saved prior checkpoints {mdm_path} / {warm_path}")
         return mdm_path, warm_path

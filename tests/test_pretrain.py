@@ -444,6 +444,95 @@ class TestPipelinePretrain:
             cli_training_mesh(True, 2, 8, pipeline_parallel=2)
 
 
+class TestEMA:
+    """--ema_rate: EMA of the prior weights (reference diffusion/nn.py:56
+    update_ema semantics — the guided-diffusion practice the upstream MDM
+    prior was trained with; the reference imports the helper but never
+    calls it)."""
+
+    def _trainer(self, tmp_path, name, ema_rate=0.9, **kw):
+        cfg = MDMConfig(njoints=16, nfeats=1, latent_dim=32, ff_size=64,
+                        num_layers=1, clip_dim=32)
+        model = StyleDiffusion(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 16, 1, 8), jnp.float32),
+                            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 32)),
+                            method=StyleDiffusion.full_init)
+        pcfg = PretrainConfig(save_dir=str(tmp_path / name), num_steps=5,
+                              lr=1e-3, log_interval=0, seed=3,
+                              ema_rate=ema_rate, **kw)
+        return cfg, PriorTrainer(pcfg, model, params,
+                                 make_schedule("cosine", 50))
+
+    def _batch(self, cfg, seed=0, B=4):
+        r = np.random.RandomState(seed)
+        return {"x_start": r.randn(B, 16, 1, 8).astype(np.float32) * 0.5,
+                "enc_text": r.randn(B, 32).astype(np.float32),
+                "mask": np.ones((B, 1, 1, 8), np.float32)}
+
+    def test_ema_matches_reference_recursion(self, tmp_path):
+        """ema_t = rate*ema_{t-1} + (1-rate)*param_t, checked leaf-exactly
+        against a host-side replica over 4 steps."""
+        cfg, tr = self._trainer(tmp_path, "ema")
+        host_ema = jax.tree_util.tree_map(np.asarray, tr.params["mdm"])
+        for i in range(4):
+            tr.run_step(self._batch(cfg, seed=i))
+            host_ema = jax.tree_util.tree_map(
+                lambda e, q: 0.9 * e + 0.1 * np.asarray(q),
+                host_ema, tr.params["mdm"])
+        for (pth, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(host_ema),
+                jax.tree_util.tree_leaves(
+                    jax.tree_util.tree_map(np.asarray, tr.ema))):
+            np.testing.assert_allclose(a, b, atol=1e-6,
+                                       err_msg=jax.tree_util.keystr(pth))
+
+    def test_ema_checkpoints_and_resume(self, tmp_path):
+        cfg, tr = self._trainer(tmp_path, "emac", save_interval=10 ** 9)
+        for i in range(3):
+            tr.run_step(self._batch(cfg, seed=i))
+        path = tr.save_step()
+        tr.save()
+        assert os.path.exists(pjoin := os.path.join(
+            tr.cfg.save_dir, "ema000000003.pt")), pjoin
+        assert os.path.exists(os.path.join(tr.cfg.save_dir, "mdm_ema.pt"))
+        # mdm_ema.pt loads anywhere an --mdm_path goes
+        import torch
+
+        sd = {k: v.numpy() for k, v in torch.load(
+            os.path.join(tr.cfg.save_dir, "mdm_ema.pt"),
+            map_location="cpu", weights_only=False).items()}
+        tree = convert_mdm(sd, tr.model.cfg)
+        for (pth, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(tree),
+                jax.tree_util.tree_leaves(
+                    jax.tree_util.tree_map(np.asarray, tr.ema))):
+            np.testing.assert_allclose(a, b, atol=1e-6,
+                                       err_msg=jax.tree_util.keystr(pth))
+        # resume restores the EMA tree bit-exactly
+        pcfg2 = PretrainConfig(save_dir=str(tmp_path / "emac2"), num_steps=1,
+                               lr=1e-3, log_interval=0, seed=3,
+                               ema_rate=0.9, resume_checkpoint=path)
+        tr2 = PriorTrainer(pcfg2, tr.model,
+                           {"mdm": tr._host_params()["mdm"],
+                            **{k: v for k, v in tr._host_params().items()
+                               if k != "mdm"}},
+                           make_schedule("cosine", 50))
+        for a, b in zip(jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(np.asarray, tr.ema)),
+                jax.tree_util.tree_leaves(
+                    jax.tree_util.tree_map(np.asarray, tr2.ema))):
+            np.testing.assert_allclose(a, b, atol=1e-7)
+
+    def test_ema_off_is_zero_cost_tree(self, tmp_path):
+        cfg, tr = self._trainer(tmp_path, "emaoff", ema_rate=0.0)
+        tr.run_step(self._batch(cfg))
+        assert tr.ema == {}
+        tr.save()
+        assert not os.path.exists(os.path.join(tr.cfg.save_dir,
+                                               "mdm_ema.pt"))
+
+
 class TestGradAccumAndAnneal:
     """PretrainConfig.grad_accum (sequential microbatches inside one jitted
     step) and lr_anneal_steps (reference training_loop._anneal_lr:297-303)."""
