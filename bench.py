@@ -412,8 +412,9 @@ def bench_pretrain(batch: int = 64, steps: int = 30, dtype: str = "bfloat16",
     if not fused_train:
         try:  # exact compiled flops (includes backward; axon may not report)
             t_probe = np.zeros((batch,), np.int64)
-            ca = tr._train_step.lower(tr.params, tr.opt_state, tr.rng,
-                                      dict(bt, t=t_probe)).compile().cost_analysis()
+            ca = tr._train_step.lower(
+                tr.params, tr.opt_state, tr.ema, tr.rng,
+                dict(bt, t=t_probe)).compile().cost_analysis()
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
             flops = float(ca.get("flops", 0.0)) or None
         except Exception:

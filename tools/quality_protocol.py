@@ -259,7 +259,7 @@ def evaluate_transfer(assets: dict, *, finetune_steps: int = 24,
                       ladder: bool = False,
                       strengths: tuple = (),
                       auto_stop: bool = False,
-                      auto_stop_ratio: float = 0.95,
+                      auto_stop_ratio: float = 0.90,
                       auto_stop_content: float = 0.6) -> dict:
     """Stage 3-5: finetune via the CLI, demo pre+post, score.
 
