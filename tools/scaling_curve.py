@@ -139,6 +139,12 @@ def main(argv=None):
     ap.add_argument("--ae_steps", default=300, type=int)
     ap.add_argument("--match_steps", default=900, type=int)
     ap.add_argument("--seed", default=10, type=int)
+    ap.add_argument("--latent_dim", default=64, type=int,
+                    help="prior width — the CAPACITY axis: run a second "
+                         "curve at d=128/4L to separate budget-limited "
+                         "from capacity-limited metrics (VERDICT r4 item 4)")
+    ap.add_argument("--layers", default=2, type=int)
+    ap.add_argument("--batch_size", default=32, type=int)
     ap.add_argument("--tpu", action="store_true",
                     help="run on the default (TPU) platform instead of CPU")
     args = ap.parse_args(argv)
@@ -153,7 +159,9 @@ def main(argv=None):
         args.work, budgets=[int(b) for b in args.budgets.split(",")],
         num_samples=args.num_samples, replications=args.replications,
         grad_accum=args.grad_accum, ae_steps=args.ae_steps,
-        match_steps=args.match_steps, seed=args.seed)
+        match_steps=args.match_steps, seed=args.seed,
+        latent_dim=args.latent_dim, layers=args.layers,
+        batch_size=args.batch_size)
     print(json.dumps({str(k): v for k, v in results.items()}, indent=2))
     print(format_markdown(results))
     return results
