@@ -252,15 +252,11 @@ def add_finetune_options(parser):
                             "hand-stops after tens of steps). Writes the "
                             "eval trace + selected step to auto_stop.json")
     group.add_argument("--auto_stop_ratio", default=0.90, type=float,
-                       help="style_dist_ratio gate (< means styled). The
-"
-                            "                     in-train metric (transfer onto the neutral
-"
-                            "                     content) leads the held-out demo metric by
-"
-                            "                     ~0.1 (QUALITY.md seed table), so 0.90 here
-"
-                            "                     lands ~0.95-0.98 on held-out content")
+                       help="style_dist_ratio gate (< means styled). The "
+                            "in-train metric (transfer onto the neutral "
+                            "content) leads the held-out demo metric by "
+                            "~0.1 (QUALITY.md seed table), so 0.90 here "
+                            "lands ~0.95-0.98 on held-out content")
     group.add_argument("--auto_stop_content", default=0.6, type=float,
                        help="content_similarity gate (> means preserved)")
     group.add_argument("--auto_stop_interval", default=0, type=int,
