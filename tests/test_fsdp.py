@@ -190,7 +190,7 @@ class TestFsdpTraining:
         batch = dict(_batch(cfg), t=np.zeros((8,), np.int32))
         batch = shard_batch(batch, mesh)
         hlo = tr._train_step.lower(
-            tr.params, tr.opt_state, jax.random.PRNGKey(0), batch
+            tr.params, tr.opt_state, tr.ema, jax.random.PRNGKey(0), batch
         ).compile().as_text()
         assert ("all-gather" in hlo) or ("reduce-scatter" in hlo), \
             "expected FSDP collectives in the optimized HLO"
