@@ -143,19 +143,18 @@ class PriorTrainer(PreemptionMixin):
         if cfg.resume_checkpoint:
             self._load_checkpoint(cfg.resume_checkpoint)
 
-        def label(path, _):
-            return "trainable" if str(path[0].key) == "mdm" else "frozen"
-
         lr = (optax.linear_schedule(cfg.lr, 0.0, cfg.lr_anneal_steps)
               if cfg.lr_anneal_steps else cfg.lr)
-        # param_labels as a CALLABLE: the pipeline branch below restructures
-        # the param tree (stage-stacked encoder), so a pre-computed label
-        # pytree would go stale before tx.init sees the final structure
-        self.tx = optax.multi_transform(
-            {"trainable": optax.adamw(lr, weight_decay=cfg.weight_decay),
-             "frozen": optax.set_to_zero()},
-            lambda params: jax.tree_util.tree_map_with_path(label, params),
-        )
+        # AdamW over the TRAINABLE mdm subtree only (r5). The r1-r4
+        # multi_transform over the full tree was numerically identical but
+        # paid real HBM every step: apply_updates rewrote the ~2x-larger
+        # frozen subtrees with +0 and the backward materialized zero grads
+        # for them (tools/step_profile.py measured the optimizer slice of
+        # the b128 step at 3.0 ms vs a 0.9 ms trainable-only floor). The
+        # flat opt{step}.pt leaf list is UNCHANGED (MaskedNode leaves never
+        # flattened), so old checkpoints resume bit-exactly
+        # (tests/test_pretrain.py::test_opt_state_layout_is_r4_compatible).
+        self.tx = optax.adamw(lr, weight_decay=cfg.weight_decay)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -191,14 +190,14 @@ class PriorTrainer(PreemptionMixin):
                 # reduce-scatter-of-grads schedule from the annotations
                 # (parallel/mesh.py::fsdp_spec)
                 self.params = shard_params(self.params, mesh, fsdp=self.fsdp)
-            self.opt_state = self.tx.init(self.params)
+            self.opt_state = self.tx.init(self.params["mdm"])
             self.opt_state = jax.tree_util.tree_map(
                 lambda a: a if getattr(a, "ndim", 1) > 0
                 else jax.device_put(a, NamedSharding(mesh, P())),
                 self.opt_state,
             )
         else:
-            self.opt_state = self.tx.init(self.params)
+            self.opt_state = self.tx.init(self.params["mdm"])
         if self.resume_step:
             self._load_optimizer_state()
         # EMA rides the params' placement; a REAL device copy (.copy()
@@ -290,10 +289,16 @@ class PriorTrainer(PreemptionMixin):
                 # all ones; reference training_loop.py:255 semantics)
                 return jnp.mean(per_sample * mb["t_weights"]), per_sample
 
+            def mdm_loss(mdm_p, mb, drop_key=rng_drop):
+                # differentiate w.r.t. the TRAINABLE subtree only: the
+                # backward neither materializes zero grads for the frozen
+                # ~2/3 of the tree nor rewrites it in apply_updates
+                return micro_loss(dict(params, mdm=mdm_p), mb, drop_key)
+
             accum = max(1, cfg.grad_accum)
             if accum == 1:
                 (loss, per_sample), grads = jax.value_and_grad(
-                    micro_loss, has_aux=True)(params, full)
+                    mdm_loss, has_aux=True)(params["mdm"], full)
             else:
                 B = x_t.shape[0]
                 if B % accum:
@@ -316,11 +321,11 @@ class PriorTrainer(PreemptionMixin):
                     mb, dk = sc
                     c_loss, c_grads = carry
                     (l, ps), g = jax.value_and_grad(
-                        micro_loss, has_aux=True)(params, mb, dk)
+                        mdm_loss, has_aux=True)(params["mdm"], mb, dk)
                     return (c_loss + l,
                             jax.tree_util.tree_map(jnp.add, c_grads, g)), ps
 
-                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, params["mdm"])
                 (loss, grads), per_micro = jax.lax.scan(
                     acc, (jnp.zeros((), jnp.float32), zeros),
                     (micros, drop_keys))
@@ -328,8 +333,10 @@ class PriorTrainer(PreemptionMixin):
                 inv = 1.0 / accum
                 loss = loss * inv
                 grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
-            updates, new_opt_state = self.tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
+            updates, new_opt_state = self.tx.update(grads, opt_state,
+                                                    params["mdm"])
+            new_params = dict(params, mdm=optax.apply_updates(params["mdm"],
+                                                              updates))
             if cfg.ema_rate > 0:  # static: fused into the same executable
                 r = cfg.ema_rate
                 ema = jax.tree_util.tree_map(
@@ -395,16 +402,15 @@ class PriorTrainer(PreemptionMixin):
 
     @staticmethod
     def _map_opt_encoder(tree, fn):
-        """Apply fn to every ``mdm/seqTransEncoder`` subtree inside an
-        opt-state pytree (the Adam mu/nu trees mirror the param structure,
-        so the pipeline stage stack appears once per moment tree)."""
+        """Apply fn to every encoder subtree inside an opt-state pytree:
+        the Adam mu/nu trees mirror the TRAINABLE mdm subtree (a dict
+        carrying ``seqTransEncoder`` directly), so the pipeline stage stack
+        appears once per moment tree."""
         def rec(node):
             if isinstance(node, dict):
-                if ("mdm" in node and isinstance(node["mdm"], dict)
-                        and "seqTransEncoder" in node["mdm"]):
-                    mdm = dict(node["mdm"],
-                               seqTransEncoder=fn(node["mdm"]["seqTransEncoder"]))
-                    return {**node, "mdm": mdm}
+                if "seqTransEncoder" in node:
+                    return {**node,
+                            "seqTransEncoder": fn(node["seqTransEncoder"])}
                 return {k: rec(v) for k, v in node.items()}
             if isinstance(node, tuple) and hasattr(node, "_fields"):
                 return type(node)(*(rec(v) for v in node))

@@ -388,6 +388,34 @@ class TestPipelinePretrain:
             for a, b in zip(src, got):
                 np.testing.assert_allclose(a, b, atol=1e-6, err_msg=name)
 
+    def test_opt_state_layout_is_r4_compatible(self, tmp_path):
+        """The r5 subtree-only AdamW (grads/update/apply over params['mdm']
+        alone — the frozen ~2/3 of the tree no longer rides through the
+        optimizer) must keep the opt{step}.pt FLAT layout of the r4
+        multi_transform state: [adam count, mu(mdm leaves sorted),
+        nu(mdm leaves sorted), schedule count] — MaskedNode leaves never
+        flattened, so old checkpoints resume bit-exactly."""
+        cfg = MDMConfig(njoints=16, nfeats=1, latent_dim=32, ff_size=64,
+                        num_layers=1, clip_dim=32)
+        model = StyleDiffusion(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((2, 16, 1, 8), jnp.float32),
+                            jnp.zeros((2,), jnp.int32), jnp.zeros((2, 32)),
+                            method=StyleDiffusion.full_init)
+        pcfg = PretrainConfig(save_dir=str(tmp_path / "lay"), num_steps=1,
+                              log_interval=0, lr_anneal_steps=100)
+        tr = PriorTrainer(pcfg, model, params, make_schedule("cosine", 50))
+        flat = jax.tree_util.tree_leaves(tr._canon_opt_state())
+        mdm = jax.tree_util.tree_leaves(tr.params["mdm"])
+        n = len(mdm)
+        assert len(flat) == 2 * n + 2, (len(flat), n)
+        assert np.shape(flat[0]) == ()          # Adam bias-correction count
+        assert np.shape(flat[-1]) == ()         # LR schedule count
+        for a, b in zip(flat[1:1 + n], mdm):    # mu in param order
+            assert np.shape(a) == np.shape(b)
+        for a, b in zip(flat[1 + n:1 + 2 * n], mdm):  # nu in param order
+            assert np.shape(a) == np.shape(b)
+
     def test_seed_opt_counts_schedule_only(self, tmp_path):
         """The missing-opt-file fallback seeds ONLY the LR-schedule count;
         Adam's bias-correction count stays 0 so the first steps after a
