@@ -215,10 +215,21 @@ class PriorTrainer(PreemptionMixin):
         cfg, model, sched = self.cfg, self.model, self.sched
 
         def train_step(params, opt_state, ema, rng, batch):
-            """batch: x_start (B,C,F,T), t (B,), enc_text (B,clip), mask
-            (B,1,1,T)."""
-            rng_noise, rng_drop, rng_cond = jax.random.split(rng, 3)
+            """batch: x_start (B,C,F,T), enc_text (B,clip), mask (B,1,1,T)
+            [+ t (B,) and t_weights (B,) when the timestep sampler runs on
+            the host — loss-aware sampling, or direct callers passing t]."""
+            rng_t, rng_noise, rng_drop, rng_cond = jax.random.split(rng, 4)
             rng_drop = fast_dropout_key(rng_drop, cfg.dropout_rng_impl)
+            B = batch["x_start"].shape[0]
+            # uniform timestep sampling lives INSIDE the jitted step (r5):
+            # the host-side sampler.sample launched a separate tiny randint
+            # per step — a ~2.5 ms relay dispatch bubble in the device
+            # queue (tools/step_profile.py). Loss-aware sampling still
+            # passes host-computed (t, t_weights) through the batch.
+            t = batch.get("t")
+            if t is None:
+                t = jax.random.randint(rng_t, (B,), 0, sched.num_timesteps,
+                                       dtype=jnp.int32)
 
             # q_sample and CFG cond-masking are cheap elementwise work with
             # no parameter dependence: do them ONCE at full batch, so the
@@ -226,11 +237,11 @@ class PriorTrainer(PreemptionMixin):
             # model forward/backward, not the training distribution
             noise = jax.random.normal(rng_noise, batch["x_start"].shape,
                                       dtype=jnp.float32)
-            x_t = ddpm.q_sample(sched, batch["x_start"], batch["t"], noise)
+            x_t = ddpm.q_sample(sched, batch["x_start"], t, noise)
             enc = mask_cond(rng_cond, batch["enc_text"], cfg.cond_mask_prob)
             # direct callers (HLO probes, dryrun) may omit t_weights;
             # uniform sampling is the all-ones default
-            full = {"x_t": x_t, "t": batch["t"], "enc": enc,
+            full = {"x_t": x_t, "t": t, "enc": enc,
                     "mask": batch["mask"], "x_start": batch["x_start"],
                     "t_weights": batch.get(
                         "t_weights",
@@ -360,9 +371,15 @@ class PriorTrainer(PreemptionMixin):
             self.sampler.update_with_local_losses(np.asarray(pt),
                                                   np.asarray(pl))
             self._pending_update = None
-        t, t_weights = self.sampler.sample(tsub, batch["x_start"].shape[0])
-        batch = dict(batch, t=t,
-                     t_weights=jnp.asarray(t_weights, jnp.float32))
+        if isinstance(self.sampler, UniformSampler) and "t" not in batch:
+            # uniform t is drawn INSIDE the jitted step (from the step rng)
+            # — no extra per-step device launch (see _build_train_step)
+            batch = dict(batch)
+        else:
+            t, t_weights = self.sampler.sample(tsub,
+                                               batch["x_start"].shape[0])
+            batch = dict(batch, t=t,
+                         t_weights=jnp.asarray(t_weights, jnp.float32))
         if self.mesh is not None:
             from motionstyle.parallel.mesh import shard_batch
 
