@@ -674,10 +674,12 @@ class TestGradAccumAndAnneal:
         half = self._batch(cfg, B=4, seed=0)
         batch = {k: np.concatenate([v, v], axis=0) for k, v in half.items()}
 
-        # replicate run_step's rng threading for step 1
+        # replicate run_step's rng threading for step 1 (r5: uniform t is
+        # drawn in-step from rng_t, the first of FOUR step-rng splits)
         _, sub, tsub = jax.random.split(jax.random.PRNGKey(3), 3)
-        t, _ = tr.sampler.sample(tsub, 8)
-        rng_noise, rng_drop, rng_cond = jax.random.split(sub, 3)
+        rng_t, rng_noise, rng_drop, rng_cond = jax.random.split(sub, 4)
+        t = jax.random.randint(rng_t, (8,), 0, sched.num_timesteps,
+                               dtype=jnp.int32)
         noise = jax.random.normal(rng_noise, batch["x_start"].shape)
         x_t = np.asarray(ddpm.q_sample(sched, batch["x_start"], t, noise))
         enc = np.asarray(mask_cond(rng_cond, batch["enc_text"], 0.1))
